@@ -22,9 +22,11 @@ from ..core.matchers import Match, SingleLineMatch
 from ..core.problems import CMakeFilesMissing, MissingCommand, MissingFile, Problem
 from ..rules import COMMON_MATCHERS
 from ..rules.secondary import (
+    SECONDARY_ANCHOR_OF,
     SECONDARY_GATE,
     SECONDARY_MATCHERS,
     SECONDARY_NO_ANCHOR,
+    SECONDARY_TOKEN_RULES,
 )
 
 OFFSET = 250  # src/common.rs:3441
@@ -61,11 +63,21 @@ def find_secondary_build_failure(
     start = max(0, n - start_offset)
     for offset in range(start, n):
         match_line = lines[offset].rstrip("\n")
-        if use_gate and SECONDARY_GATE is not None and not SECONDARY_GATE.search(match_line):
-            candidates = SECONDARY_NO_ANCHOR
+        if not use_gate or SECONDARY_GATE is None:
+            idxs = range(len(SECONDARY_MATCHERS))
+        elif not SECONDARY_GATE.search(match_line):
+            idxs = SECONDARY_NO_ANCHOR
         else:
-            candidates = SECONDARY_MATCHERS
-        for regexp in candidates:
+            cand = set(SECONDARY_NO_ANCHOR)
+            for tok, rule_idxs in SECONDARY_TOKEN_RULES.items():
+                if tok in match_line:
+                    cand.update(rule_idxs)
+            idxs = sorted(cand)
+        for i in idxs:
+            alts = SECONDARY_ANCHOR_OF.get(i)
+            if alts is not None and not any(a in match_line for a in alts):
+                continue
+            regexp = SECONDARY_MATCHERS[i]
             if regexp.search(match_line):
                 origin = f"secondary regex {regexp.pattern}"
                 return SingleLineMatch(origin, offset, lines[offset])

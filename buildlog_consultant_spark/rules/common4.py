@@ -4,7 +4,7 @@ list (first-match-wins makes position semantic, src/common.rs:2291-2309)."""
 
 from __future__ import annotations
 
-from ..core.matchers import rule
+from ..core.matchers import Rule, rule
 from ..core.problems import (
     MissingCHeader,
     MissingCommand,
@@ -30,7 +30,12 @@ PART4 = [
         lambda m: MissingPythonDistribution.simple(m.group(1)),
     ),
     rule(r".*: No space left on device", lambda m: NoSpaceOnDevice()),
-    rule(r".*(No space left on device).*", lambda m: NoSpaceOnDevice()),
+    Rule(
+        r".*(No space left on device).*",
+        lambda m: NoSpaceOnDevice(),
+        # the literal is group-wrapped, invisible to required_literal
+        anchor="No space left on device",
+    ),
     rule(
         r"ocamlfind: Package `(.*)\' not found",
         lambda m: MissingOCamlPackage(m.group(1)),

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import re
 
-from ..core.matchers import required_literal
+from ..core.matchers import gate_token, required_literal, trie_regex
 
 _PATTERNS = [
     r"E: pybuild pybuild:[0-9]+: test: plugin [^ ]+ failed with:",
@@ -218,16 +218,32 @@ SECONDARY_MATCHERS: list[re.Pattern] = [re.compile(p) for p in _PATTERNS]
 
 # literal-anchor gate for the secondary scan (same soundness argument as
 # MatcherGroup's — see core/matchers.py)
-_anchors = []
-SECONDARY_NO_ANCHOR: list[re.Pattern] = []
-for _p, _rx in zip(_PATTERNS, SECONDARY_MATCHERS):
-    _a = required_literal(_p)
-    if _a:
-        _anchors.append(_a)
+# manual anchor-sets for patterns whose required literals live inside groups
+# (invisible to the conservative extractor); any-of semantics
+_ANCHOR_OVERRIDES: dict[str, tuple] = {
+    r".*:[0-9]+:[0-9]+: (error|ERROR): (.*)": ("error: ", "ERROR: "),
+    # the Python-exception family: every alternative contains one of these
+    next(p for p in _PATTERNS if "SyntaxError" in p): (
+        "Error", "Exception", "django.core.exceptions.", "UnknownExtra",
+    ),
+}
+
+SECONDARY_NO_ANCHOR: list[int] = []
+SECONDARY_ANCHOR_OF: dict[int, tuple] = {}
+SECONDARY_TOKEN_RULES: dict[str, list[int]] = {}
+for _i, (_p, _rx) in enumerate(zip(_PATTERNS, SECONDARY_MATCHERS)):
+    _alts = _ANCHOR_OVERRIDES.get(_p)
+    if _alts is None:
+        _a = required_literal(_p)
+        _alts = (_a,) if _a else None
+    if _alts:
+        SECONDARY_ANCHOR_OF[_i] = _alts
+        for _a in _alts:
+            SECONDARY_TOKEN_RULES.setdefault(gate_token(_a), []).append(_i)
     else:
-        SECONDARY_NO_ANCHOR.append(_rx)
+        SECONDARY_NO_ANCHOR.append(_i)
 SECONDARY_GATE = (
-    re.compile("|".join(re.escape(a) for a in sorted(set(_anchors))))
-    if _anchors
+    re.compile(trie_regex(sorted(SECONDARY_TOKEN_RULES)))
+    if SECONDARY_TOKEN_RULES
     else None
 )
