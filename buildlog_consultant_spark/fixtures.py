@@ -1,0 +1,389 @@
+"""Deterministic synthetic pages corpus + golden expected outputs.
+
+Implements FIXTURES.md: a seeded generator producing the authoritative input
+shape (url, warc_ts, html, text, lang) where each document embeds one log-body
+template family drawn from the reference's own test vectors, plus the golden
+``expected_problems`` rows derived by construction. Everything is a pure
+function of the document sequence number — no wall clock, no RNG state shared
+across rows — so the corpus is reproducible at any scale and on any executor.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator, Optional
+
+import pandas as pd
+
+from .core.problems import canonical_json
+
+LANGS = ["en", "de", "fr", "pt", "ja"]
+
+# benign padding vocabulary: lowercase, no punctuation, chosen to avoid every
+# gate token and anchor (verified by test_fixtures_padding_is_no_match)
+_PAD_WORDS = [
+    "alpha", "beta", "gamma", "delta", "omega", "river", "stone", "cloud",
+    "forest", "ember", "quiet", "gentle", "harbor", "meadow", "willow",
+]
+
+
+def _pad_line(i: int, j: int) -> str:
+    w = _PAD_WORDS
+    n = len(w)
+    return " ".join(
+        w[(i * 7 + j * 3 + k * 5) % n] for k in range(6 + (i + j) % 5)
+    )
+
+
+def _padding(i: int, count: int) -> list[str]:
+    return [_pad_line(i, j) for j in range(count)]
+
+
+# ---------------------------------------------------------------------------
+# Template families. Each returns (lines, expected) where expected is None
+# (no-match doc) or a dict with problem_kind/lineno/match_line/origin/details
+# fields describing the golden classification (lineno relative to the doc,
+# 1-based).
+# ---------------------------------------------------------------------------
+
+
+def _fam_nomatch(i: int):
+    return _padding(i, 8 + i % 13), None
+
+
+def _fam_python_module(i: int):
+    mod = f"mod{i % 23}"
+    pre = _padding(i, 3 + i % 6)
+    line = f"ModuleNotFoundError: No module named '{mod}'"
+    lines = pre + [line] + _padding(i + 1, i % 3)
+    return lines, {
+        "problem_kind": "missing-python-module",
+        "lineno": len(pre) + 1,
+        "match_line": line,
+        "details": {"module": mod, "python_version": 3, "minimum_version": None},
+    }
+
+
+def _fam_make_target(i: int):
+    target = f"obj{i % 17}.o"
+    needed = f"all{i % 5}"
+    pre = _padding(i, 2 + i % 4)
+    line = (
+        f"make[1]: *** No rule to make target '{target}', needed by '{needed}'.  Stop."
+    )
+    lines = pre + [line]
+    return lines, {
+        "problem_kind": "missing-make-target",
+        "lineno": len(pre) + 1,
+        "match_line": line,
+        "details": {"target": target, "required_by": needed},
+    }
+
+
+def _fam_command_missing(i: int):
+    cmd = f"tool{i % 19}"
+    pre = _padding(i, 1 + i % 7)
+    line = f"/bin/sh: 1: {cmd}: not found"
+    lines = pre + [line] + _padding(i + 2, i % 2)
+    return lines, {
+        "problem_kind": "command-missing",
+        "lineno": len(pre) + 1,
+        "match_line": line,
+        "details": {"command": cmd},
+    }
+
+
+def _fam_c_header(i: int):
+    hdr = f"lib{i % 11}.h"
+    pre = _padding(i, 4)
+    line = f"src{i % 3}.c:12:3: fatal error: {hdr}: No such file or directory"
+    lines = pre + [line]
+    return lines, {
+        "problem_kind": "missing-c-header",
+        "lineno": len(pre) + 1,
+        "match_line": line,
+        "details": {"header": hdr},
+    }
+
+
+def _fam_secondary_only(i: int):
+    pre = _padding(i, 2 + i % 5)
+    line = f"make: *** [all{i % 4}] Error 2"
+    lines = pre + [line]
+    return lines, {
+        "problem_kind": None,
+        "lineno": len(pre) + 1,
+        "match_line": line,
+        "details": None,
+    }
+
+
+def _fam_no_space(i: int):
+    pre = _padding(i, 3)
+    line = f"cp: /var/tmp/out{i % 9}: No space left on device"
+    lines = pre + [line]
+    return lines, {
+        "problem_kind": "no-space-on-device",
+        "lineno": len(pre) + 1,
+        "match_line": line,
+        "details": {},
+    }
+
+
+def _fam_vignette(i: int):
+    dep = f"vigdep{i % 7}"
+    pre = _padding(i, 2)
+    l1 = f"Error: processing vignette 'intro{i % 3}.Rnw' failed with diagnostics:"
+    l2 = f"{dep} is not available"
+    lines = pre + [l1, l2]
+    return lines, {
+        "problem_kind": "missing-vague-dependency",
+        "lineno": len(pre) + 2,
+        "match_line": l2,
+        "details": {
+            "name": dep, "url": None, "minimum_version": None, "current_version": None,
+        },
+    }
+
+
+def _fam_perl_module(i: int):
+    mod = f"Acme::Fam{i % 13}"
+    pre = _padding(i, 1 + i % 3)
+    l1 = "# The following modules are not available."
+    l2 = "# `perl Makefile.PL | cpanm` will install them:"
+    l3 = f"  {mod}"
+    lines = pre + [l1, l2, l3]
+    return lines, {
+        "problem_kind": "missing-perl-module",
+        "lineno": len(pre) + 3,
+        "match_line": l3,
+        "details": {
+            "filename": None, "module": mod, "inc": None, "minimum_version": None,
+        },
+    }
+
+
+def _fam_haskell_deps(i: int):
+    dep1 = f"hpkg{i % 5} >=1.{i % 4}"
+    dep2 = f"hextra{i % 3} <2"
+    pre = _padding(i, 2)
+    l1 = f"Setup{i % 2}: Encountered missing or private dependencies:"
+    l2 = f"    {dep1},"
+    l3 = f"    {dep2},"
+    lines = pre + [l1, l2, l3, ""]
+    return lines, {
+        "problem_kind": "missing-haskell-dependencies",
+        "lineno": len(pre) + 3,  # MultiLineMatch.lineno = last offset + 1
+        "match_line": l3,
+        "details": {"deps": [dep1, dep2]},
+    }
+
+
+def _fam_cmake(i: int):
+    name = f"Pkg{i % 9}"
+    comp = f"comp{i % 4}"
+    pre = _padding(i, 2)
+    lines = pre + [
+        f"CMake Error at CMakeLists.txt:{10 + i % 40} (find_package):",
+        f"  Could NOT find {name} (missing: {comp})",
+        "",
+    ]
+    return lines, {
+        "problem_kind": "missing-cmake-components",
+        "lineno": len(pre) + 2,
+        "match_line": f"  Could NOT find {name} (missing: {comp})",
+        "details": {"name": name, "components": [comp]},
+    }
+
+
+def _fam_ruby_gem(i: int):
+    gem = f"gemfam{i % 8}"
+    ver = f"1.{i % 6}"
+    pre = _padding(i, 3)
+    line = f"Could not find gem '{gem} (>= {ver})', which is required by gem 'top{i % 2}'."
+    lines = pre + [line]
+    return lines, {
+        "problem_kind": "missing-ruby-gem",
+        "lineno": len(pre) + 1,
+        "match_line": line,
+        "details": {"gem": gem, "version": ver},
+    }
+
+
+def _fam_pkg_config(i: int):
+    mod = f"libfam{i % 6}"
+    ver = f"0.{i % 9}"
+    pre = _padding(i, 2)
+    line = f"configure: error: Package requirements ({mod} >= {ver}) were not met:"
+    lines = pre + [line]
+    return lines, {
+        "problem_kind": "missing-pkg-config-package",
+        "lineno": len(pre) + 1,
+        "match_line": line,
+        "details": {"module": mod, "minimum_version": ver},
+    }
+
+
+def _fam_sbuild_build(i: int):
+    """Miniature sbuild container: Build section with an embedded error and a
+    Summary with Fail-Stage: build (cf. /root/reference/src/testdata/sbuild.0.log)."""
+    sep = "+" + "-" * 78 + "+"
+    mod = f"sbmod{i % 7}"
+    err = f"ModuleNotFoundError: No module named '{mod}'"
+    build_body = _padding(i, 3) + [err] + _padding(i + 1, 1)
+    lines = (
+        ["preamble noise " + _pad_line(i, 0)]
+        + [sep, "| Build                                                                        |", sep]
+        + build_body
+        + [sep, "| Summary                                                                      |", sep]
+        + ["Fail-Stage: build"]
+    )
+    # lineno = section begin offset + match lineno within section
+    # (src/sbuild.rs:506-512): preamble(1) + header triplet(3) gives
+    # begin_offset 4; error is the 4th section line → absolute line 8
+    return lines, {
+        "problem_kind": "missing-python-module",
+        "match_line": err,
+        "details": {"module": mod, "python_version": 3, "minimum_version": None},
+        "stage": "build",
+        "phase": "build",
+        "container": "sbuild",
+        "lineno": 8,
+    }
+
+
+def _fam_autopkgtest_timeout(i: int):
+    test = f"unit{i % 5}"
+    lines = [
+        f"autopkgtest [10:0{i % 6}:00]: @@@@@@@@@@@@@@@@@@@@ summary",
+        f"{test}               FAIL timed out",
+    ]
+    return lines, {
+        "problem_kind": "timed-out",
+        "lineno": 2,
+        "match_line": f"{test}               FAIL timed out",
+        "details": {},
+        "container": "autopkgtest",
+        "phase": "autopkgtest",
+        "phase_test": test,
+    }
+
+
+# (family_fn, weight) — weights drive realistic skew: the no-match majority
+# class plus a dominant missing-python-module family (FIXTURES.md §3.6)
+FAMILIES = [
+    (_fam_nomatch, 40),
+    (_fam_python_module, 18),
+    (_fam_make_target, 8),
+    (_fam_command_missing, 8),
+    (_fam_c_header, 5),
+    (_fam_secondary_only, 5),
+    (_fam_no_space, 3),
+    (_fam_vignette, 2),
+    (_fam_perl_module, 2),
+    (_fam_haskell_deps, 2),
+    (_fam_cmake, 2),
+    (_fam_ruby_gem, 1),
+    (_fam_pkg_config, 1),
+    (_fam_sbuild_build, 2),
+    (_fam_autopkgtest_timeout, 1),
+]
+_TOTAL_WEIGHT = sum(w for _, w in FAMILIES)
+_WHEEL = []
+for _fam, _w in FAMILIES:
+    _WHEEL.extend([_fam] * _w)
+
+EPOCH_TS = pd.Timestamp("2024-01-01T00:00:00")
+
+
+def family_for(i: int):
+    return _WHEEL[(i * 131) % _TOTAL_WEIGHT]
+
+
+def make_doc(i: int) -> tuple[dict, Optional[dict]]:
+    """Returns (page_row, golden_row_or_None)."""
+    fam = family_for(i)
+    lines, expected = fam(i)
+    text = "\n".join(lines) + "\n"
+    url = f"https://logs.example.org/{fam.__name__[5:]}/{i:08d}"
+    lang = LANGS[i % len(LANGS)]
+    import html as _html
+
+    page = {
+        "url": url,
+        "warc_ts": EPOCH_TS + pd.Timedelta(seconds=60 * i),
+        "html": (
+            "<html><body><pre>" + _html.escape(text) + "</pre></body></html>"
+        ).encode("utf-8"),
+        "text": text,
+        "lang": lang,
+    }
+    golden = None
+    if expected is not None:
+        golden = {
+            "url": url,
+            "lang": lang,
+            "problem_kind": expected.get("problem_kind"),
+            "lineno": expected.get("lineno"),
+            "match_line": expected.get("match_line"),
+            "details": (
+                canonical_json(expected["details"])
+                if expected.get("details") is not None
+                else None
+            ),
+            "container": expected.get("container", "plain"),
+            "stage": expected.get("stage"),
+            "phase": expected.get("phase"),
+        }
+    return page, golden
+
+
+def pages_pdf(start: int, end: int) -> pd.DataFrame:
+    rows = [make_doc(i)[0] for i in range(start, end)]
+    return pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+
+
+def golden_pdf(start: int, end: int) -> pd.DataFrame:
+    rows = []
+    for i in range(start, end):
+        _, g = make_doc(i)
+        if g is not None:
+            rows.append(g)
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "url", "lang", "problem_kind", "lineno", "match_line", "details",
+            "container", "stage", "phase",
+        ],
+    )
+
+
+PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+
+def pages_df(spark, n: int, partitions: Optional[int] = None):
+    """Distributed deterministic generation: spark.range → mapInPandas.
+    No driver-side materialization; each executor derives its rows from the
+    sequence number alone."""
+    partitions = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].tolist()
+            yield pd.DataFrame(
+                [make_doc(int(i))[0] for i in ids],
+                columns=["url", "warc_ts", "html", "text", "lang"],
+            )
+
+    return spark.range(0, n, 1, partitions).mapInPandas(gen, schema=PAGES_SCHEMA)
+
+
+def expected_counts(n: int) -> dict[tuple, int]:
+    """Golden per-(kind, lang) counts over the first n docs."""
+    counts: dict[tuple, int] = {}
+    for i in range(n):
+        _, g = make_doc(i)
+        if g is not None:
+            key = (g["problem_kind"], g["lang"])
+            counts[key] = counts.get(key, 0) + 1
+    return counts
