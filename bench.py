@@ -1,0 +1,174 @@
+"""Benchmark harness.
+
+Measures the headline metric — end-to-end parse→classify→enrich→route→
+aggregate wall time and docs/sec — over a deterministic pages corpus written
+to parquet (the Iceberg-table stand-in), at two parallelism levels
+(local[N/4] vs local[N]) to evidence the north-rule scaling criterion
+(efficiency = (T_small / T_big) / 4, target ≥ 0.8), plus per-query timings
+and the prefilter on/off effect.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": seconds, "unit": "sec", "queries": {...}, "sf": ...}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     BLC_BENCH_DOCS (override corpus size).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SMALL_CPUS = max(CPUS // 4, 1)
+
+
+def _sf_label(sf_dir: str) -> float:
+    try:
+        return float(sf_dir.rstrip("/").rsplit("sf", 1)[1])
+    except Exception:
+        return 0.0
+
+
+PAD_SCALE = int(os.environ.get("BLC_BENCH_PAD_SCALE", "12"))
+
+
+def build_corpus(spark, n_docs: int, path: str) -> None:
+    from buildlog_consultant_spark import fixtures
+
+    fixtures.pages_df(spark, n_docs, pad_scale=PAD_SCALE).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def timed_pipeline(spark, pages_path: str, out_dir: str, use_gate: bool = True) -> dict:
+    """One full pass: scan → classify → enrich → fan-out route → aggregate."""
+    from pyspark.sql import functions as F
+
+    from buildlog_consultant_spark.spark.classify import classify_documents
+    from buildlog_consultant_spark.spark.enrich import enrich_with_remediation
+    from buildlog_consultant_spark.spark.pipeline import aggregate_counts, route_fanout
+
+    t0 = time.time()
+    pages = spark.read.parquet(pages_path).select("url", "text", "lang")
+    enriched = enrich_with_remediation(
+        classify_documents(pages, use_gate=use_gate)
+    ).persist()
+    n = enriched.count()
+    t_classify = time.time() - t0
+
+    t1 = time.time()
+    route_fanout(enriched, f"{out_dir}/routed")
+    t_route = time.time() - t1
+
+    t2 = time.time()
+    aggregate_counts(enriched).write.mode("overwrite").parquet(f"{out_dir}/counts")
+    t_agg = time.time() - t2
+    enriched.unpersist()
+    total = time.time() - t0
+    return {
+        "n_docs": n,
+        "total_sec": total,
+        "classify_sec": t_classify,
+        "route_sec": t_route,
+        "agg_sec": t_agg,
+        "docs_per_sec": n / total,
+    }
+
+
+def run_queries(spark, sf_dir: str) -> dict:
+    import __spark_entry__ as entry_mod
+
+    out = {}
+    for name, fn in entry_mod.queries().items():
+        t0 = time.time()
+        fn(spark, sf_dir).collect()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def session(master: str):
+    from buildlog_consultant_spark.spark import get_spark
+
+    return get_spark(master, app_name=f"bench-{master}")
+
+
+def main():
+    workdir = tempfile.mkdtemp(prefix="blc_bench_")
+    pages_path = f"{workdir}/pages"
+    try:
+        # corpus size: ~2× the sf documents row count (bounded for sanity)
+        import duckdb
+
+        n_docs_env = os.environ.get("BLC_BENCH_DOCS")
+        if n_docs_env:
+            n_docs = int(n_docs_env)
+        else:
+            n_base = duckdb.sql(
+                f"select count(*) from '{SF_DIR}/documents.parquet'"
+            ).fetchone()[0]
+            n_docs = max(2 * n_base, 2000)
+
+        spark_big = session(f"local[{CPUS}]")
+        build_corpus(spark_big, n_docs, pages_path)
+        # smaller gate-off corpus (the no-prefilter path is ~7× slower; the
+        # ratio is what matters, not a long absolute run)
+        nogate_path = f"{workdir}/pages_nogate"
+        n_nogate = min(n_docs, 10000)
+        build_corpus(spark_big, n_nogate, nogate_path)
+
+        # warm run (JVM codegen + Python worker imports), then measured run
+        timed_pipeline(spark_big, pages_path, f"{workdir}/warm")
+        big = timed_pipeline(spark_big, pages_path, f"{workdir}/big")
+        gate_on = timed_pipeline(spark_big, nogate_path, f"{workdir}/g1")
+        gate_off = timed_pipeline(
+            spark_big, nogate_path, f"{workdir}/g0", use_gate=False
+        )
+        query_times = run_queries(spark_big, SF_DIR)
+        spark_big.stop()
+
+        spark_small = session(f"local[{SMALL_CPUS}]")
+        # warm the small session too — both measurements must exclude
+        # one-time JVM/Python-worker costs to reflect steady-state scaling
+        timed_pipeline(spark_small, nogate_path, f"{workdir}/warm_small")
+        small = timed_pipeline(spark_small, pages_path, f"{workdir}/small")
+        spark_small.stop()
+
+        efficiency = (small["total_sec"] / big["total_sec"]) / (CPUS / SMALL_CPUS)
+        result = {
+            "metric": "end_to_end_parse_route_sec",
+            "value": round(big["total_sec"], 3),
+            "unit": "sec",
+            "queries": query_times,
+            "sf": _sf_label(SF_DIR),
+            "n_docs": big["n_docs"],
+            "docs_per_sec": round(big["docs_per_sec"], 1),
+            "docs_per_sec_small": round(small["docs_per_sec"], 1),
+            "cpus_big": CPUS,
+            "cpus_small": SMALL_CPUS,
+            "scaling_efficiency": round(efficiency, 3),
+            "stage_breakdown_sec": {
+                "classify": round(big["classify_sec"], 3),
+                "route": round(big["route_sec"], 3),
+                "aggregate": round(big["agg_sec"], 3),
+            },
+            "prefilter_speedup": round(
+                gate_off["total_sec"] / gate_on["total_sec"], 2
+            ),
+        }
+        print(json.dumps(result))
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

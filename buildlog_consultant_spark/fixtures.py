@@ -35,7 +35,15 @@ def _pad_line(i: int, j: int) -> str:
     )
 
 
+# Padding multiplier. 1 for the correctness corpus (goldens' linenos assume
+# it); bench raises it so documents are realistically log-sized and per-task
+# compute dominates scheduler overhead. Worker-process-local (each Python
+# worker is single-threaded), set via pages_df(pad_scale=…).
+PAD_SCALE = 1
+
+
 def _padding(i: int, count: int) -> list[str]:
+    count = count * PAD_SCALE
     return [_pad_line(i, j) for j in range(count)]
 
 
@@ -361,19 +369,26 @@ def golden_pdf(start: int, end: int) -> pd.DataFrame:
 PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
 
 
-def pages_df(spark, n: int, partitions: Optional[int] = None):
+def pages_df(spark, n: int, partitions: Optional[int] = None, pad_scale: int = 1):
     """Distributed deterministic generation: spark.range → mapInPandas.
     No driver-side materialization; each executor derives its rows from the
-    sequence number alone."""
+    sequence number alone. pad_scale≠1 invalidates the golden linenos — use
+    only for benchmarking."""
     partitions = partitions or spark.sparkContext.defaultParallelism
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids = pdf["id"].tolist()
-            yield pd.DataFrame(
-                [make_doc(int(i))[0] for i in ids],
-                columns=["url", "warc_ts", "html", "text", "lang"],
-            )
+        import buildlog_consultant_spark.fixtures as fx
+
+        fx.PAD_SCALE = pad_scale
+        try:
+            for pdf in batches:
+                ids = pdf["id"].tolist()
+                yield pd.DataFrame(
+                    [make_doc(int(i))[0] for i in ids],
+                    columns=["url", "warc_ts", "html", "text", "lang"],
+                )
+        finally:
+            fx.PAD_SCALE = 1
 
     return spark.range(0, n, 1, partitions).mapInPandas(gen, schema=PAGES_SCHEMA)
 

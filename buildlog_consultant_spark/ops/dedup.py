@@ -1,0 +1,143 @@
+"""Deduplication operators.
+
+Exact dedup is a hash-groupBy; near-dup uses MinHash+LSH with md5-based
+shingle hashes so the identical computation is expressible in DuckDB SQL for
+the oracle (lexicographic min over hex digests is a valid min-hash family:
+md5 is a uniform hash, so argmin over shingles is uniform — the standard
+MinHash estimator applies).
+
+Scale notes: shingling + min-aggregation are per-row (no shuffle); the LSH
+band bucket join shuffles only (band, signature) pairs — tiny compared to the
+corpus — and self-join skew on huge buckets is bounded by banding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical documents: (text_md5, n_dups, min_id)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_md5"), F.col(id_col))
+        .groupBy("text_md5")
+        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("min_id"))
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the lowest-id representative per identical text."""
+    w = exact_dup_groups(df, id_col, text_col).select("min_id")
+    return df.join(w, df[id_col] == w["min_id"], "left_semi")
+
+
+def _shingles(text_col: str, k: int = 3):
+    """Word k-shingles of the whitespace-normalized, lowercased text."""
+    norm = F.split(F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")), " ")
+    n = F.size(norm)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(norm, i + 1, k))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 8,
+    k: int = 3,
+) -> DataFrame:
+    """(id, band, sig): per band b, sig = min over shingles of md5(b || '|' || shingle)."""
+    sh = _shingles(text_col, k).alias("shingles")
+    base = df.select(F.col(id_col).alias("id"), sh)
+    band_cols = [
+        F.array_min(
+            F.transform(
+                F.col("shingles"),
+                lambda s, b=b: F.md5(F.concat(F.lit(f"{b}|"), s)),
+            )
+        ).alias(f"sig_{b}")
+        for b in range(bands)
+    ]
+    wide = base.select("id", *band_cols)
+    stack_expr = ", ".join(f"{b}, sig_{b}" for b in range(bands))
+    return wide.selectExpr(
+        "id", f"stack({bands}, {stack_expr}) as (band, sig)"
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 8,
+    k: int = 3,
+    min_shared_bands: int = 2,
+) -> DataFrame:
+    """Candidate near-dup pairs: ids sharing ≥ min_shared_bands band
+    signatures. Bucket join on (band, sig) — the LSH trick keeps the self-join
+    tiny at corpus scale."""
+    sigs = minhash_signatures(df, id_col, text_col, bands, k)
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig")))
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("shared_bands"))
+        .where(F.col("shared_bands") >= min_shared_bands)
+    )
+    return pairs
+
+
+def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over word tokens using xxhash64 bit votes.
+
+    Per token t: h = xxhash64(t). For each bit position, vote +1/-1; the
+    signature bit is the vote sign. Expressed with built-ins: explode-free
+    via aggregate over the token array (stays JVM-side)."""
+    tokens = F.split(F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")), " ")
+    base = df.select(F.col(id_col).alias("id"), tokens.alias("toks"))
+
+    def vote_for(bit: int):
+        def merge(acc, t):
+            is_set = F.shiftright(F.xxhash64(t), bit).bitwiseAND(F.lit(1)) == 1
+            return acc + F.when(is_set, 1).otherwise(-1)
+
+        return F.aggregate(F.col("toks"), F.lit(0), merge)
+
+    bit_cols = [
+        F.when(vote_for(bit) > 0, F.shiftleft(F.lit(1).cast("long"), bit)).otherwise(
+            F.lit(0).cast("long")
+        )
+        for bit in range(64)
+    ]
+    sig = bit_cols[0]
+    for c in bit_cols[1:]:
+        sig = sig.bitwiseOR(c)
+    return base.select("id", sig.alias("simhash"))
+
+
+def ngram_jaccard(
+    df: DataFrame,
+    id_a: int,
+    id_b: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity between two documents (×1e6, integer)."""
+    sh = _shingles(text_col, k)
+    pair = df.where(F.col(id_col).isin([id_a, id_b])).select(
+        F.col(id_col).alias("id"), F.array_distinct(sh).alias("sh")
+    )
+    a = pair.where(F.col("id") == id_a).select(F.col("sh").alias("sa"))
+    b = pair.where(F.col("id") == id_b).select(F.col("sh").alias("sb"))
+    return a.crossJoin(b).select(
+        (
+            F.size(F.array_intersect("sa", "sb")) * 1000000
+            / F.size(F.array_union("sa", "sb"))
+        ).cast("long").alias("jaccard_ppm")
+    )

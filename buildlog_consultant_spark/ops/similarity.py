@@ -1,0 +1,113 @@
+"""Similarity search over the embeddings table (vec_id, embedding:
+array<float>, label).
+
+Brute-force cosine top-k is the exactness baseline (one scan, JVM-side
+F.aggregate/zip_with arithmetic, no UDF); the scale path buckets vectors with
+a random-hyperplane LSH (SimHash for vectors) so candidate generation is a
+bucket join instead of an all-pairs scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to the query vector (excluded from
+    results). Single scan + broadcast of the 1-row query + top-k via
+    orderBy/limit (Spark plans TakeOrderedAndProject — no full sort)."""
+    q = df.where(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    v = F.col(vec_col).cast("array<double>")
+    scored = (
+        df.where(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            (
+                _dot(v, F.col("qv"))
+                / (_norm(v) * _norm(F.col("qv")))
+            ).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def hyperplane_buckets(
+    df: DataFrame,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Random-hyperplane LSH bucket id per vector: bit b = sign(v · h_b) with
+    h_b derived deterministically from xxhash64(seed, b, i) — reproducible on
+    any executor without shipping plane matrices."""
+    v = F.col(vec_col).cast("array<double>")
+
+    def plane_component(b: int, i: int) -> float:
+        # deterministic pseudo-random in [-1, 1): splitmix-style on (seed,b,i)
+        x = (seed * 1000003 + b * 10007 + i * 101) & 0xFFFFFFFF
+        x = (x ^ (x >> 16)) * 0x45D9F3B & 0xFFFFFFFF
+        x = (x ^ (x >> 16)) * 0x45D9F3B & 0xFFFFFFFF
+        x = x ^ (x >> 16)
+        return (x / 0x80000000) - 1.0
+
+    bucket = F.lit(0).cast("long")
+    for b in range(n_planes):
+        plane = [plane_component(b, i) for i in range(dim)]
+        dot = None
+        for i, w in enumerate(plane):
+            term = F.element_at(v, i + 1) * F.lit(w)
+            dot = term if dot is None else dot + term
+        bit = F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket.bitwiseOR(bit)
+    return df.select(F.col(id_col), bucket.alias("bucket"))
+
+
+def ann_topk_lsh(
+    df: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: restrict the exact scorer to the query's LSH bucket
+    (falls back to hamming-adjacent buckets being future work)."""
+    buckets = hyperplane_buckets(df, n_planes, id_col, vec_col, dim)
+    qb = buckets.where(F.col(id_col) == query_vec_id).select(
+        F.col("bucket").alias("qbucket")
+    )
+    cands = (
+        buckets.crossJoin(F.broadcast(qb))
+        .where(F.col("bucket") == F.col("qbucket"))
+        .select(id_col)
+    )
+    return cosine_topk(df.join(cands, id_col, "left_semi"), query_vec_id, k, id_col, vec_col)

@@ -1,0 +1,94 @@
+"""Text-analysis operators — all Catalyst-native (pyspark.sql.functions only,
+JVM-side, whole-stage codegen; no Python in the hot path).
+
+Each operator is also expressible in ANSI SQL so the DuckDB oracle can verify
+it exactly (integer/rounded outputs avoid float-hash instability).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword seeds for the n-gram/stopword lang-ID heuristic;
+# deliberately small and deterministic
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in"],
+    "de": ["der", "und", "die", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "de", "la", "que", "los"],
+    "pt": ["de", "que", "em", "para", "com"],
+}
+
+
+def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count (BPE-ish split on non-word boundaries is
+    `word_count_bpeish`)."""
+    t = F.trim(F.col(text_col))
+    return df.withColumn(
+        "n_tokens",
+        F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+"))),
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic integer quality score in [0, 100]:
+    length component + punctuation-ratio + uppercase-ratio penalties.
+    Mirrors reference-free web-text quality heuristics; exact SQL equivalent
+    exists for the oracle."""
+    t = F.col(text_col)
+    length = F.length(t)
+    n_punct = length - F.length(F.regexp_replace(t, r"[.,;:!?]", ""))
+    n_upper = length - F.length(F.regexp_replace(t, r"[A-Z]", ""))
+    # floor() everywhere: integer casts of doubles round differently across
+    # engines (DuckDB rounds half-even on CAST), floor is portable
+    len_score = F.least(F.lit(50).cast("long"), F.floor(length / F.lit(20)))
+    punct_pen = F.least(
+        F.lit(25).cast("long"), F.floor(n_punct * 100 / F.greatest(length, F.lit(1)))
+    )
+    upper_pen = F.least(
+        F.lit(25).cast("long"), F.floor(n_upper * 100 / F.greatest(length, F.lit(1)))
+    )
+    return df.withColumn(
+        "quality", (F.lit(50) + len_score - punct_pen - upper_pen).cast("long")
+    )
+
+
+def with_lang_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-hit lang-ID: the language with the most stopword occurrences
+    (ties broken by language code order; 'und' when no hits). Pure built-ins:
+    one regexp count per language over a lowercased copy."""
+    t = F.lower(F.col(text_col))
+    scores = []
+    for lang in sorted(STOPWORDS):
+        pat = r"\b(" + "|".join(STOPWORDS[lang]) + r")\b"
+        hits = F.size(F.split(t, pat)) - 1
+        scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    best = F.greatest(*scores)
+    return df.withColumn(
+        "lang_guess",
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")),
+    )
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: first 16 hex chars of md5 over the
+    whitespace-normalized text (rolling-hash analogue, portable to SQL)."""
+    norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    return df.withColumn("fingerprint", F.substring(F.md5(norm), 1, 16))
+
+
+def doc_stats(df: DataFrame) -> DataFrame:
+    """Per-lang corpus stats — all-integer outputs for exact oracle parity."""
+    d = with_token_count(df)
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+        .orderBy("lang")
+    )

@@ -57,7 +57,7 @@ def detect_container(text: str) -> str:
     return "plain"
 
 
-def analyze_text(text: Optional[str]) -> dict:
+def analyze_text(text: Optional[str], use_gate: bool = True) -> dict:
     """Classify one document's text; returns a flat result dict."""
     if not text:
         return dict(_EMPTY)
@@ -95,7 +95,7 @@ def analyze_text(text: Optional[str]) -> dict:
         out["phase_test"] = testname
         out["description"] = description or problem_message(error)
     else:
-        match, error = find_build_failure_description(lines)
+        match, error = find_build_failure_description(lines, use_gate=use_gate)
         out["description"] = (
             problem_message(error)
             if error is not None
@@ -114,11 +114,12 @@ def analyze_text(text: Optional[str]) -> dict:
 
 
 def _classify_iter(
-    batches: Iterator[pd.DataFrame], text_col: str, keep_cols: Sequence[str]
+    batches: Iterator[pd.DataFrame], text_col: str, keep_cols: Sequence[str],
+    use_gate: bool = True,
 ) -> Iterator[pd.DataFrame]:
     cols = list(CLASSIFY_RESULT_FIELDS_NAMES)
     for pdf in batches:
-        rows = [analyze_text(t) for t in pdf[text_col]]
+        rows = [analyze_text(t, use_gate=use_gate) for t in pdf[text_col]]
         res = pd.DataFrame(rows, columns=cols)
         for c in ("offset", "lineno"):
             res[c] = res[c].astype("Int64")
@@ -134,7 +135,12 @@ CLASSIFY_RESULT_FIELDS_NAMES = [
 ]
 
 
-def classify_documents(df, text_col: str = "text", keep_cols: Sequence[str] = ("url", "lang")):
+def classify_documents(
+    df,
+    text_col: str = "text",
+    keep_cols: Sequence[str] = ("url", "lang"),
+    use_gate: bool = True,
+):
     """Run the classify stage: keep_cols pass through, text is consumed.
 
     Column pruning: only keep_cols + text reach the Python worker — select
@@ -145,5 +151,5 @@ def classify_documents(df, text_col: str = "text", keep_cols: Sequence[str] = ("
     schema_prefix = ", ".join(f"{c} {dict(zip(df.schema.names, [f.dataType.simpleString() for f in df.schema.fields]))[c]}" for c in keep_cols)
     schema = (schema_prefix + ", " if schema_prefix else "") + CLASSIFY_RESULT_FIELDS
     return in_df.mapInPandas(
-        lambda it: _classify_iter(it, text_col, keep_cols), schema=schema
+        lambda it: _classify_iter(it, text_col, keep_cols, use_gate), schema=schema
     )

@@ -1,0 +1,50 @@
+"""Structured Streaming variant of the parse→classify→aggregate pipeline.
+
+The classify stage is stateless per document, so it lifts unchanged onto a
+stream (mapInPandas works on streaming DataFrames); the aggregate becomes a
+watermarked windowed count so late-arriving pages are folded in within the
+allowed lateness and state is bounded.
+
+Local smoke path: readStream over a parquet directory + a memory sink with
+processAllAvailable() drives a batch of rows through the streaming engine
+synchronously (see tests). Production path: readStream from Kafka/files with
+checkpointLocation for exactly-once sinks via foreachBatch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..fixtures import PAGES_SCHEMA
+from ..spark.classify import classify_documents
+
+
+def read_pages_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def classify_stream(pages_stream: DataFrame) -> DataFrame:
+    """Stateless classify lifts onto the stream unchanged (same UDF)."""
+    return classify_documents(
+        pages_stream, text_col="text", keep_cols=("url", "warc_ts", "lang")
+    )
+
+
+def streaming_kind_counts(
+    classified: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked per-kind/per-lang windowed counts — bounded state."""
+    return (
+        classified.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window), "problem_kind", "lang")
+        .agg(F.count("*").alias("n"))
+    )

@@ -1,0 +1,165 @@
+"""Spark end-to-end tests: pipeline correctness (counts + routed-row
+equality vs goldens), lineage/resume idempotence, streaming smoke, ops.
+
+One shared local session (module-scoped fixture) keeps total runtime sane.
+"""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from buildlog_consultant_spark import fixtures
+from buildlog_consultant_spark.spark import get_spark
+from buildlog_consultant_spark.spark.pipeline import (
+    aggregate_counts,
+    classify_and_enrich,
+    routed_rows_equal,
+    run_pipeline,
+)
+
+N = 200
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_spark("local[4]", app_name="tests")
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="module")
+def enriched(spark):
+    pages = fixtures.pages_df(spark, N, partitions=4)
+    df = classify_and_enrich(pages).persist()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_counts_match_golden(spark, enriched):
+    agg = aggregate_counts(enriched).collect()
+    got = {
+        (r.problem_kind, r.lang): r.n_matched
+        for r in agg
+        if r.problem_kind is not None
+    }
+    exp = {
+        k: v for k, v in fixtures.expected_counts(N).items() if k[0] is not None
+    }
+    assert got == exp
+
+
+def test_routed_rows_equal_golden(spark, enriched):
+    golden = spark.createDataFrame(fixtures.golden_pdf(0, N))
+    mine = enriched.where(F.col("match_line").isNotNull()).select(
+        "url", "lang", "problem_kind", "lineno", "match_line", "details",
+        "container", "stage", "phase",
+    )
+    assert routed_rows_equal(mine, golden)
+
+
+def test_enrich_broadcast_plan(spark, enriched):
+    plan = enriched._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_run_pipeline_resume(spark):
+    out = tempfile.mkdtemp(prefix="blc_test_out_")
+    try:
+        pages = fixtures.pages_df(spark, 120, partitions=4)
+        res1 = run_pipeline(spark, pages, out, n_shards=3)
+        assert len(res1) == 3
+        assert sum(r.input_count for r in res1) == 120
+        # rerun: everything committed → nothing to do
+        res2 = run_pipeline(spark, pages, out, n_shards=3)
+        assert res2 == []
+        lineage = spark.read.parquet(f"{out}/_lineage")
+        assert lineage.count() == 3
+        routed = spark.read.parquet(f"{out}/routed")
+        assert routed.count() == 120
+        # partitioned by sink_kind (fan-out happened)
+        assert "sink_kind" in routed.columns
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_streaming_smoke(spark):
+    from buildlog_consultant_spark.streaming import (
+        classify_stream,
+        streaming_kind_counts,
+    )
+
+    src = tempfile.mkdtemp(prefix="blc_stream_src_")
+    try:
+        fixtures.pages_df(spark, 60, partitions=3).write.mode("overwrite").parquet(src)
+        from buildlog_consultant_spark.streaming.pipeline import read_pages_stream
+
+        stream = read_pages_stream(spark, src)
+        assert stream.isStreaming
+        counts = streaming_kind_counts(classify_stream(stream))
+        q = (
+            counts.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("kind_counts_stream")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {
+                (r.problem_kind, r.lang): r.n
+                for r in spark.sql(
+                    "select problem_kind, lang, sum(n) as n from kind_counts_stream "
+                    "where problem_kind is not null group by 1, 2"
+                ).collect()
+            }
+            exp = {
+                k: v
+                for k, v in fixtures.expected_counts(60).items()
+                if k[0] is not None
+            }
+            assert got == exp
+        finally:
+            q.stop()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
+def test_multimodal_plumbing(spark):
+    from buildlog_consultant_spark.ops.multimodal import extract_media_meta
+
+    pages = fixtures.pages_df(spark, 20, partitions=2)
+    meta = extract_media_meta(pages).collect()
+    assert len(meta) == 20
+    # deterministic stub: same bytes → same fake features
+    by_url = {r.url: r for r in meta}
+    page0, _ = fixtures.make_doc(0)
+    import hashlib
+
+    r = by_url[page0["url"]]
+    assert r.n_bytes == len(page0["html"])
+    assert r.sha1 == hashlib.sha1(page0["html"]).hexdigest()
+    assert 64 <= r.fake_width < 256
+
+
+def test_dedup_ops(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from buildlog_consultant_spark.ops.dedup import dedup_exact, exact_dup_groups
+
+    groups = exact_dup_groups(docs)
+    n_groups = groups.count()
+    n_docs = docs.count()
+    deduped = dedup_exact(docs)
+    assert deduped.count() == n_groups <= n_docs
+
+
+def test_lang_guess(spark):
+    from buildlog_consultant_spark.ops.text import with_lang_guess
+
+    df = spark.createDataFrame(
+        [("the cat and the dog of the house",), ("der hund und die katze ist",), ("zzz",)],
+        schema="text string",
+    )
+    got = [r.lang_guess for r in with_lang_guess(df).collect()]
+    assert got[0] == "en" and got[1] == "de" and got[2] == "und"
