@@ -38,6 +38,7 @@ from ..core.problems import (
     MissingPerlModule,
     MissingPhpClass,
     MissingPythonDistribution,
+    MissingRPackage,
     MissingRubyGem,
     MissingSprocketsFile,
     MissingVagueDependency,

@@ -202,6 +202,533 @@ CASES = [
         1,
         lambda: P.MissingPkgConfig("vapigen", "0.22"),
     ),
+    # ---- second tranche, ported from common.rs:3649-4165 ----
+    (
+        ["ExecJS::RuntimeUnavailable: Could not find a JavaScript runtime. See https://github.com/rails/execjs for a list of available runtimes."],
+        1,
+        lambda: P.MissingJavaScriptRuntime(),
+    ),
+    (
+        ["debian/components/build: 19: cd: can't cd to rollup-plugin"],
+        1,
+        lambda: P.DirectoryNonExistant("rollup-plugin"),
+    ),
+    (
+        ["   > Cannot find '.git' directory"],
+        1,
+        lambda: P.VcsControlDirectoryNeeded(["git"]),
+    ),
+    (
+        ["Sprockets::FileNotFound: couldn't find file 'activestorage' with type 'application/javascript'"],
+        1,
+        lambda: P.MissingSprocketsFile("activestorage", "application/javascript"),
+    ),
+    (
+        ["g++: error: /usr/lib/x86_64-linux-gnu/libGL.so: No such file or directory"],
+        1,
+        lambda: P.MissingFile("/usr/lib/x86_64-linux-gnu/libGL.so"),
+    ),
+    (
+        ["/<<PKGBUILDDIR>>/build.xml:59: /<<PKGBUILDDIR>>/lib does not exist."],
+        1,
+        lambda: P.MissingBuildFile("lib"),
+    ),
+    (
+        ["  vignette builder 'R.rsp' not found"],
+        1,
+        lambda: P.MissingRPackage.simple("R.rsp"),
+    ),
+    (
+        ["libtoolize:   error: '/usr/share/aclocal/ltdl.m4' does not exist."],
+        1,
+        lambda: P.MissingFile("/usr/share/aclocal/ltdl.m4"),
+    ),
+    (
+        ["Error: Error: ENOENT: no such file or directory, open '/usr/lib/nodejs/requirejs/text.js'"],
+        1,
+        lambda: P.MissingFile("/usr/lib/nodejs/requirejs/text.js"),
+    ),
+    (
+        ["vcversioner: ['git', '--git-dir', '/build/tmp0tlam4pe/pyee/.git', 'describe', '--tags', '--long'] failed and '/build/tmp0tlam4pe/pyee/version.txt' isn't present."],
+        1,
+        lambda: P.MissingVcVersionerVersion(),
+    ),
+    (
+        ["python3.7: can't open file '/usr/bin/blah.py': [Errno 2] No such file or directory"],
+        1,
+        lambda: P.MissingFile("/usr/bin/blah.py"),
+    ),
+    (
+        ["python3.7: can't open file 'setup.py': [Errno 2] No such file or directory"],
+        1,
+        lambda: P.MissingBuildFile("setup.py"),
+    ),
+    (
+        ["E           FileNotFoundError: [Errno 2] No such file or directory: '/usr/share/firmware-microbit-micropython/firmware.hex'"],
+        1,
+        lambda: P.MissingFile("/usr/share/firmware-microbit-micropython/firmware.hex"),
+    ),
+    (
+        ["configure: error: Please install gnu flex from http://www.gnu.org/software/flex/"],
+        1,
+        lambda: P.MissingVagueDependency("gnu flex", url="http://www.gnu.org/software/flex/"),
+    ),
+    (
+        ["RuntimeError: cython is missing"],
+        1,
+        lambda: P.MissingVagueDependency.simple("cython"),
+    ),
+    (
+        [
+            "configure: error:",
+            "",
+            "        Unable to find the Multi Emulator Super System (MESS).",
+        ],
+        3,
+        lambda: P.MissingVagueDependency.simple("the Multi Emulator Super System (MESS)"),
+    ),
+    (
+        ["configure: error: libwandio 4.0.0 or better is required to compile this version of libtrace. If you have installed libwandio in a non-standard location please use LDFLAGS to specify the location of the library. WANDIO can be obtained from http://research.wand.net.nz/software/libwandio.php"],
+        1,
+        lambda: P.MissingVagueDependency("libwandio", minimum_version="4.0.0"),
+    ),
+    (
+        ["configure: error: libpcap0.8 or greater is required to compile libtrace. If you have installed it in a non-standard location please use LDFLAGS to specify the location of the library"],
+        1,
+        lambda: P.MissingVagueDependency.simple("libpcap0.8"),
+    ),
+    (
+        ["Error: Please install xml2 package"],
+        1,
+        lambda: P.MissingVagueDependency.simple("xml2"),
+    ),
+    (
+        ["*** error: gettext infrastructure mismatch: using a Makefile.in.in from gettext version 0.19 but the autoconf macros are from gettext version 0.20"],
+        1,
+        lambda: P.MismatchGettextVersions("0.19", "0.20"),
+    ),
+    (
+        ["configure: error: *** No X11! Install X-Windows development headers/libraries! ***"],
+        1,
+        lambda: P.MissingX11(),
+    ),
+    (
+        ["/bin/bash: /usr/bin/rst2man: /usr/bin/python: bad interpreter: No such file or directory"],
+        1,
+        lambda: P.MissingFile("/usr/bin/python"),
+    ),
+    (
+        [r'dh_installdocs: Cannot find (any matches for) "README.txt" (tried in ., debian/tmp)'],
+        1,
+        lambda: P.DebhelperPatternNotFound("README.txt", "installdocs", [".", "debian/tmp"]),
+    ),
+    (
+        ["dh_autoreconf: debhelper compat level specified both in debian/compat and via build-dependency on debhelper-compat"],
+        1,
+        lambda: P.DuplicateDHCompatLevel("dh_autoreconf"),
+    ),
+    (
+        ["dh_clean: Please specify the compatibility level in debian/compat"],
+        1,
+        lambda: P.MissingDHCompatLevel("dh_clean"),
+    ),
+    (
+        ["dh_clean: error: Compatibility levels before 7 are no longer supported (level 5 requested)"],
+        1,
+        lambda: P.UnsupportedDebhelperCompatLevel(7, 5),
+    ),
+    (
+        ["meson.build:13:0: ERROR: Git program not found."],
+        1,
+        lambda: P.MissingCommand("git"),
+    ),
+    (
+        ["meson.build:85:0: ERROR: C++ shared or static library 'vulkan-1' not found"],
+        1,
+        lambda: P.MissingLibrary("vulkan-1"),
+    ),
+    (
+        ['Error: Library "camlp-streams" not found.'],
+        1,
+        lambda: P.MissingOCamlPackage("camlp-streams"),
+    ),
+    (
+        ["meson.build:1:0: ERROR: Meson version is 0.49.2 but project requires >=0.50"],
+        1,
+        lambda: P.MissingVagueDependency("meson", minimum_version="0.50", current_version="0.49.2"),
+    ),
+    (
+        ["../meson.build:1:0: ERROR: Meson version is 0.49.2 but project requires >=0.50"],
+        1,
+        lambda: P.MissingVagueDependency("meson", minimum_version="0.50", current_version="0.49.2"),
+    ),
+    (
+        ["Error: debian/control needs updating from debian/control.in. Run 'pg_buildext updatecontrol'."],
+        1,
+        lambda: P.NeedPgBuildExtUpdateControl("debian/control", "debian/control.in"),
+    ),
+    (
+        ["configure.ac:13: error: Autoconf version 2.71 or higher is required"],
+        1,
+        lambda: P.MissingVagueDependency("autoconf", minimum_version="2.71"),
+    ),
+    (
+        ["configure: error: libetpan 0.57 not found"],
+        1,
+        lambda: P.MissingVagueDependency("libetpan", minimum_version="0.57"),
+    ),
+    (
+        ["config.status: error: cannot find input file: `po/Makefile.in.in'"],
+        1,
+        lambda: P.MissingConfigStatusInput("po/Makefile.in.in"),
+    ),
+    (
+        ["ERROR: JAVA_HOME is set to an invalid directory: /usr/lib/jvm/default-java/"],
+        1,
+        lambda: P.MissingJVM(),
+    ),
+    (
+        ["cp: cannot stat '/<<PKGBUILDDIR>>/debian/patches/lshw-gtk.desktop': No such file or directory"],
+        1,
+        lambda: P.MissingBuildFile("debian/patches/lshw-gtk.desktop"),
+    ),
+    (
+        ["/bin/bash: idna-tables-properties.csv: No such file or directory"],
+        1,
+        lambda: P.MissingBuildFile("idna-tables-properties.csv"),
+    ),
+    (
+        ["automake: error: cannot open < gtk-doc.make: No such file or directory"],
+        1,
+        lambda: P.MissingAutomakeInput("gtk-doc.make"),
+    ),
+    # dh addon load (multi-line context, common.rs:3720-3740)
+    (
+        [
+            "   dh_auto_clean -O--buildsystem=pybuild",
+            "E: Please add appropriate interpreter package to Build-Depends, see pybuild(1) for details.this: $VAR1 = bless( {",
+            "     'py3vers' => '3.8',",
+        ],
+        2,
+        lambda: P.DhAddonLoadFailure("pybuild", "Debian/Debhelper/Buildsystem/pybuild.pm"),
+    ),
+    # cmake legacy forward pass (common.rs:4064-4073)
+    (
+        [
+            "  Could NOT find Git (missing: GIT_EXECUTABLE)",
+            "dh_auto_configure: cd obj-x86_64-linux-gnu && cmake with args",
+        ],
+        1,
+        lambda: P.MissingCommand("git"),
+    ),
+    # ---- third tranche, ported from common.rs:4167-4704 ----
+    (
+        ["configure.in:1802: error: possibly undefined macro: AC_CHECK_CCA"],
+        1,
+        lambda: P.MissingAutoconfMacro("AC_CHECK_CCA", False),
+    ),
+    (
+        ["./configure: line 12569: PKG_PROG_PKG_CONFIG: command not found"],
+        1,
+        lambda: P.MissingAutoconfMacro("PKG_PROG_PKG_CONFIG", False),
+    ),
+    (
+        [
+            "checking for gawk... (cached) mawk",
+            "./configure: line 2368: syntax error near unexpected token `APERTIUM,'",
+            "./configure: line 2368: `PKG_CHECK_MODULES(APERTIUM, apertium >= 3.7.1)'",
+        ],
+        3,
+        lambda: P.MissingAutoconfMacro("PKG_CHECK_MODULES", True),
+    ),
+    (
+        [
+            "checking for libexif to use... ./configure: line 15968: syntax error near unexpected token `LIBEXIF,libexif'",
+            "./configure: line 15968: `\t\t\t\t\t\tPKG_CHECK_MODULES(LIBEXIF,libexif >= 0.6.18,have_LIBEXIF=yes,:)'",
+        ],
+        2,
+        lambda: P.MissingAutoconfMacro("PKG_CHECK_MODULES", True),
+    ),
+    (
+        ["ERROR: dependencies ‘ellipsis’, ‘pkgload’ are not available for package ‘testthat’"],
+        1,
+        lambda: P.MissingRPackage.simple("ellipsis"),
+    ),
+    (
+        ["  namespace ‘DBI’ 1.0.0 is being loaded, but >= 1.0.0.9003 is required"],
+        1,
+        lambda: P.MissingRPackage("DBI", "1.0.0.9003"),
+    ),
+    (
+        ["  namespace ‘spatstat.utils’ 1.13-0 is already loaded, but >= 1.15.0 is required"],
+        1,
+        lambda: P.MissingRPackage("spatstat.utils", "1.15.0"),
+    ),
+    (
+        ["Error in library(zeligverse) : there is no package called 'zeligverse'"],
+        1,
+        lambda: P.MissingRPackage.simple("zeligverse"),
+    ),
+    (
+        ["there is no package called 'mockr'"],
+        1,
+        lambda: P.MissingRPackage.simple("mockr"),
+    ),
+    (
+        ["ERROR: dependencies 'igraph', 'matlab', 'expm', 'RcppParallel' are not available for package 'markovchain'"],
+        1,
+        lambda: P.MissingRPackage.simple("igraph"),
+    ),
+    (
+        ["Error: package 'BH' 1.66.0-1 was found, but >= 1.75.0.0 is required by 'RSQLite'"],
+        1,
+        lambda: P.MissingRPackage("BH", "1.75.0.0"),
+    ),
+    (
+        ["Error: package ‘AnnotationDbi’ 1.52.0 was found, but >= 1.53.1 is required by ‘GO.db’"],
+        1,
+        lambda: P.MissingRPackage("AnnotationDbi", "1.53.1"),
+    ),
+    (
+        ["  namespace 'alakazam' 1.1.0 is being loaded, but >= 1.1.0.999 is required"],
+        1,
+        lambda: P.MissingRPackage("alakazam", "1.1.0.999"),
+    ),
+    (
+        ["mv: cannot stat '/usr/res/boss.png': No such file or directory"],
+        1,
+        lambda: P.MissingFile("/usr/res/boss.png"),
+    ),
+    (
+        ["dh_link: link destination debian/r-cran-crosstalk/usr/lib/R/site-library/crosstalk/lib/ionrangeslider is a directory"],
+        1,
+        lambda: P.DhLinkDestinationIsDirectory(
+            "debian/r-cran-crosstalk/usr/lib/R/site-library/crosstalk/lib/ionrangeslider"
+        ),
+    ),
+    (
+        [r'dh_install: Cannot find (any matches for) "server/etc/gnumed/gnumed-restore.conf" (tried in ., debian/tmp)'],
+        1,
+        lambda: P.DebhelperPatternNotFound(
+            "server/etc/gnumed/gnumed-restore.conf", "install", [".", "debian/tmp"]
+        ),
+    ),
+    (
+        ["dpkg-gensymbols: error: some symbols or patterns disappeared in the symbols file: see diff output below"],
+        1,
+        lambda: P.DisappearedSymbols(),
+    ),
+    (
+        ["PHP Fatal error:  Uncaught Error: Class 'PHPUnit_Framework_TestCase' not found in /tmp/autopkgtest.gO7h1t/build.b1p/src/Horde_Text_Diff-2.2.0/test/Horde/Text/Diff/EngineTest.php:9"],
+        1,
+        lambda: P.MissingPhpClass("PHPUnit_Framework_TestCase"),
+    ),
+    (
+        ["Caused by: java.lang.ClassNotFoundException: org.codehaus.Xpp3r$Builder",
+         "\tat org.codehaus.strategy.SelfFirstStrategy.loadClass(lfFirstStrategy.java:50)"],
+        1,
+        lambda: P.MissingJavaClass("org.codehaus.Xpp3r$Builder"),
+    ),
+    (
+        ["dh: The --until option is not supported any longer (#932537). Use override targets instead."],
+        1,
+        lambda: P.DhUntilUnsupported(),
+    ),
+    (
+        ["I/O error : Attempt to load network entity http://www.oasis-open.org/docbook/xml/4.5/docbookx.dtd"],
+        1,
+        lambda: P.MissingXmlEntity("http://www.oasis-open.org/docbook/xml/4.5/docbookx.dtd"),
+    ),
+    (
+        ["ccache: error: Failed to create directory /sbuild-nonexistent/.ccache/tmp: Permission denied"],
+        1,
+        lambda: P.CcacheError("Failed to create directory /sbuild-nonexistent/.ccache/tmp: Permission denied"),
+    ),
+    (
+        ["dh: unable to load addon nodejs: Debian/Debhelper/Sequence/nodejs.pm did not return a true value at (eval 11) line 1."],
+        1,
+        lambda: P.DhAddonLoadFailure("nodejs", "Debian/Debhelper/Sequence/nodejs.pm"),
+    ),
+    (
+        ["/usr/bin/ld: cannot find -lpthreads"],
+        1,
+        lambda: P.MissingLibrary("pthreads"),
+    ),
+    (["Found no assembler"], 1, lambda: P.MissingAssembler()),
+    (
+        ["./ylwrap: line 176: yacc: command not found"],
+        1,
+        lambda: P.MissingCommand("yacc"),
+    ),
+    (["/bin/sh: 1: cmake: not found"], 1, lambda: P.MissingCommand("cmake")),
+    (["sh: 1: git: not found"], 1, lambda: P.MissingCommand("git")),
+    (
+        ["/usr/bin/env: ‘python3’: No such file or directory"],
+        1,
+        lambda: P.MissingCommand("python3"),
+    ),
+    (["%Error: 'flex' must be installed to build"], 1, lambda: P.MissingCommand("flex")),
+    (
+        ['pkg-config: exec: "pkg-config": executable file not found in $PATH'],
+        1,
+        lambda: P.MissingCommand("pkg-config"),
+    ),
+    (
+        ['Can\'t exec "git": No such file or directory at Makefile.PL line 25.'],
+        1,
+        lambda: P.MissingCommand("git"),
+    ),
+    (
+        ["vcver.scm.git.GitCommandError: 'git describe --tags --match 'v*' --abbrev=0' returned an error code 127"],
+        1,
+        lambda: P.MissingCommand("git"),
+    ),
+    (["make[1]: docker: Command not found"], 1, lambda: P.MissingCommand("docker")),
+    (["make[1]: git: Command not found"], 1, lambda: P.MissingCommand("git")),
+    (["make: dh_elpa: Command not found"], 1, lambda: P.MissingCommand("dh_elpa")),
+    (["/bin/bash: valac: command not found"], 1, lambda: P.MissingCommand("valac")),
+    (
+        ["E: Failed to execute “python3”: No such file or directory"],
+        1,
+        lambda: P.MissingCommand("python3"),
+    ),
+    (
+        ['Can\'t exec "cmake": No such file or directory at /usr/share/perl5/Debian/Debhelper/Dh_Lib.pm line 484.'],
+        1,
+        lambda: P.MissingCommand("cmake"),
+    ),
+    (
+        ["Invalid gemspec in [unicorn.gemspec]: No such file or directory - git"],
+        1,
+        lambda: P.MissingCommand("git"),
+    ),
+    (
+        ["dbus-run-session: failed to exec 'xvfb-run': No such file or directory"],
+        1,
+        lambda: P.MissingCommand("xvfb-run"),
+    ),
+    (
+        ["unshare: failed to execute python3: No such file or directory"],
+        1,
+        lambda: P.MissingCommand("python3"),
+    ),
+    (["/bin/sh: 1: ./configure: not found"], 1, lambda: P.MissingConfigure()),
+    (
+        ["xvfb-run: error: xauth command not found"],
+        1,
+        lambda: P.MissingCommand("xauth"),
+    ),
+    (
+        ["meson.build:39:2: ERROR: Program(s) ['wrc'] not found or not executable"],
+        1,
+        lambda: P.MissingCommand("wrc"),
+    ),
+    (
+        ["/tmp/autopkgtest.FnbV06/build.18W/src/debian/tests/blas-testsuite: 7: dpkg-architecture: not found"],
+        1,
+        lambda: P.MissingCommand("dpkg-architecture"),
+    ),
+    (
+        ['> Cannot run program "git": error=2, No such file or directory'],
+        1,
+        lambda: P.MissingCommand("git"),
+    ),
+    (["E ImportError: Bad git executable"], 1, lambda: P.MissingCommand("git")),
+    (["E ImportError: Bad git executable."], 1, lambda: P.MissingCommand("git")),
+    (
+        ['Could not find external command "java"'],
+        1,
+        lambda: P.MissingCommand("java"),
+    ),
+    (
+        ["checking for LAPACK... configure: error: \"Cannot check for existence of module lapack without pkgconf\""],
+        1,
+        lambda: P.MissingCommand("pkgconf"),
+    ),
+    (
+        ["dh: Unknown sequence --with (options should not come before the sequence)"],
+        1,
+        lambda: P.DhWithOrderIncorrect(),
+    ),
+    (
+        ["configure: error: Package requirements (apertium-3.2 >= 3.2.0) were not met:"],
+        1,
+        lambda: P.MissingPkgConfig("apertium-3.2", "3.2.0"),
+    ),
+    (
+        ["checking for GLEW... configure: error: Package requirements (glew) were not met:"],
+        1,
+        lambda: P.MissingPkgConfig.simple("glew"),
+    ),
+    (
+        ['meson.build:10:0: ERROR: Dependency "gssdp-1.2" not found, tried pkgconfig'],
+        1,
+        lambda: P.MissingPkgConfig.simple("gssdp-1.2"),
+    ),
+    (
+        ['src/plugins/sysprof/meson.build:3:0: ERROR: Dependency "sysprof-3" not found, tried pkgconfig'],
+        1,
+        lambda: P.MissingPkgConfig.simple("sysprof-3"),
+    ),
+    (
+        ["meson.build:84:0: ERROR: Invalid version of dependency, need 'libpeas-1.0' ['>= 1.24.0'] found '1.22.0'."],
+        1,
+        lambda: P.MissingPkgConfig("libpeas-1.0", "1.24.0"),
+    ),
+    (
+        ["meson.build:233:0: ERROR: Invalid version of dependency, need 'vte-2.91' ['>=0.63.0'] found '0.62.3'."],
+        1,
+        lambda: P.MissingPkgConfig("vte-2.91", "0.63.0"),
+    ),
+    (["No package 'tepl-3' found"], 1, lambda: P.MissingPkgConfig.simple("tepl-3")),
+    (
+        ["configure: error: x86_64-linux-gnu-pkg-config sdl2 couldn't be found"],
+        1,
+        lambda: P.MissingPkgConfig.simple("sdl2"),
+    ),
+    (
+        ["configure: error: No package 'libcrypto' found"],
+        1,
+        lambda: P.MissingPkgConfig.simple("libcrypto"),
+    ),
+    (
+        [
+            "-- Checking for module 'gtk+-3.0'",
+            "--   Package 'gtk+-3.0', required by 'virtual:world', not found",
+        ],
+        2,
+        lambda: P.MissingPkgConfig.simple("gtk+-3.0"),
+    ),
+    (
+        ["configure: error: libfilezilla not found: Package dependency requirement 'libfilezilla >= 0.17.1' could not be satisfied."],
+        1,
+        lambda: P.MissingPkgConfig("libfilezilla", "0.17.1"),
+    ),
+    # FileNotFoundError with subprocess context (common.rs:4559-4582)
+    (
+        [
+            "Traceback (most recent call last):",
+            '  File "/usr/lib/python3/dist-packages/mesonbuild/mesonmain.py", line 140, in run',
+            "    return options.run_func(options)",
+            '  File "/usr/lib/python3/dist-packages/mesonbuild/mdist.py", line 267, in run',
+            "    names = create_dist_git(dist_name, archives, src_root, bld_root, dist_sub, b.dist_scripts, subprojects)",
+            '  File "/usr/lib/python3/dist-packages/mesonbuild/mdist.py", line 119, in create_dist_git',
+            "    git_clone(src_root, distdir)",
+            '  File "/usr/lib/python3/dist-packages/mesonbuild/mdist.py", line 108, in git_clone',
+            "    if git_have_dirty_index(src_root):",
+            '  File "/usr/lib/python3/dist-packages/mesonbuild/mdist.py", line 104, in git_have_dirty_index',
+            "    ret = subprocess.call(['git', '-C', src_root, 'diff-index', '--quiet', 'HEAD'])",
+            '  File "/usr/lib/python3.9/subprocess.py", line 349, in call',
+            "    with Popen(*popenargs, **kwargs) as p:",
+            '  File "/usr/lib/python3.9/subprocess.py", line 951, in __init__',
+            "    self._execute_child(args, executable, preexec_fn, close_fds,",
+            '  File "/usr/lib/python3.9/subprocess.py", line 1823, in _execute_child',
+            "    raise child_exception_type(errno_num, err_msg, err_filename)",
+            "FileNotFoundError: [Errno 2] No such file or directory: 'git'",
+        ],
+        18,
+        lambda: P.MissingCommand("git"),
+    ),
 ]
 
 
@@ -216,6 +743,34 @@ def test_secondary_only():
     assert_just_match(["make: *** [all] Error 2"], 1)
     assert_just_match(["make[2]: *** [Makefile:20: all] Error 2"], 1)
     assert_just_match(["E   DeprecationWarning: use something else"], 1)
+
+
+def test_just_match_cases():
+    # ported from common.rs:3877-3999 and :4156-4164
+    assert_just_match(["configure: error:", "", "        Some other error."], 3)
+    assert_just_match(
+        ["env: ‘/<<PKGBUILDDIR>>/socket-activate’: No such file or directory"], 1
+    )
+    assert_just_match(
+        ["ERROR in Entry module not found: Error: Can't resolve 'index.js' in '/<<PKGBUILDDIR>>'"],
+        1,
+    )
+    assert_just_match(
+        ["dh_makeshlibs: The udeb libepoxy0-udeb (>= 1.3) does not contain any shared libraries but --add-udeb=libepoxy0-udeb (>= 1.3) was passed!?"],
+        1,
+    )
+    assert_just_match(
+        ["dh: unable to load addon systemd: dh: The systemd-sequence is no longer provided in compat >= 11, please rely on dh_installsystemd instead"],
+        1,
+    )
+    assert_just_match(
+        ["dh: The --before option is not supported any longer (#932537). Use override targets instead."],
+        1,
+    )
+    assert_just_match(
+        [" " * 40 + "^----^ SC2086: Double quote to prevent globbing and word splitting."],
+        1,
+    )
 
 
 def test_no_match_at_all():

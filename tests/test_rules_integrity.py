@@ -1,0 +1,72 @@
+"""Static integrity checks over the rule catalog: every callback's global
+references must resolve (a NameError inside a rarely-firing rule callback
+would otherwise only surface in production), every regex must compile, and
+catalog order/shape must match the reference inventory."""
+
+import builtins
+
+from buildlog_consultant_spark.core.matchers import Rule
+from buildlog_consultant_spark.rules import COMMON_MATCHERS, SECONDARY_MATCHERS
+from buildlog_consultant_spark.rules.cmake import CMAKE_ERROR_MATCHERS
+from buildlog_consultant_spark.rules.custom import (
+    CONFIGURE_LINE_MATCHERS,
+    VIGNETTE_LINE_MATCHERS,
+)
+from buildlog_consultant_spark.engine.brz import BRZ_ERRORS
+
+
+def _check_callable_globals(fn, where):
+    import dis
+
+    code = getattr(fn, "__code__", None)
+    if code is None:
+        return
+    g = fn.__globals__
+    loads = {
+        ins.argval
+        for ins in dis.get_instructions(code)
+        if ins.opname in ("LOAD_GLOBAL", "LOAD_NAME")
+    }
+    missing = [n for n in loads if n not in g and not hasattr(builtins, n)]
+    assert not missing, f"{where}: unresolved names {missing} in callback"
+
+
+def _iter_rules(group):
+    for m in group.matchers:
+        if isinstance(m, Rule) and m.callback is not None:
+            yield m
+
+
+def test_all_primary_callbacks_resolve():
+    for r in _iter_rules(COMMON_MATCHERS):
+        _check_callable_globals(r.callback, r.pattern[:60])
+
+
+def test_cmake_and_sub_catalogs_resolve():
+    for group in (CMAKE_ERROR_MATCHERS, CONFIGURE_LINE_MATCHERS, VIGNETTE_LINE_MATCHERS):
+        for r in _iter_rules(group):
+            _check_callable_globals(r.callback, r.pattern[:60])
+    for pat, fn in BRZ_ERRORS:
+        _check_callable_globals(fn, pat[:60])
+
+
+def test_catalog_shape():
+    # reference: 685 line + 67 para rules + 8 custom matchers in the primary
+    # catalog region plus ~140 secondary patterns (BASELINE.md); the primary
+    # group interleaves 8 custom matcher classes
+    n_rules = sum(1 for m in COMMON_MATCHERS.matchers if isinstance(m, Rule))
+    n_custom = len(COMMON_MATCHERS.matchers) - n_rules
+    assert n_custom == 8, n_custom
+    assert n_rules >= 600, n_rules
+    assert len(SECONDARY_MATCHERS) >= 140, len(SECONDARY_MATCHERS)
+
+
+def test_every_regex_compiles_and_searches():
+    # exercise each compiled pattern once (catches pathological syntax that
+    # compiles but cannot run)
+    probe = "x" * 50
+    for m in COMMON_MATCHERS.matchers:
+        if isinstance(m, Rule):
+            m.regex.search(probe)
+    for rx in SECONDARY_MATCHERS:
+        rx.search(probe)
