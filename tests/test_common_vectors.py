@@ -729,7 +729,307 @@ CASES = [
         18,
         lambda: P.MissingCommand("git"),
     ),
+    # ---- fourth tranche, ported from common.rs:4725-5276 ----
+    (
+        ["Could not find gem 'childprocess (~> 0.5)', which is required by gem 'selenium-webdriver', in any of the sources."],
+        1,
+        lambda: P.MissingRubyGem("childprocess", "0.5"),
+    ),
+    (
+        ["Could not find gem 'rexml', which is required by gem 'rubocop', in any of the sources."],
+        1,
+        lambda: P.MissingRubyGem("rexml"),
+    ),
+    (
+        ["/usr/lib/ruby/2.5.0/rubygems/dependency.rb:310:in `to_specs': Could not find 'http-parser' (~> 1.2.0) among 59 total gem(s) (Gem::MissingSpecError)"],
+        1,
+        lambda: P.MissingRubyGem("http-parser", "1.2.0"),
+    ),
+    (
+        ["/usr/lib/ruby/2.5.0/rubygems/dependency.rb:312:in `to_specs': Could not find 'celluloid' (~> 0.17.3) - did find: [celluloid-0.16.0] (Gem::MissingSpecVersionError)"],
+        1,
+        lambda: P.MissingRubyGem("celluloid", "0.17.3"),
+    ),
+    (
+        ["/usr/lib/ruby/2.5.0/rubygems/dependency.rb:310:in `to_specs': Could not find 'sassc' (>= 2.0.0) among 34 total gem(s) (Gem::MissingSpecError)"],
+        1,
+        lambda: P.MissingRubyGem("sassc", "2.0.0"),
+    ),
+    (
+        ["/usr/lib/ruby/2.7.0/bundler/resolver.rb:290:in `block in verify_gemfile_dependencies_are_found!': Could not find gem 'rake-compiler' in any of the gem sources listed in your Gemfile. (Bundler::GemNotFound)"],
+        1,
+        lambda: P.MissingRubyGem("rake-compiler"),
+    ),
+    (
+        ["/usr/lib/ruby/2.7.0/rubygems.rb:275:in `find_spec_for_exe': can't find gem rdoc (>= 0.a) with executable rdoc (Gem::GemNotFoundException)"],
+        1,
+        lambda: P.MissingRubyGem("rdoc", "0.a"),
+    ),
+    (
+        ["[ERROR] Failed to execute goal on project byteman-bmunit5: Could not resolve dependencies for project org.jboss.byteman:byteman-bmunit5:jar:4.0.7: The following artifacts could not be resolved: org.junit.jupiter:junit-jupiter-api:jar:5.4.0, org.junit.jupiter:junit-jupiter-params:jar:5.4.0, org.junit.jupiter:junit-jupiter-engine:jar:5.4.0: Cannot access central (https://repo.maven.apache.org/maven2) in offline mode and the artifact org.junit.jupiter:junit-jupiter-api:jar:5.4.0 has not been downloaded from it before. -> [Help 1]"],
+        1,
+        lambda: P.MissingMavenArtifacts([
+            "org.junit.jupiter:junit-jupiter-api:jar:5.4.0",
+            "org.junit.jupiter:junit-jupiter-params:jar:5.4.0",
+            "org.junit.jupiter:junit-jupiter-engine:jar:5.4.0",
+        ]),
+    ),
+    (
+        ["[ERROR] Failed to execute goal on project opennlp-uima: Could not resolve dependencies for project org.apache.opennlp:opennlp-uima:jar:1.9.2-SNAPSHOT: Cannot access ApacheIncubatorRepository (http://people.apache.org/repo/m2-incubating-repository/) in offline mode and the artifact org.apache.opennlp:opennlp-tools:jar:debian has not been downloaded from it before. -> [Help 1]"],
+        1,
+        lambda: P.MissingMavenArtifacts(["org.apache.opennlp:opennlp-tools:jar:debian"]),
+    ),
+    (
+        ["[ERROR] Failed to execute goal on project bookkeeper-server: Could not resolve dependencies for project org.apache.bookkeeper:bookkeeper-server:jar:4.4.0: Cannot access central (https://repo.maven.apache.org/maven2) in offline mode and the artifact io.netty:netty:jar:debian has not been downloaded from it before. -> [Help 1]"],
+        1,
+        lambda: P.MissingMavenArtifacts(["io.netty:netty:jar:debian"]),
+    ),
+    (
+        ["[ERROR] Unresolveable build extension: Plugin org.apache.felix:maven-bundle-plugin:2.3.7 or one of its dependencies could not be resolved: Cannot access central (https://repo.maven.apache.org/maven2) in offline mode and the artifact org.apache.felix:maven-bundle-plugin:jar:2.3.7 has not been downloaded from it before. @"],
+        1,
+        lambda: P.MissingMavenArtifacts(["org.apache.felix:maven-bundle-plugin:2.3.7"]),
+    ),
+    (
+        ["[ERROR] Plugin org.apache.maven.plugins:maven-jar-plugin:2.6 or one of its dependencies could not be resolved: Cannot access central (https://repo.maven.apache.org/maven2) in offline mode and the artifact org.apache.maven.plugins:maven-jar-plugin:jar:2.6 has not been downloaded from it before. -> [Help 1]"],
+        1,
+        lambda: P.MissingMavenArtifacts(["org.apache.maven.plugins:maven-jar-plugin:2.6"]),
+    ),
+    (
+        ["[FATAL] Non-resolvable parent POM for org.joda:joda-convert:2.2.1: Cannot access central (https://repo.maven.apache.org/maven2) in offline mode and the artifact org.joda:joda-parent:pom:1.4.0 has not been downloaded from it before. and 'parent.relativePath' points at wrong local POM @ line 8, column 10"],
+        1,
+        lambda: P.MissingMavenArtifacts(["org.joda:joda-parent:pom:1.4.0"]),
+    ),
+    (
+        ["[ivy:retrieve] \t\t:: com.carrotsearch.randomizedtesting#junit4-ant;${/com.carrotsearch.randomizedtesting/junit4-ant}: not found"],
+        1,
+        lambda: P.MissingMavenArtifacts(["com.carrotsearch.randomizedtesting:junit4-ant:jar:debian"]),
+    ),
+    (
+        ["[ERROR] Plugin org.apache.maven.plugins:maven-compiler-plugin:3.10.1 or one of its dependencies could not be resolved: Failed to read artifact descriptor for org.apache.maven.plugins:maven-compiler-plugin:jar:3.10.1: 1 problem was encountered while building the effective model for org.apache.maven.plugins:maven-compiler-plugin:3.10.1"],
+        1,
+        lambda: P.MissingMavenArtifacts(["org.apache.maven.plugins:maven-compiler-plugin:3.10.1"]),
+    ),
+    (
+        [
+            "dh_missing --fail-missing",
+            "dh_missing: usr/share/man/man1/florence_applet.1 exists in debian/tmp but is not installed to anywhere",
+            "dh_missing: usr/lib/x86_64-linux-gnu/libflorence-1.0.la exists in debian/tmp but is not installed to anywhere",
+            "dh_missing: missing files, aborting",
+        ],
+        3,
+        lambda: P.DhMissingUninstalled("usr/lib/x86_64-linux-gnu/libflorence-1.0.la"),
+    ),
+    (
+        ["Converting tags.ledger... Can't locate String/Interpolate.pm in @INC (you may need to install the String::Interpolate module) (@INC contains: /etc/perl /usr/local/lib/x86_64-linux-gnu/perl/5.28.1 /usr/local/share/perl/5.28.1 /usr/lib/x86_64-linux-gnu/perl5/5.28 /usr/share/perl5 /usr/lib/x86_64-linux-gnu/perl/5.28 /usr/share/perl/5.28 /usr/local/lib/site_perl /usr/lib/x86_64-linux-gnu/perl-base) at ../bin/ledger2beancount line 23."],
+        1,
+        lambda: P.MissingPerlModule(
+            "String/Interpolate.pm", "String::Interpolate",
+            ["/etc/perl", "/usr/local/lib/x86_64-linux-gnu/perl/5.28.1",
+             "/usr/local/share/perl/5.28.1", "/usr/lib/x86_64-linux-gnu/perl5/5.28",
+             "/usr/share/perl5", "/usr/lib/x86_64-linux-gnu/perl/5.28",
+             "/usr/share/perl/5.28", "/usr/local/lib/site_perl",
+             "/usr/lib/x86_64-linux-gnu/perl-base"],
+            None,
+        ),
+    ),
+    (
+        ["- ExtUtils::Depends         ...missing. (would need 0.302)"],
+        1,
+        lambda: P.MissingPerlModule(None, "ExtUtils::Depends", None, "0.302"),
+    ),
+    (
+        ['Can\'t locate object method "new" via package "Dist::Inkt::Profile::TOBYINK" (perhaps you forgot to load "Dist::Inkt::Profile::TOBYINK"?) at /usr/share/perl5/Dist/Inkt.pm line 208.'],
+        1,
+        lambda: P.MissingPerlModule.simple("Dist::Inkt::Profile::TOBYINK"),
+    ),
+    (
+        ["Pod::Weaver::Plugin::WikiDoc (for section -WikiDoc) does not appear to be installed"],
+        1,
+        lambda: P.MissingPerlModule.simple("Pod::Weaver::Plugin::WikiDoc"),
+    ),
+    (
+        ["List::Util version 1.56 required--this is only version 1.55 at /build/tmpttq5hhpt/package/blib/lib/List/AllUtils.pm line 8."],
+        1,
+        lambda: P.MissingPerlModule(None, "List::Util", None, "1.56"),
+    ),
+    (
+        ["Can't locate debian/perldl.conf in @INC (@INC contains: /<<PKGBUILDDIR>>/inc /etc/perl /usr/local/lib/x86_64-linux-gnu/perl/5.28.1 /usr/local/share/perl/5.28.1 /usr/lib/x86_64-linux-gnu/perl5/5.28 /usr/share/perl5 /usr/lib/x86_64-linux-gnu/perl/5.28 /usr/share/perl/5.28 /usr/local/lib/site_perl /usr/lib/x86_64-linux-gnu/perl-base) at Makefile.PL line 131."],
+        1,
+        lambda: P.MissingPerlFile(
+            "debian/perldl.conf",
+            ["/<<PKGBUILDDIR>>/inc", "/etc/perl",
+             "/usr/local/lib/x86_64-linux-gnu/perl/5.28.1",
+             "/usr/local/share/perl/5.28.1", "/usr/lib/x86_64-linux-gnu/perl5/5.28",
+             "/usr/share/perl5", "/usr/lib/x86_64-linux-gnu/perl/5.28",
+             "/usr/share/perl/5.28", "/usr/local/lib/site_perl",
+             "/usr/lib/x86_64-linux-gnu/perl-base"],
+        ),
+    ),
+    (
+        ['Can\'t open perl script "Makefile.PL": No such file or directory'],
+        1,
+        lambda: P.MissingPerlFile("Makefile.PL", None),
+    ),
+    (
+        [">(error): Could not expand [ 'Dist::Inkt::Profile::TOBYINK'"],
+        1,
+        lambda: P.MissingPerlModule.simple("Dist::Inkt::Profile::TOBYINK"),
+    ),
+    (
+        [
+            "String found where operator expected at Makefile.PL line 13, near \"author_tests 'xt'\"",
+            "\t(Do you need to predeclare author_tests?)",
+            "syntax error at Makefile.PL line 13, near \"author_tests 'xt'\"",
+            '"strict subs" in use at Makefile.PL line 13.',
+        ],
+        2,
+        lambda: P.MissingPerlPredeclared("author_tests"),
+    ),
+    (
+        ["String found where operator expected at Makefile.PL line 8, near \"readme_from    'lib/URL/Encode.pod'\""],
+        1,
+        lambda: P.MissingPerlPredeclared("readme_from"),
+    ),
+    (
+        ['Bareword "use_test_base" not allowed while "strict subs" in use at Makefile.PL line 12.'],
+        1,
+        lambda: P.MissingPerlPredeclared("use_test_base"),
+    ),
+    (
+        ['go: github.com/golangci/golangci-lint@v1.24.0: Get "https://proxy.golang.org/github.com/golangci/golangci-lint/@v/v1.24.0.mod": x509: certificate signed by unknown authority'],
+        1,
+        lambda: P.UnknownCertificateAuthority(
+            "https://proxy.golang.org/github.com/golangci/golangci-lint/@v/v1.24.0.mod"
+        ),
+    ),
+    (
+        ["/usr/bin/install: error writing '/<<PKGBUILDDIR>>/debian/tmp/usr/lib/gcc/x86_64-linux-gnu/8/cc1objplus': No space left on device"],
+        1,
+        lambda: P.NoSpaceOnDevice(),
+    ),
+    (
+        ["Required plugin bundle Dist::Zilla::PluginBundle::Git isn't installed."],
+        1,
+        lambda: P.MissingPerlModule.simple("Dist::Zilla::PluginBundle::Git"),
+    ),
+    (
+        ["Required plugin Dist::Zilla::Plugin::PPPort isn't installed."],
+        1,
+        lambda: P.MissingPerlModule.simple("Dist::Zilla::Plugin::PPPort"),
+    ),
+    (
+        ["error: Package `glib-2.0' not found in specified Vala API directories or GObject-Introspection GIR directories"],
+        1,
+        lambda: P.MissingValaPackage("glib-2.0"),
+    ),
+    (
+        ["ValueError: Namespace GnomeDesktop not available"],
+        1,
+        lambda: P.MissingIntrospectionTypelib("GnomeDesktop"),
+    ),
+    (
+        [
+            "checking for pkg-config... no",
+            "",
+            "*** Your version of pkg-config is too old. You need atleast",
+            "*** pkg-config 0.9.0 or newer. You can download pkg-config",
+            "*** from the freedesktop.org software repository at",
+            "***",
+            "***    https://www.freedesktop.org/wiki/Software/pkg-config/",
+            "***",
+        ],
+        4,
+        lambda: P.MissingVagueDependency("pkg-config", minimum_version="0.9.0"),
+    ),
+    (
+        ["> Kotlin could not find the required JDK tools in the Java installation '/usr/lib/jvm/java-8-openjdk-amd64/jre' used by Gradle. Make sure Gradle is running on a JDK, not JRE."],
+        1,
+        lambda: P.MissingJDK("/usr/lib/jvm/java-8-openjdk-amd64/jre"),
+    ),
+    (
+        ["Error: Cannot find module 'tape'"],
+        1,
+        lambda: P.MissingNodeModule("tape"),
+    ),
+    (
+        ["npm ERR! [!] Error: Cannot find module '@rollup/plugin-buble'"],
+        1,
+        lambda: P.MissingNodeModule("@rollup/plugin-buble"),
+    ),
+    (
+        ["npm ERR! Error: Cannot find module 'fs-extra'"],
+        1,
+        lambda: P.MissingNodeModule("fs-extra"),
+    ),
+    (
+        ["\x1b[1m\x1b[31m[!] \x1b[1mError: Cannot find module '@rollup/plugin-buble'"],
+        1,
+        lambda: P.MissingNodeModule("@rollup/plugin-buble"),
+    ),
 ]
+
+
+def test_boost_cmake_components():
+    lines = (
+        "CMake Error at /usr/share/cmake-3.18/Modules/FindPackageHandleStandardArgs.cmake:165 (message):\n"
+        "  Could NOT find Boost (missing: program_options filesystem system graph\n"
+        "  serialization iostreams) (found suitable version \"1.74.0\", minimum required\n"
+        "  is \"1.55.0\")\n"
+        "Call Stack (most recent call first):\n"
+        "  /usr/share/cmake-3.18/Modules/FindPackageHandleStandardArgs.cmake:458 (_FPHSA_FAILURE_MESSAGE)\n"
+        "  /usr/share/cmake-3.18/Modules/FindBoost.cmake:2177 (find_package_handle_standard_args)\n"
+        "  src/CMakeLists.txt:4 (find_package)\n"
+    ).splitlines(keepends=True)
+    match, problem = find_build_failure_description(lines)
+    assert match.lineno == 4
+    assert problem.kind == "missing-cmake-components"
+    assert problem.details == {
+        "name": "Boost",
+        "components": [
+            "program_options", "filesystem", "system", "graph",
+            "serialization", "iostreams",
+        ],
+    }
+
+
+def test_just_match_tranche4():
+    assert_just_match(
+        ["rspec ./spec/acceptance/cookbook_resource_spec.rb:20 # Client API operations downloading a cookbook when the cookbook of the name/version is found downloads the cookbook to the destination"],
+        1,
+    )
+    assert_just_match(
+        ["./dconf-paths.c:249: multiple definition of `dconf_is_rel_dir'; client/libdconf-client.a(dconf-paths.c.o):./obj-x86_64-linux-gnu/../common/dconf-paths.c:249: first defined here"],
+        1,
+    )
+    assert_just_match(
+        ["/usr/bin/ld: ../lib/libaxe.a(stream.c.o):(.bss+0x10): multiple definition of `gsl_message_mask'; ../lib/libaxe.a(error.c.o):(.bss+0x8): first defined here"],
+        1,
+    )
+    assert_just_match(
+        ["[ERROR] Failed to execute goal org.apache.maven.plugins:maven-jar-plugin:3.1.2:jar (default-jar) on project xslthl: Execution default-jar of goal org.apache.maven.plugins:maven-jar-plugin:3.1.2:jar failed: An API incompatibility was encountered while executing org.apache.maven.plugins:maven-jar-plugin:3.1.2:jar: java.lang.NoSuchMethodError: 'void org.codehaus.plexus.util.DirectoryScanner.setFilenameComparator(java.util.Comparator)'"],
+        1,
+    )
+    assert_just_match(
+        ['/bin/bash: line 3:  7392 Segmentation fault      itstool -m "${mo}" ${d}/C/index.docbook ${d}/C/legal.xml'],
+        1,
+    )
+    assert_just_match(
+        ["/<<PKGBUILDDIR>>/msgpack4nim.nim(470, 6) Error: usage of 'isNil' is a user-defined error"],
+        1,
+    )
+    assert_just_match(
+        ["core/src/main/scala/org/json4s/JsonFormat.scala:131: error: No JSON deserializer found for type List[T]. Try to implement an implicit Reader or JsonFormat for this type."],
+        1,
+    )
+    assert_just_match(
+        ["../src/Backend/FeedServer.vala:60.98-60.148: error: The name `COLLECTION_CREATE_NONE' does not exist in the context of `Secret.CollectionCreateFlags'"],
+        1,
+    )
+    assert_just_match(
+        ["✖ [31mERROR:[39m Cannot find module '/<<PKGBUILDDIR>>/test'"],
+        1,
+    )
+    assert_just_match(["FAIL\tgithub.com/edsrzf/mmap-go\t0.083s"], 1)
 
 
 @pytest.mark.parametrize("lines,lineno,expected", CASES, ids=lambda v: str(v)[:48])
