@@ -969,6 +969,314 @@ CASES = [
 ]
 
 
+TRANCHE5 = [
+    (
+        ["cdhit-common.h:39:9: fatal error: zlib.h: No such file or directory"],
+        1, lambda: P.MissingCHeader("zlib.h"),
+    ),
+    (
+        ["/<<PKGBUILDDIR>>/Kernel/Operation_Vector.cpp:15:10: fatal error: petscvec.h: No such file or directory"],
+        1, lambda: P.MissingCHeader("petscvec.h"),
+    ),
+    (
+        ["src/bubble.h:27:10: fatal error: DBlurEffectWidget: No such file or directory"],
+        1, lambda: P.MissingCHeader("DBlurEffectWidget"),
+    ),
+    (
+        ["> Could not find tools.jar. Please check that /usr/lib/jvm/java-8-openjdk-amd64 contains a valid JDK installation."],
+        1, lambda: P.MissingJDKFile("/usr/lib/jvm/java-8-openjdk-amd64", "tools.jar"),
+    ),
+    (
+        ["ImportError: No module named pytz"],
+        1, lambda: P.MissingPythonModule.simple("pytz"),
+    ),
+    (
+        ["ModuleNotFoundError: No module named 'django_crispy_forms'"],
+        1, lambda: P.MissingPythonModule("django_crispy_forms", 3, None),
+    ),
+    (
+        [" ModuleNotFoundError: No module named 'Cython'"],
+        1, lambda: P.MissingPythonModule("Cython", 3, None),
+    ),
+    (
+        ["E   ModuleNotFoundError: No module named 'twisted'"],
+        1, lambda: P.MissingPythonModule("twisted", 3, None),
+    ),
+    (
+        ["E   ImportError: cannot import name 'async_poller' from 'msrest.polling' (/usr/lib/python3/dist-packages/msrest/polling/__init__.py)"],
+        1, lambda: P.MissingPythonModule.simple("msrest.polling.async_poller"),
+    ),
+    (
+        ["/usr/bin/python3: No module named sphinx"],
+        1, lambda: P.MissingPythonModule("sphinx", 3, None),
+    ),
+    (
+        ["Could not import extension sphinx.ext.pngmath (exception: No module named pngmath)"],
+        1, lambda: P.MissingPythonModule.simple("pngmath"),
+    ),
+    (
+        ["/usr/bin/python3: Error while finding module specification for 'pep517.build' (ModuleNotFoundError: No module named 'pep517')"],
+        1, lambda: P.MissingPythonModule("pep517", 3, None),
+    ),
+    (
+        ['src/github.com/vuls/config/config.go:30:2: cannot find package "golang.org/x/xerrors" in any of:'],
+        1, lambda: P.MissingGoPackage("golang.org/x/xerrors"),
+    ),
+    (
+        ["[ERROR] LazyFont - Failed to read font file /usr/share/texlive/texmf-dist/fonts/opentype/public/stix2-otf/STIX2Math.otf <java.io.FileNotFoundException: /usr/share/texlive/texmf-dist/fonts/opentype/public/stix2-otf/STIX2Math.otf (No such file or directory)>java.io.FileNotFoundException: /usr/share/texlive/texmf-dist/fonts/opentype/public/stix2-otf/STIX2Math.otf (No such file or directory)"],
+        1, lambda: P.MissingFile("/usr/share/texlive/texmf-dist/fonts/opentype/public/stix2-otf/STIX2Math.otf"),
+    ),
+    (
+        ["! LaTeX Error: File `fancyvrb.sty' not found."],
+        1, lambda: P.MissingLatexFile("fancyvrb.sty"),
+    ),
+    (
+        ["E   ImportError: cannot import name cmod"],
+        1, lambda: P.MissingPythonModule.simple("cmod"),
+    ),
+    (
+        ["E   ImportError: No module named mock"],
+        1, lambda: P.MissingPythonModule.simple("mock"),
+    ),
+    (
+        ["pluggy.manager.PluginValidationError: Plugin 'xdist.looponfail' could not be loaded: (pytest 3.10.1 (/usr/lib/python2.7/dist-packages), Requirement.parse('pytest>=4.4.0'))!"],
+        1, lambda: P.MissingPythonModule("pytest", 2, "4.4.0"),
+    ),
+    (
+        ['ImportError: Error importing plugin "tests.plugins.mock_libudev": No module named mock'],
+        1, lambda: P.MissingPythonModule.simple("mock"),
+    ),
+    (
+        ["sed: can't read /etc/locale.gen: No such file or directory"],
+        1, lambda: P.MissingFile("/etc/locale.gen"),
+    ),
+    (
+        ["pytest: error: unrecognized arguments: --cov=janitor --cov-report=html --cov-report=term-missing:skip-covered"],
+        1,
+        lambda: P.UnsupportedPytestArguments(
+            ["--cov=janitor", "--cov-report=html", "--cov-report=term-missing:skip-covered"]
+        ),
+    ),
+    (
+        ["INTERNALERROR> pytest.PytestConfigWarning: Unknown config option: asyncio_mode"],
+        1, lambda: P.UnsupportedPytestConfigOption("asyncio_mode"),
+    ),
+    (
+        ["  /usr/lib/python3/dist-packages/_pytest/config/__init__.py:1148: PytestConfigWarning: Unknown config ini key: pep8maxlinelength"],
+        1, lambda: P.UnsupportedPytestConfigOption("pep8maxlinelength"),
+    ),
+    (
+        ["distutils.errors.DistutilsError: Could not find suitable distribution for Requirement.parse('pytest-runner')"],
+        1, lambda: P.MissingPythonDistribution.simple("pytest-runner"),
+    ),
+    (
+        ["distutils.errors.DistutilsError: Could not find suitable distribution for Requirement.parse('certifi>=2019.3.9')"],
+        1, lambda: P.MissingPythonDistribution("certifi", None, "2019.3.9"),
+    ),
+    (
+        ["error: Could not find suitable distribution for Requirement.parse('gitlab')"],
+        1, lambda: P.MissingPythonDistribution.simple("gitlab"),
+    ),
+    (
+        ["pkg_resources.DistributionNotFound: The 'configparser>=3.5' distribution was not found and is required by importlib-metadata"],
+        1, lambda: P.MissingPythonDistribution("configparser", None, "3.5"),
+    ),
+    (
+        ["error: Command '['/usr/bin/python3.9', '-m', 'pip', '--disable-pip-version-check', 'wheel', '--no-deps', '-w', '/tmp/tmp973_8lhm', '--quiet', 'asynctest']' returned non-zero exit status 1."],
+        1, lambda: P.MissingPythonDistribution("asynctest", 3, None),
+    ),
+    (
+        [
+            "CMake Error at CMakeLists.txt:84 (MESSAGE):",
+            "  alut not found",
+        ],
+        2, lambda: P.MissingVagueDependency.simple("alut"),
+    ),
+    (
+        [
+            "CMake Error at CMakeLists.txt:213 (message):",
+            "  could not find zlib",
+        ],
+        2, lambda: P.MissingVagueDependency.simple("zlib"),
+    ),
+]
+CASES.extend(TRANCHE5)
+
+
+def test_setup_py_command_missing():
+    lines = (
+        "/usr/lib/python3.9/distutils/dist.py:274: UserWarning: Unknown distribution option: 'long_description_content_type'\n"
+        "  warnings.warn(msg)\n"
+        "/usr/lib/python3.9/distutils/dist.py:274: UserWarning: Unknown distribution option: 'test_suite'\n"
+        "  warnings.warn(msg)\n"
+        "/usr/lib/python3.9/distutils/dist.py:274: UserWarning: Unknown distribution option: 'python_requires'\n"
+        "  warnings.warn(msg)\n"
+        "usage: setup.py [global_opts] cmd1 [cmd1_opts] [cmd2 [cmd2_opts] ...]\n"
+        "   or: setup.py --help [cmd1 cmd2 ...]\n"
+        "   or: setup.py --help-commands\n"
+        "   or: setup.py cmd --help\n"
+        "\n"
+        "error: invalid command 'test'\n"
+    ).splitlines(keepends=True)
+    match, problem = find_build_failure_description(lines)
+    assert match.lineno == 12
+    assert problem.kind == "missing-setup.py-command"
+    assert problem.details == {"command": "test"}
+
+
+def test_cmake_imported_target_missing_file():
+    lines = (
+        'CMake Error at /usr/lib/x86_64-/cmake/Qt5Gui/Qt5GuiConfig.cmake:27 (message):\n'
+        '  The imported target "Qt5::Gui" references the file\n'
+        "\n"
+        '     "/usr/lib/x86_64-linux-gnu/libEGL.so"\n'
+        "\n"
+        "  but this file does not exist.  Possible reasons include:\n"
+        "\n"
+        "  * The file was deleted, renamed, or moved to another location.\n"
+        "\n"
+        "  * An install or uninstall procedure did not complete successfully.\n"
+        "\n"
+        "  * The installation package was faulty and contained\n"
+        "\n"
+        '     "/usr/lib/x86_64-linux-gnu/cmake/Qt5Gui/Qt5GuiConfigExtras.cmake"\n'
+        "\n"
+        "  but not all the files it references.\n"
+        "\n"
+        "Call Stack (most recent call first):\n"
+        "  CMakeLists.txt:34 (find_package)\n"
+        "dh_auto_configure: cd obj-x86_64-linux-gnu && cmake with args\n"
+    ).splitlines(keepends=True)
+    match, problem = find_build_failure_description(lines)
+    assert problem is not None
+    assert problem.kind == "missing-file"
+    assert problem.details == {"path": "/usr/lib/x86_64-linux-gnu/libEGL.so"}
+
+
+def test_cmake_missing_include():
+    lines = (
+        "-- Performing Test _OFFT_IS_64BIT\n"
+        "-- Performing Test _OFFT_IS_64BIT - Success\n"
+        "-- Performing Test HAVE_DATE_TIME\n"
+        "-- Performing Test HAVE_DATE_TIME - Success\n"
+        "CMake Error at CMakeLists.txt:43 (include):\n"
+        "  include could not find load file:\n"
+        "\n"
+        "    KDEGitCommitHooks\n"
+        "\n"
+        "\n"
+        '-- Found KF5Activities: /usr/lib/x86_64-linux-gnu/cmake/KF5Activities/KF5ActivitiesConfig.cmake (found version "5.78.0") \n'
+        '-- Found KF5Config: /usr/lib/x86_64-linux-gnu/cmake/KF5Config/KF5ConfigConfig.cmake (found version "5.78.0") \n'
+    ).splitlines(keepends=True)
+    match, problem = find_build_failure_description(lines)
+    assert match.lineno == 8
+    assert problem.kind == "missing-cmake-files"
+    assert problem.details == {"filenames": ["KDEGitCommitHooks.cmake"], "version": None}
+
+
+def test_cmake_missing_cmake_files():
+    lines = (
+        "CMake Error at /usr/share/cmake-3.22/Modules/FindPackageHandleStandardArgs.cmake:230 (message):\n"
+        '  Could not find a package configuration file provided by "sensor_msgs" with\n'
+        "  any of the following names:\n"
+        "\n"
+        "    sensor_msgsConfig.cmake\n"
+        "    sensor_msgs-config.cmake\n"
+        "\n"
+        '  Add the installation prefix of "sensor_msgs" to CMAKE_PREFIX_PATH or set\n'
+        '  "sensor_msgs_DIR" to a directory containing one of the above files.  If\n'
+        '  "sensor_msgs" provides a separate development package or SDK, be sure it\n'
+        "  has been installed.\n"
+        "dh_auto_configure: cd obj-x86_64-linux-gnu && cmake with args\n"
+    ).splitlines(keepends=True)
+    match, problem = find_build_failure_description(lines)
+    assert match.lineno == 11
+    assert problem.kind == "missing-cmake-files"
+    assert problem.details == {
+        "filenames": ["sensor_msgsConfig.cmake", "sensor_msgs-config.cmake"],
+        "version": None,
+    }
+
+
+def test_cmake_exact_version():
+    lines = (
+        "CMake Error at /usr/share/cmake-3.18/Modules/FindPackageHandleStandardArgs.cmake:165 (message):\n"
+        '  Could NOT find SignalProtocol: Found unsuitable version "2.3.3", but\n'
+        '  required is exact version "2.3.2" (found\n'
+        "  /usr/lib/x86_64-linux-gnu/libsignal-protocol-c.so)\n"
+    ).splitlines(keepends=True)
+    match, problem = find_build_failure_description(lines)
+    assert match.lineno == 4
+    assert problem.kind == "cmake-exact-version-missing"
+    assert problem.details == {
+        "package": "SignalProtocol",
+        "version_found": "2.3.3",
+        "exact_version_needed": "2.3.2",
+        "path": "/usr/lib/x86_64-linux-gnu/libsignal-protocol-c.so",
+    }
+
+
+def test_cmake_vague_gpgme():
+    lines = (
+        "-- Found LibSolv_ext: /usr/lib/x86_64-linux-gnu/libsolvext.so  \n"
+        "-- Found LibSolv: /usr/include /usr/lib/x86_64-linux-gnu/libsolv.so;/usr/lib/x86_64-linux-gnu/libsolvext.so\n"
+        "-- No usable gpgme flavours found.\n"
+        "CMake Error at cmake/modules/FindGpgme.cmake:398 (message):\n"
+        "  Did not find GPGME\n"
+        "Call Stack (most recent call first):\n"
+        "  CMakeLists.txt:223 (FIND_PACKAGE)\n"
+    ).splitlines(keepends=True)
+    match, problem = find_build_failure_description(lines)
+    assert match.lineno == 5
+    assert problem.kind == "missing-vague-dependency"
+    assert problem.details["name"] == "GPGME"
+
+
+def test_secondary_regressions():
+    from buildlog_consultant_spark.engine.core import find_secondary_build_failure
+
+    assert find_secondary_build_failure(["Unknown option --foo"], 10) is not None
+    assert find_secondary_build_failure(["Unknown option --foo, ignoring."], 10) is None
+    # `E: ` anchored (src/common.rs:5754-5758)
+    assert find_secondary_build_failure(["RECOMPILE: main.cc"], 10) is None
+    assert find_secondary_build_failure(["E: Build failed"], 10) is not None
+    # long line handled gracefully (src/common.rs:5909-5927)
+    long_line = "error: " + "a" * 5000
+    find_secondary_build_failure([long_line], 1)
+    assert find_secondary_build_failure(["Unknown option --foo"], 1) is not None
+
+
+def test_chown_regressions():
+    lines = [
+        "chmod 4755 debian/tcptraceroute/usr/bin/tcptraceroute.mt",
+        "chown root:root debian/tcptraceroute/usr/bin/tcptraceroute.mt",
+        "chown: changing ownership of 'debian/tcptraceroute/usr/bin/tcptraceroute.mt': Operation not permitted",
+        "make[1]: *** [debian/rules:23: override_dh_auto_install] Error 1",
+    ]
+    m, err = find_build_failure_description(lines)
+    assert err is None
+    assert m.line == lines[2]
+    lines = [
+        "INSTALL bin/physlock",
+        "install: cannot change ownership of '/build/reproducible-path/physlock-13/debian/physlock/usr/bin/physlock': Operation not permitted",
+        "make[2]: *** [Makefile:55: install] Error 1",
+    ]
+    m, err = find_build_failure_description(lines)
+    assert err is None
+    assert m.line == lines[1]
+
+
+def test_arch_prefixed_ld_fpic():
+    lines = [
+        "/usr/bin/x86_64-linux-gnu-ld.bfd: build/dpiGlobal.o: relocation R_X86_64_PC32 against symbol `dpiDebugLevel' can not be used when making a shared object; recompile with -fPIC",
+        "/usr/bin/x86_64-linux-gnu-ld.bfd: final link failed: bad value",
+        "collect2: error: ld returned 1 exit status",
+    ]
+    m, err = find_build_failure_description(lines)
+    assert err is None
+    assert m.line == lines[0]
+
+
 def test_boost_cmake_components():
     lines = (
         "CMake Error at /usr/share/cmake-3.18/Modules/FindPackageHandleStandardArgs.cmake:165 (message):\n"
