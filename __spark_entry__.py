@@ -318,10 +318,32 @@ FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10
 
 
 def q_minhash_near_dups(spark, sf_dir):
-    """MinHash+LSH candidate near-dup pairs (non-SQL-expressible in a
-    reasonable oracle — driver records rows-only)."""
+    """MinHash+LSH candidate near-dup pairs. md5-based shingle hashes make the
+    identical computation expressible in DuckDB list SQL — an exact oracle for
+    a near-dup operator."""
     d = _docs(spark, sf_dir)
     return dedup_ops.minhash_near_dup_pairs(d, bands=8, k=3, min_shared_bands=2)
+
+
+ORACLE_MINHASH = r"""
+WITH norm AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_transform(range(0, greatest(len(w) - 3, 0) + 1),
+                        i -> array_to_string(w[i+1:i+3], ' ')) AS shingles
+  FROM norm
+), sigs AS (
+  SELECT doc_id, b.band,
+         list_aggregate(list_transform(shingles, s -> md5(b.band || '|' || s)), 'min') AS sig
+  FROM sh, (SELECT unnest(range(0, 8)) AS band) b
+)
+SELECT a.doc_id AS id_a, c.doc_id AS id_b, COUNT(*) AS shared_bands
+FROM sigs a JOIN sigs c ON a.band = c.band AND a.sig = c.sig AND a.doc_id < c.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= 2
+"""
 
 
 def q_simhash(spark, sf_dir):
@@ -386,5 +408,6 @@ def oracle_sql() -> dict[str, str]:
         "q1_lineitem": ORACLE_Q1,
         "top_customers": ORACLE_TOP_CUSTOMERS,
         "ann_topk": ORACLE_ANN_TOPK,
-        # minhash_near_dups / simhash: non-SQL-expressible → rows-only
+        "minhash_near_dups": ORACLE_MINHASH,
+        # simhash: xxhash64 has no DuckDB equivalent → rows-only
     }

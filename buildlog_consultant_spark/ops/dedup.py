@@ -52,15 +52,16 @@ def minhash_signatures(
     """(id, band, sig): per band b, sig = min over shingles of md5(b || '|' || shingle)."""
     sh = _shingles(text_col, k).alias("shingles")
     base = df.select(F.col(id_col).alias("id"), sh)
-    band_cols = [
-        F.array_min(
-            F.transform(
-                F.col("shingles"),
-                lambda s, b=b: F.md5(F.concat(F.lit(f"{b}|"), s)),
-            )
-        ).alias(f"sig_{b}")
-        for b in range(bands)
-    ]
+
+    def band_sig(b: int):
+        # NB: the transform lambda must take exactly one parameter — a second
+        # parameter would be bound to the element index by Spark
+        def hash_shingle(s):
+            return F.md5(F.concat(F.lit(f"{b}|"), s))
+
+        return F.array_min(F.transform(F.col("shingles"), hash_shingle))
+
+    band_cols = [band_sig(b).alias(f"sig_{b}") for b in range(bands)]
     wide = base.select("id", *band_cols)
     stack_expr = ", ".join(f"{b}, sig_{b}" for b in range(bands))
     return wide.selectExpr(
