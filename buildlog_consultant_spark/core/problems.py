@@ -297,6 +297,26 @@ AutopkgtestTestbedSetupFailure = _pt("testbed-setup-failure", "command", "exit_s
 
 # ---- special constructors ----------------------------------------------------
 
+def problem_from_json(kind: str, details: Any) -> Problem:
+    """Reconstruct a Problem from its serialized (kind, details) form
+    (reference: problem_from_json registry dispatch,
+    /root/reference/src/problem.rs:25-111, incl. legacy shapes where a bare
+    string/array stands in for the canonical single-field object,
+    src/problem.rs:280-297)."""
+    if kind not in KIND_REGISTRY:
+        raise KeyError(f"unknown problem kind: {kind}")
+    fields = KIND_REGISTRY[kind]
+    if fields is None:
+        return Problem(kind, None, kind == "no-space-on-device")
+    if details is None:
+        details = {}
+    if not isinstance(details, dict):
+        # legacy bare value: assign to the first registered field
+        details = {fields[0]: details} if fields else {}
+    full = {f: details.get(f) for f in fields}
+    return Problem(kind, full, kind == "no-space-on-device")
+
+
 # MissingPerlModule::simple sets *module* (the 2nd field), not filename
 # (/root/reference/src/problems/common.rs — `simple(module)`).
 MissingPerlModule.simple = lambda module: MissingPerlModule(module=module)  # type: ignore[method-assign]

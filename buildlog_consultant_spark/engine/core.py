@@ -84,6 +84,22 @@ def find_secondary_build_failure(
     return None
 
 
+def highlight_lines(lines: Sequence[str], match: Match, context: int = 5) -> list[str]:
+    """Context printer (reference src/lib.rs:550-571): matched lines prefixed
+    with '>' ± context. Debug/notebook helper — returns the rendered lines."""
+    out = []
+    if len(match.linenos) == 1:
+        out.append(f"Issue found at line {match.lineno}:")
+    else:
+        out.append(f"Issue found at lines {match.linenos[0]}-{match.linenos[-1]}:")
+    start = max(0, match.offsets[0] - context)
+    end = min(len(lines), match.offsets[-1] + context + 1)
+    for i in range(start, end):
+        marker = ">" if i in match.offsets else " "
+        out.append(f" {marker}  {lines[i].rstrip(chr(10))}")
+    return out
+
+
 _CMAKE_COULD_NOT_FIND = re.compile(r"  Could NOT find (.*) \(missing: .*\)")
 _CMAKE_IMPORTED_TARGET = re.compile(r'\s*The imported target "(.*)" references the file')
 _CMAKE_FILE_ENTRY = re.compile(r'\s*"(.*)"')

@@ -48,6 +48,45 @@ def test_explicit_nulls():
     }
 
 
+def test_problem_from_json_round_trip():
+    # mirrors src/problem.rs:122-129 round-trip tests over a sample of kinds
+    from buildlog_consultant_spark.core.problems import problem_from_json
+
+    samples = [
+        P.MissingFile("/x"),
+        P.MissingPythonModule("numpy", 3, "1.2"),
+        P.MissingMakeTarget("all", None),
+        P.NoSpaceOnDevice(),
+        P.DpkgSourceUnrepresentableChanges(),
+        P.AutopkgtestDepsUnsatisfiable([["deb", "x"], [None, "y"]]),
+        P.UnsatisfiedAptDependencies("a (>= 1)"),
+    ]
+    for p in samples:
+        q = problem_from_json(p.kind, json.loads(p.details_json()) if p.details is not None else None)
+        assert q == p, (p.kind, q.details, p.details)
+        assert q.is_universal == p.is_universal
+    # legacy bare-value shape (src/problem.rs:280-297)
+    q = problem_from_json("command-missing", "gcc")
+    assert q.details == {"command": "gcc"}
+    import pytest
+
+    with pytest.raises(KeyError):
+        problem_from_json("not-a-kind", {})
+
+
+def test_highlight_lines():
+    from buildlog_consultant_spark.engine.core import (
+        find_build_failure_description,
+        highlight_lines,
+    )
+
+    lines = ["a", "b", "ModuleNotFoundError: No module named 'x'", "c"]
+    m, _ = find_build_failure_description(lines)
+    out = highlight_lines(lines, m, context=1)
+    assert out[0] == "Issue found at line 3:"
+    assert any(l.startswith(" >  ") for l in out)
+
+
 def test_requirement_parse():
     p = P.python_distribution_from_requirement("foo>=1.2")
     assert p.details == {"distribution": "foo", "python_version": None, "minimum_version": "1.2"}
