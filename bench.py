@@ -109,7 +109,9 @@ def run_queries(spark, sf_dir: str) -> dict:
 def session(master: str):
     from buildlog_consultant_spark.spark import get_spark
 
-    return get_spark(master, app_name=f"bench-{master}")
+    # small read splits → uniform task sizes at every core count (at crawl
+    # scale this is the per-job equivalent of files.maxPartitionBytes tuning)
+    return get_spark(master, app_name=f"bench-{master}", max_partition_bytes="8m")
 
 
 def main():

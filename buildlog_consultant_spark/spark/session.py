@@ -19,6 +19,7 @@ def get_spark(
     master: str | None = None,
     app_name: str = "buildlog-consultant-spark",
     shuffle_partitions: int | None = None,
+    max_partition_bytes: str | None = None,
 ) -> SparkSession:
     master = master or os.environ.get("SPARK_MASTER", "local[*]")
     if shuffle_partitions is None:
@@ -39,4 +40,6 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    if max_partition_bytes:
+        builder = builder.config("spark.sql.files.maxPartitionBytes", max_partition_bytes)
     return builder.getOrCreate()
