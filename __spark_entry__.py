@@ -346,6 +346,61 @@ GROUP BY 1, 2 HAVING COUNT(*) >= 2
 """
 
 
+def q_lang_guess(spark, sf_dir):
+    """Stopword-hit language-ID over documents, counted per (actual, guessed)."""
+    d = text_ops.with_lang_guess(_docs(spark, sf_dir))
+    return d.groupBy("lang", "lang_guess").agg(F.count("*").alias("n"))
+
+
+ORACLE_LANG_GUESS = r"""
+WITH scored AS (
+  SELECT lang,
+         greatest(
+           printf('%010d', regexp_extract_all(lower(text), '\b(der|und|die|das|ist)\b').len()) || 'de',
+           printf('%010d', regexp_extract_all(lower(text), '\b(the|and|of|to|in)\b').len()) || 'en',
+           printf('%010d', regexp_extract_all(lower(text), '\b(el|de|la|que|los)\b').len()) || 'es',
+           printf('%010d', regexp_extract_all(lower(text), '\b(le|la|et|les|des)\b').len()) || 'fr',
+           printf('%010d', regexp_extract_all(lower(text), '\b(de|que|em|para|com)\b').len()) || 'pt'
+         ) AS best
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN CAST(best[1:10] AS BIGINT) > 0 THEN best[11:12] ELSE 'und' END AS lang_guess,
+       COUNT(*) AS n
+FROM scored GROUP BY 1, 2
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard between documents 0 and 1 (ppm integer)."""
+    d = _docs(spark, sf_dir)
+    return dedup_ops.ngram_jaccard(d, 0, 1)
+
+
+ORACLE_NGRAM_JACCARD = r"""
+WITH norm AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents WHERE doc_id IN (0, 1)
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(0, greatest(len(w) - 3, 0) + 1),
+                        i -> array_to_string(w[i+1:i+3], ' '))) AS s
+  FROM norm
+)
+SELECT CAST(len(list_intersect(a.s, b.s)) * 1000000 /
+            len(list_distinct(list_concat(a.s, b.s))) AS BIGINT) AS jaccard_ppm
+FROM sh a, sh b WHERE a.doc_id = 0 AND b.doc_id = 1
+"""
+
+
+def q_ann_topk_lsh(spark, sf_dir):
+    """Approximate top-k via hyperplane-LSH bucket restriction (rows-only:
+    the deterministic plane derivation is not reasonably SQL-expressible)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return sim_ops.ann_topk_lsh(emb, query_vec_id=0, k=10, n_planes=6)
+
+
 def q_simhash(spark, sf_dir):
     """SimHash signatures for the first 500 docs (rows-only check)."""
     d = _docs(spark, sf_dir).where(F.col("doc_id") < 500)
@@ -389,7 +444,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_lineitem": q_q1_lineitem,
         "top_customers": q_top_customers,
         "ann_topk": q_ann_topk,
+        "ann_topk_lsh": q_ann_topk_lsh,
         "minhash_near_dups": q_minhash_near_dups,
+        "lang_guess": q_lang_guess,
+        "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
     }
 
@@ -409,5 +467,8 @@ def oracle_sql() -> dict[str, str]:
         "top_customers": ORACLE_TOP_CUSTOMERS,
         "ann_topk": ORACLE_ANN_TOPK,
         "minhash_near_dups": ORACLE_MINHASH,
-        # simhash: xxhash64 has no DuckDB equivalent → rows-only
+        "lang_guess": ORACLE_LANG_GUESS,
+        "ngram_jaccard": ORACLE_NGRAM_JACCARD,
+        # simhash / ann_topk_lsh: xxhash64 / plane derivation have no DuckDB
+        # equivalent → rows-only
     }

@@ -78,11 +78,12 @@ def hyperplane_buckets(
 
     bucket = F.lit(0).cast("long")
     for b in range(n_planes):
-        plane = [plane_component(b, i) for i in range(dim)]
-        dot = None
-        for i, w in enumerate(plane):
-            term = F.element_at(v, i + 1) * F.lit(w)
-            dot = term if dot is None else dot + term
+        plane = F.array(*[F.lit(plane_component(b, i)) for i in range(dim)])
+        dot = F.aggregate(
+            F.zip_with(v, plane, lambda x, w: x * w),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
         bit = F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
             F.lit(0).cast("long")
         )

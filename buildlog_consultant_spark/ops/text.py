@@ -56,13 +56,14 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def with_lang_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-hit lang-ID: the language with the most stopword occurrences
-    (ties broken by language code order; 'und' when no hits). Pure built-ins:
-    one regexp count per language over a lowercased copy."""
+    ('und' when no hits; ties resolved to the lexicographically greatest code
+    — struct greatest semantics, identical in DuckDB for the oracle). Pure
+    built-ins: one regexp_count per language over a lowercased copy."""
     t = F.lower(F.col(text_col))
     scores = []
     for lang in sorted(STOPWORDS):
         pat = r"\b(" + "|".join(STOPWORDS[lang]) + r")\b"
-        hits = F.size(F.split(t, pat)) - 1
+        hits = F.regexp_count(t, F.lit(pat))
         scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
     best = F.greatest(*scores)
     return df.withColumn(
