@@ -1,0 +1,79 @@
+"""Physical-plan audits: the properties that make the pipeline viable at
+100 TB must be visible in the executed plan, not just intended."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from buildlog_consultant_spark import fixtures
+from buildlog_consultant_spark.spark import get_spark
+from buildlog_consultant_spark.spark.classify import classify_documents
+from buildlog_consultant_spark.spark.enrich import enrich_with_remediation
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_spark("local[4]", app_name="plan-tests")
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="module")
+def pages_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("pages") / "pages")
+    fixtures.pages_df(spark, 50, partitions=2).write.parquet(p)
+    return p
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_html_column_pruned_from_scan(spark, pages_path):
+    """The bulky html column must never leave the parquet scan when the
+    pipeline only needs (url, text, lang)."""
+    pages = spark.read.parquet(pages_path)
+    classified = classify_documents(pages, text_col="text", keep_cols=("url", "lang"))
+    plan = _plan(classified)
+    scan = [l for l in plan.splitlines() if "FileScan" in l or "ReadSchema" in l]
+    assert scan, plan
+    assert "html" not in " ".join(scan), " ".join(scan)[:500]
+
+
+def test_filter_pushed_to_scan(spark, pages_path):
+    pages = spark.read.parquet(pages_path).where(F.col("lang") == "en")
+    plan = _plan(pages)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan or (
+        "PushedFilters" in plan and "EqualTo(lang,en)" in plan
+    ), plan[:1500]
+
+
+def test_enrich_is_broadcast_join(spark, pages_path):
+    pages = spark.read.parquet(pages_path)
+    enriched = enrich_with_remediation(
+        classify_documents(pages, text_col="text", keep_cols=("url", "lang"))
+    )
+    plan = _plan(enriched)
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "SortMergeJoin" not in plan
+
+
+def test_aggregate_is_partial_final_hash(spark, pages_path):
+    pages = spark.read.parquet(pages_path)
+    agg = (
+        classify_documents(pages, text_col="text", keep_cols=("url", "lang"))
+        .groupBy("problem_kind", "lang")
+        .count()
+    )
+    plan = _plan(agg)
+    # two HashAggregate nodes = map-side partial + final
+    assert plan.count("HashAggregate") >= 2, plan[:1500]
+
+
+def test_topk_uses_take_ordered(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(20)], "vec_id long, embedding array<double>"
+    )
+    from buildlog_consultant_spark.ops.similarity import cosine_topk
+
+    plan = _plan(cosine_topk(emb, 0, k=5))
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
