@@ -32,6 +32,29 @@ from buildlog_consultant_spark.spark.enrich import (
 
 FIXN = 240  # fixture corpus size for the classify correctness queries
 
+_REPO_DIR = Path(__file__).resolve().parent
+_shipped_sessions: set[str] = set()
+
+
+def _ensure_pkg_shipped(spark: SparkSession) -> None:
+    """Ship the package zip to executors (addPyFile) so the classify UDF's
+    imports resolve regardless of the harness's working directory."""
+    key = spark.sparkContext.applicationId
+    if key in _shipped_sessions:
+        return
+    import os
+    import tempfile
+    import zipfile
+
+    fd, zpath = tempfile.mkstemp(suffix=".zip", prefix="blc_pkg_")
+    os.close(fd)
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+        pkg_root = _REPO_DIR / "buildlog_consultant_spark"
+        for p in pkg_root.rglob("*.py"):
+            zf.write(p, p.relative_to(_REPO_DIR))
+    spark.sparkContext.addPyFile(zpath)
+    _shipped_sessions.add(key)
+
 
 def _sql_lit(v) -> str:
     if v is None:
@@ -57,6 +80,7 @@ def _values_oracle(rows: list[tuple], cols: list[str]) -> str:
 
 
 def _fixture_classified(spark: SparkSession) -> DataFrame:
+    _ensure_pkg_shipped(spark)
     pages = fixtures.pages_df(spark, FIXN)
     return classify_documents(pages, text_col="text", keep_cols=("url", "lang"))
 
@@ -416,6 +440,7 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: parse→classify→enrich→aggregate over the sf0.001 documents
     (the majority no-match class) unioned with the fixture pages corpus (the
     log-bearing class), exercising every pipeline stage."""
+    _ensure_pkg_shipped(spark)
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     pages = docs.select(
         F.col("doc_id").cast("string").alias("url"),
