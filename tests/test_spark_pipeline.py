@@ -154,6 +154,38 @@ def test_dedup_ops(spark):
     assert deduped.count() == n_groups <= n_docs
 
 
+def test_salted_fanout_spreads_hot_kind(spark):
+    """Skew evidence: the dominant problem_kind must land in more than one
+    task after the salted repartition (missing-python-module is ~18% of the
+    corpus by construction — unsalted it would hotspot one partition)."""
+    from buildlog_consultant_spark.spark.pipeline import route_fanout  # noqa: F401
+
+    # AQE's partition coalescing folds this tiny test shuffle into one
+    # partition (its 64MB bin target >> the whole corpus); disable it here —
+    # at real scale the bins preserve the salted spread.
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        pages = fixtures.pages_df(spark, 400, partitions=4)
+        enriched = classify_and_enrich(pages)
+        salted = enriched.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col("url")), F.lit(8))
+        )
+        sink_key = F.coalesce(F.col("problem_kind"), F.lit("__unmatched__"))
+        spread = (
+            salted.withColumn("sink_kind", sink_key)
+            .repartition(F.col("sink_kind"), F.col("_salt"))
+            .withColumn("pid", F.spark_partition_id())
+            .groupBy("sink_kind")
+            .agg(F.countDistinct("pid").alias("n_partitions"), F.count("*").alias("n"))
+            .collect()
+        )
+        hot = {r.sink_kind: r for r in spread}["missing-python-module"]
+        assert hot.n > 30
+        assert hot.n_partitions > 1, spread
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+
+
 def test_lang_guess(spark):
     from buildlog_consultant_spark.ops.text import with_lang_guess
 
