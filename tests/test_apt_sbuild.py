@@ -133,6 +133,67 @@ def test_copy_extracted_no_space():
     assert problem.kind == "no-space-on-device"
 
 
+def test_generic_no_space():
+    match, problem = find_apt_get_failure(
+        [
+            "some text before",
+            " /var/cache/apt/archives/hello_2.10-2_amd64.deb: No space left on device",
+            "some text after",
+        ]
+    )
+    assert problem.kind == "no-space-on-device"
+
+
+def test_error_from_dose3_reports_cases():
+    # missing-dependency case (src/apt.rs:614-640)
+    missing = [{
+        "package": "sbuild-build-depends-main-dummy",
+        "version": "0.invalid.0",
+        "architecture": "amd64",
+        "status": "broken",
+        "reasons": [{"missing": {"pkg": {"unsat-dependency": "libfoo (>= 1.0)"}}}],
+    }]
+    p = error_from_dose3_reports(missing)
+    assert p.kind == "unsatisfied-apt-dependencies"
+    assert p.details == {"relations": "libfoo (>= 1.0)"}
+    # conflict case
+    conflict = [{
+        "package": "sbuild-build-depends-main-dummy",
+        "version": "0.invalid.0",
+        "architecture": "amd64",
+        "status": "broken",
+        "reasons": [{"conflict": {"pkg1": {"unsat-conflict": "libbar (>= 2.0)"}}}],
+    }]
+    p = error_from_dose3_reports(conflict)
+    assert p.kind == "unsatisfied-apt-conflicts"
+    assert p.details == {"relations": "libbar (>= 2.0)"}
+    # empty reasons → no problem
+    ok = [{
+        "package": "sbuild-build-depends-main-dummy",
+        "status": "broken",
+        "reasons": [],
+    }]
+    assert error_from_dose3_reports(ok) is None
+
+
+def test_cudf_full_struct():
+    # src/apt.rs:577-611 full parsed structure
+    log = open(f"{FIXTURES}/sbuild-cudf.log").read()
+    sl = parse_sbuild_log(log)
+    offsets, doc = find_cudf_output(sl.sections[0].lines)
+    assert offsets == list(range(104, 120))
+    assert doc["native-architecture"] == "amd64"
+    rep = doc["report"][0]
+    assert rep["architecture"] == "amd64"
+    assert str(rep["version"]) == "0.invalid.0"
+    assert rep["status"] == "broken"
+    reason = rep["reasons"][0]
+    assert reason["missing"]["pkg"]["unsat-dependency"] == (
+        "librust-breezyshim+dirty-tracker-dev:amd64 (>= 0.1.138-~~)"
+    )
+    assert reason.get("conflict") is None
+
+
 # ---- golden fixture logs ----------------------------------------------------
 
 

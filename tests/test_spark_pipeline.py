@@ -154,6 +154,32 @@ def test_dedup_ops(spark):
     assert deduped.count() == n_groups <= n_docs
 
 
+def test_details_json_survives_write_read(spark, enriched, tmp_path):
+    """North-rule invariant: the details JSON column round-trips through the
+    sink byte-identically (kind registry note in SURVEY §1)."""
+    out = str(tmp_path / "roundtrip")
+    src = enriched.where(F.col("details").isNotNull()).select("url", "details")
+    src.write.parquet(out)
+    back = spark.read.parquet(out)
+    before = {r.url: r.details for r in src.collect()}
+    after = {r.url: r.details for r in back.collect()}
+    assert before == after and len(before) > 50
+    # and each payload reconstructs to an equal Problem
+    import json
+
+    from buildlog_consultant_spark.core.problems import canonical_json, problem_from_json
+
+    kinds = {
+        r.url: r.problem_kind
+        for r in enriched.where(F.col("details").isNotNull())
+        .select("url", "problem_kind")
+        .collect()
+    }
+    for url, details in list(before.items())[:50]:
+        p = problem_from_json(kinds[url], json.loads(details))
+        assert canonical_json(p.details) == details
+
+
 def test_salted_fanout_spreads_hot_kind(spark):
     """Skew evidence: the dominant problem_kind must land in more than one
     task after the salted repartition (missing-python-module is ~18% of the
