@@ -260,6 +260,75 @@ def _fam_sbuild_build(i: int):
     }
 
 
+def _fam_sbuild_cudf(i: int):
+    """sbuild container whose install-deps stage fails with a dose3 CUDF
+    block (cf. /root/reference/src/testdata/sbuild-cudf.log,
+    src/apt.rs:282-355)."""
+    sep = "+" + "-" * 78 + "+"
+    dep = f"librust-dep{i % 5}-dev:amd64 (>= 0.{i % 9}.1-~~)"
+    section_body = [
+        "Attempting to resolve dependencies...",
+        "output-version: 1.2",
+        "native-architecture: amd64",
+        "report:",
+        " -",
+        "  package: sbuild-build-depends-main-dummy",
+        "  version: 0.invalid.0",
+        "  architecture: amd64",
+        "  status: broken",
+        "  reasons:",
+        "   -",
+        "    missing:",
+        "     pkg:",
+        "      package: sbuild-build-depends-main-dummy",
+        "      version: 0.invalid.0",
+        "      architecture: amd64",
+        f"      unsat-dependency: {dep}",
+        "",
+        "after the block",
+    ]
+    title = "install dose3 build dependencies (aspcud-based resolver)"
+    header = f"| {title}" + " " * max(1, 77 - len(title) - 2) + "|"
+    lines = (
+        ["preamble"]
+        + [sep, header, sep]
+        + section_body
+        + [sep, "| Summary" + " " * 69 + "|", sep]
+        + ["Fail-Stage: install-deps"]
+    )
+    # CUDF block: section lines idx 1..16 (0-based); MultiLineMatch lineno =
+    # last offset + 1 = 17 within the section; section begin_offset = 4
+    return lines, {
+        "problem_kind": "unsatisfied-apt-dependencies",
+        "match_line": f"      unsat-dependency: {dep}",
+        "details": {"relations": dep},
+        "stage": "install-deps",
+        "phase": "build",
+        "container": "sbuild",
+        "lineno": 4 + 17,
+    }
+
+
+def _fam_autopkgtest_stderr(i: int):
+    """autopkgtest summary FAIL stderr: <unauthorized output>
+    (src/autopkgtest.rs:627-692)."""
+    test = f"case{i % 4}"
+    out = f"unexpected warning {i % 7}"
+    lines = [
+        f"autopkgtest [11:2{i % 10}:00]: @@@@@@@@@@@@@@@@@@@@ summary",
+        f"{test}               FAIL stderr: {out}",
+    ]
+    return lines, {
+        "problem_kind": "stderr-output",
+        "lineno": 2,
+        "match_line": f"{test}               FAIL stderr: {out}",
+        "details": {"stderr_line": out},
+        "container": "autopkgtest",
+        "phase": "autopkgtest",
+        "phase_test": test,
+    }
+
+
 def _fam_autopkgtest_timeout(i: int):
     test = f"unit{i % 5}"
     lines = [
@@ -294,7 +363,9 @@ FAMILIES = [
     (_fam_ruby_gem, 1),
     (_fam_pkg_config, 1),
     (_fam_sbuild_build, 2),
+    (_fam_sbuild_cudf, 1),
     (_fam_autopkgtest_timeout, 1),
+    (_fam_autopkgtest_stderr, 1),
 ]
 _TOTAL_WEIGHT = sum(w for _, w in FAMILIES)
 _WHEEL = []
