@@ -37,6 +37,42 @@ def classify_stream(pages_stream: DataFrame) -> DataFrame:
     )
 
 
+def streaming_first_seen(classified: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per problem_kind,
+    emit only the FIRST document ever seen for that kind across micro-batches
+    (streaming dedup-first-seen). State = one bool per kind — bounded by the
+    ~160-kind cardinality, no watermark needed."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def first_seen(key, pdfs, state: GroupState):
+        if state.exists:
+            return iter(())
+        first = None
+        for pdf in pdfs:
+            if len(pdf) and first is None:
+                row = pdf.iloc[0]
+                first = pd.DataFrame(
+                    {"problem_kind": [key[0]], "first_url": [row["url"]]}
+                )
+        if first is None:
+            return iter(())
+        state.update((True,))
+        return iter([first])
+
+    return (
+        classified.where("problem_kind is not null")
+        .groupBy("problem_kind")
+        .applyInPandasWithState(
+            first_seen,
+            outputStructType="problem_kind string, first_url string",
+            stateStructType="seen boolean",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def streaming_kind_counts(
     classified: DataFrame,
     window: str = "10 minutes",

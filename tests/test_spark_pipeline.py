@@ -126,6 +126,40 @@ def test_streaming_smoke(spark):
         shutil.rmtree(src, ignore_errors=True)
 
 
+def test_streaming_stateful_first_seen(spark):
+    """applyInPandasWithState: only the first doc per kind crosses the
+    stream, across micro-batches."""
+    import tempfile
+
+    from buildlog_consultant_spark.streaming.pipeline import (
+        classify_stream,
+        read_pages_stream,
+        streaming_first_seen,
+    )
+
+    src = tempfile.mkdtemp(prefix="blc_state_src_")
+    try:
+        fixtures.pages_df(spark, 80, partitions=4).write.mode("overwrite").parquet(src)
+        stream = read_pages_stream(spark, src, max_files_per_trigger=1)
+        firsts = streaming_first_seen(classify_stream(stream))
+        q = (
+            firsts.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("first_seen_stream")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            rows = spark.sql("select * from first_seen_stream").collect()
+            kinds = [r.problem_kind for r in rows]
+            # exactly one row per kind despite many docs per kind
+            assert len(kinds) == len(set(kinds)) and len(kinds) >= 4, kinds
+        finally:
+            q.stop()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
 def test_multimodal_plumbing(spark):
     from buildlog_consultant_spark.ops.multimodal import extract_media_meta
 
