@@ -157,7 +157,7 @@ def main():
         spark_4n = session(f"local[{SCALE_4N}]")
         timed_pipeline(spark_4n, nogate_path, f"{workdir}/warm_4n")
         run_4n = min(
-            (timed_pipeline(spark_4n, pages_path, f"{workdir}/run_4n_{i}") for i in range(2)),
+            (timed_pipeline(spark_4n, pages_path, f"{workdir}/run_4n_{i}") for i in range(3)),
             key=lambda r: r["total_sec"],
         )
         spark_4n.stop()
@@ -165,7 +165,7 @@ def main():
         spark_n = session(f"local[{SCALE_N}]")
         timed_pipeline(spark_n, nogate_path, f"{workdir}/warm_n")
         run_n = min(
-            (timed_pipeline(spark_n, pages_path, f"{workdir}/run_n_{i}") for i in range(2)),
+            (timed_pipeline(spark_n, pages_path, f"{workdir}/run_n_{i}") for i in range(3)),
             key=lambda r: r["total_sec"],
         )
         spark_n.stop()

@@ -51,14 +51,19 @@ def test_cmake_and_sub_catalogs_resolve():
 
 
 def test_catalog_shape():
-    # reference: 685 line + 67 para rules + 8 custom matchers in the primary
-    # catalog region plus ~140 secondary patterns (BASELINE.md); the primary
-    # group interleaves 8 custom matcher classes
+    """Exact structural parity with the reference (grep counts over
+    src/common.rs): 679 line rules + 8 custom matchers in the main catalog,
+    67 cmake paragraph rules, 6 configure/vignette sub-group rules, 164
+    secondary patterns."""
     n_rules = sum(1 for m in COMMON_MATCHERS.matchers if isinstance(m, Rule))
     n_custom = len(COMMON_MATCHERS.matchers) - n_rules
     assert n_custom == 8, n_custom
-    assert n_rules >= 600, n_rules
-    assert len(SECONDARY_MATCHERS) >= 140, len(SECONDARY_MATCHERS)
+    assert n_rules == 679, n_rules
+    assert len(SECONDARY_MATCHERS) == 164, len(SECONDARY_MATCHERS)
+    assert len(CMAKE_ERROR_MATCHERS.matchers) == 67
+    assert len(CONFIGURE_LINE_MATCHERS.matchers) == 2
+    assert len(VIGNETTE_LINE_MATCHERS.matchers) == 4
+    assert len(BRZ_ERRORS) == 19
 
 
 def test_every_regex_compiles_and_searches():
