@@ -55,6 +55,13 @@ from .helpers import (
 )
 
 
+def _shlex_or_whitespace(s: str) -> list[str]:
+    try:
+        return shlex.split(s)
+    except ValueError:
+        return s.split()
+
+
 def _pluggy_requirement(m):
     # src/common.rs:512-533
     expr = m.group(1)
@@ -134,7 +141,9 @@ PART1 = [
     ),
     rule(
         "^pytest: error: unrecognized arguments: (.*)$",
-        lambda m: UnsupportedPytestArguments(shlex.split(m.group(1))),
+        # reference shlex::split().unwrap() panics on unbalanced quotes
+        # (src/common.rs:563-566); fall back to whitespace split instead
+        lambda m: UnsupportedPytestArguments(_shlex_or_whitespace(m.group(1))),
     ),
     rule(
         "^INTERNALERROR> pytest.PytestConfigWarning: Unknown config option: (.*)$",
@@ -514,7 +523,10 @@ PART1 = [
     ),
     rule(
         ".*meson.build([0-9]+):([0-9]+): ERROR: Problem encountered: (.*) is required to .*",
-        lambda m: MissingVagueDependency.simple(m.group(4)),
+        # reference uses m.get(4) (src/common.rs:872) which would panic when
+        # this rule fires — there are only 3 groups; group 3 is the evident
+        # intent (the dependency name)
+        lambda m: MissingVagueDependency.simple(m.group(3)),
     ),
     rule(
         r"^ERROR: (.*) is not installed\. Install at least (.*) version (.+) to continue\.",
@@ -578,7 +590,11 @@ PART1 = [
     ),
     rule(
         r"^configure.(ac|in):[0-9]+: error: libtool version (.*) or higher is required",
-        lambda m: MissingVagueDependency(m.group(2), minimum_version=m.group(3)),
+        # reference uses m.get(2)/m.get(3) (src/common.rs:919-921) but the
+        # pattern has 2 groups — get(3) would panic when fired; the evident
+        # intent (cf. the sibling Autoconf rule, src/common.rs:2156-2163) is
+        # name "libtool", minimum_version = the captured version
+        lambda m: MissingVagueDependency("libtool", minimum_version=m.group(2)),
     ),
     rule(
         r"configure: error: ([^ ]+) ([^ ]+) or better is required.*",

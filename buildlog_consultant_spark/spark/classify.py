@@ -58,7 +58,23 @@ def detect_container(text: str) -> str:
 
 
 def analyze_text(text: Optional[str], use_gate: bool = True) -> dict:
-    """Classify one document's text; returns a flat result dict."""
+    """Classify one document's text; returns a flat result dict.
+
+    Never raises: at 10^12 rows one pathological document must not kill the
+    executor (the reference is process-per-log and can afford to panic; a
+    batch UDF cannot). Analyzer errors surface as problem_kind
+    '__analyzer-error__' rows for offline triage.
+    """
+    try:
+        return _analyze_text_inner(text, use_gate)
+    except Exception as ex:  # noqa: BLE001 — deliberate batch-safety net
+        out = dict(_EMPTY)
+        out["problem_kind"] = "__analyzer-error__"
+        out["description"] = f"{type(ex).__name__}: {ex}"[:500]
+        return out
+
+
+def _analyze_text_inner(text: Optional[str], use_gate: bool = True) -> dict:
     if not text:
         return dict(_EMPTY)
     container = detect_container(text)
