@@ -65,9 +65,12 @@ def find_apt_get_failure(
                 )
             return SingleLineMatch("direct regex", lineno, lines[lineno]), None
         if line == "E: Broken packages":
-            error = AptBrokenPackages(lines[lineno - 1].strip(), None)
+            # reference indexes lineno-1 unguarded (src/apt.rs:69-82) and
+            # would panic on line 0; clamp instead
+            prev = max(lineno - 1, 0)
+            error = AptBrokenPackages(lines[prev].strip(), None)
             return (
-                SingleLineMatch("direct match", lineno - 1, lines[lineno - 1]),
+                SingleLineMatch("direct match", prev, lines[prev]),
                 error,
             )
         if line == "E: Unable to correct problems, you have held broken packages.":
@@ -133,8 +136,11 @@ def find_apt_get_failure(
             )
         m = _DPKG_PROC_RE.search(line)
         if m:
+            # reference indexes lineno+1 unguarded (src/apt.rs:207-221);
+            # clamp at the last line
+            nxt = min(lineno + 1, n - 1)
             return (
-                SingleLineMatch("direct regex", lineno + 1, lines[lineno + 1]),
+                SingleLineMatch("direct regex", nxt, lines[nxt]),
                 DpkgError(f"processing package {m.group(1)} ({m.group(2)})"),
             )
 
