@@ -29,7 +29,7 @@ from ..engine.sbuild import SEP, parse_sbuild_log, worker_failure_from_sbuild_lo
 CLASSIFY_RESULT_FIELDS = (
     "container string, problem_kind string, match_line string, "
     "offset long, lineno long, origin string, details string, "
-    "stage string, phase string, phase_test string, description string, "
+    "stage string, phase string, phase_test string, section string, description string, "
     "is_universal boolean"
 )
 
@@ -44,6 +44,7 @@ _EMPTY = {
     "stage": None,
     "phase": None,
     "phase_test": None,
+    "section": None,
     "description": None,
     "is_universal": None,
 }
@@ -84,6 +85,8 @@ def _analyze_text_inner(text: Optional[str], use_gate: bool = True) -> dict:
         log = parse_sbuild_log(text)
         failure = worker_failure_from_sbuild_log(log)
         out["stage"] = failure.stage
+        if failure.section is not None:
+            out["section"] = failure.section.title
         if failure.phase:
             out["phase"] = failure.phase[0]
             if len(failure.phase) > 1:
