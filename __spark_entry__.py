@@ -426,9 +426,93 @@ def q_ann_topk_lsh(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
-    """SimHash signatures for the first 500 docs (rows-only check)."""
+    """SimHash signatures for the first 500 docs (rows-only: xxhash64 token
+    hash has no DuckDB equivalent; see q_simhash_md5 for the oracle-checked
+    variant)."""
     d = _docs(spark, sf_dir).where(F.col("doc_id") < 500)
     return dedup_ops.simhash64(d)
+
+
+def q_simhash_md5(spark, sf_dir):
+    """SimHash with md5 nibble-bit token hashing — exactly reproducible in
+    DuckDB SQL (oracle generated bit-by-bit)."""
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
+    return dedup_ops.simhash64_md5(d)
+
+
+ORACLE_SIMHASH_MD5 = r"""
+WITH norm AS (
+  SELECT doc_id,
+         list_transform(regexp_split_to_array(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' '), t -> md5(t)) AS hs
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id AS id,
+       CAST(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN substring(h, 1, 1) IN ('1', '3', '5', '7', '9', 'b', 'd', 'f') THEN 1 ELSE -1 END)) > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN substring(h, 1, 1) IN ('2', '3', '6', '7', 'a', 'b', 'e', 'f') THEN 1 ELSE -1 END)) > 0 THEN CAST(2 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN substring(h, 1, 1) IN ('4', '5', '6', '7', 'c', 'd', 'e', 'f') THEN 1 ELSE -1 END)) > 0 THEN CAST(4 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN substring(h, 1, 1) IN ('8', '9', 'a', 'b', 'c', 'd', 'e', 'f') THEN 1 ELSE -1 END)) > 0 THEN CAST(8 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN substring(h, 2, 1) IN ('1', '3', '5', '7', '9', 'b', 'd', 'f') THEN 1 ELSE -1 END)) > 0 THEN CAST(16 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN substring(h, 2, 1) IN ('2', '3', '6', '7', 'a', 'b', 'e', 'f') THEN 1 ELSE -1 END)) > 0 THEN CAST(32 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN substring(h, 2, 1) IN ('4', '5', '6', '7', 'c', 'd', 'e', 'f') THEN 1 ELSE -1 END)) > 0 THEN CAST(64 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN substring(h, 2, 1) IN ('8', '9', 'a', 'b', 'c', 'd', 'e', 'f') THEN 1 ELSE -1 END)) > 0 THEN CAST(128 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN substring(h, 3, 1) IN ('1', '3', '5', '7', '9', 'b', 'd', 'f') THEN 1 ELSE -1 END)) > 0 THEN CAST(256 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN substring(h, 3, 1) IN ('2', '3', '6', '7', 'a', 'b', 'e', 'f') THEN 1 ELSE -1 END)) > 0 THEN CAST(512 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN substring(h, 3, 1) IN ('4', '5', '6', '7', 'c', 'd', 'e', 'f') THEN 1 ELSE -1 END)) > 0 THEN CAST(1024 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN substring(h, 3, 1) IN ('8', '9', 'a', 'b', 'c', 'd', 'e', 'f') THEN 1 ELSE -1 END)) > 0 THEN CAST(2048 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN substring(h, 4, 1) IN ('1', '3', '5', '7', '9', 'b', 'd', 'f') THEN 1 ELSE -1 END)) > 0 THEN CAST(4096 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN substring(h, 4, 1) IN ('2', '3', '6', '7', 'a', 'b', 'e', 'f') THEN 1 ELSE -1 END)) > 0 THEN CAST(8192 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN substring(h, 4, 1) IN ('4', '5', '6', '7', 'c', 'd', 'e', 'f') THEN 1 ELSE -1 END)) > 0 THEN CAST(16384 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN substring(h, 4, 1) IN ('8', '9', 'a', 'b', 'c', 'd', 'e', 'f') THEN 1 ELSE -1 END)) > 0 THEN CAST(32768 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN substring(h, 5, 1) IN ('1', '3', '5', '7', '9', 'b', 'd', 'f') THEN 1 ELSE -1 END)) > 0 THEN CAST(65536 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN substring(h, 5, 1) IN ('2', '3', '6', '7', 'a', 'b', 'e', 'f') THEN 1 ELSE -1 END)) > 0 THEN CAST(131072 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN substring(h, 5, 1) IN ('4', '5', '6', '7', 'c', 'd', 'e', 'f') THEN 1 ELSE -1 END)) > 0 THEN CAST(262144 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN substring(h, 5, 1) IN ('8', '9', 'a', 'b', 'c', 'd', 'e', 'f') THEN 1 ELSE -1 END)) > 0 THEN CAST(524288 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN substring(h, 6, 1) IN ('1', '3', '5', '7', '9', 'b', 'd', 'f') THEN 1 ELSE -1 END)) > 0 THEN CAST(1048576 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN substring(h, 6, 1) IN ('2', '3', '6', '7', 'a', 'b', 'e', 'f') THEN 1 ELSE -1 END)) > 0 THEN CAST(2097152 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN substring(h, 6, 1) IN ('4', '5', '6', '7', 'c', 'd', 'e', 'f') THEN 1 ELSE -1 END)) > 0 THEN CAST(4194304 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN substring(h, 6, 1) IN ('8', '9', 'a', 'b', 'c', 'd', 'e', 'f') THEN 1 ELSE -1 END)) > 0 THEN CAST(8388608 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN substring(h, 7, 1) IN ('1', '3', '5', '7', '9', 'b', 'd', 'f') THEN 1 ELSE -1 END)) > 0 THEN CAST(16777216 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN substring(h, 7, 1) IN ('2', '3', '6', '7', 'a', 'b', 'e', 'f') THEN 1 ELSE -1 END)) > 0 THEN CAST(33554432 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN substring(h, 7, 1) IN ('4', '5', '6', '7', 'c', 'd', 'e', 'f') THEN 1 ELSE -1 END)) > 0 THEN CAST(67108864 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN substring(h, 7, 1) IN ('8', '9', 'a', 'b', 'c', 'd', 'e', 'f') THEN 1 ELSE -1 END)) > 0 THEN CAST(134217728 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN substring(h, 8, 1) IN ('1', '3', '5', '7', '9', 'b', 'd', 'f') THEN 1 ELSE -1 END)) > 0 THEN CAST(268435456 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN substring(h, 8, 1) IN ('2', '3', '6', '7', 'a', 'b', 'e', 'f') THEN 1 ELSE -1 END)) > 0 THEN CAST(536870912 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN substring(h, 8, 1) IN ('4', '5', '6', '7', 'c', 'd', 'e', 'f') THEN 1 ELSE -1 END)) > 0 THEN CAST(1073741824 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN substring(h, 8, 1) IN ('8', '9', 'a', 'b', 'c', 'd', 'e', 'f') THEN 1 ELSE -1 END)) > 0 THEN CAST(2147483648 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN substring(h, 9, 1) IN ('1', '3', '5', '7', '9', 'b', 'd', 'f') THEN 1 ELSE -1 END)) > 0 THEN CAST(4294967296 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN substring(h, 9, 1) IN ('2', '3', '6', '7', 'a', 'b', 'e', 'f') THEN 1 ELSE -1 END)) > 0 THEN CAST(8589934592 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN substring(h, 9, 1) IN ('4', '5', '6', '7', 'c', 'd', 'e', 'f') THEN 1 ELSE -1 END)) > 0 THEN CAST(17179869184 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN substring(h, 9, 1) IN ('8', '9', 'a', 'b', 'c', 'd', 'e', 'f') THEN 1 ELSE -1 END)) > 0 THEN CAST(34359738368 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN substring(h, 10, 1) IN ('1', '3', '5', '7', '9', 'b', 'd', 'f') THEN 1 ELSE -1 END)) > 0 THEN CAST(68719476736 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN substring(h, 10, 1) IN ('2', '3', '6', '7', 'a', 'b', 'e', 'f') THEN 1 ELSE -1 END)) > 0 THEN CAST(137438953472 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN substring(h, 10, 1) IN ('4', '5', '6', '7', 'c', 'd', 'e', 'f') THEN 1 ELSE -1 END)) > 0 THEN CAST(274877906944 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN substring(h, 10, 1) IN ('8', '9', 'a', 'b', 'c', 'd', 'e', 'f') THEN 1 ELSE -1 END)) > 0 THEN CAST(549755813888 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN substring(h, 11, 1) IN ('1', '3', '5', '7', '9', 'b', 'd', 'f') THEN 1 ELSE -1 END)) > 0 THEN CAST(1099511627776 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN substring(h, 11, 1) IN ('2', '3', '6', '7', 'a', 'b', 'e', 'f') THEN 1 ELSE -1 END)) > 0 THEN CAST(2199023255552 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN substring(h, 11, 1) IN ('4', '5', '6', '7', 'c', 'd', 'e', 'f') THEN 1 ELSE -1 END)) > 0 THEN CAST(4398046511104 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN substring(h, 11, 1) IN ('8', '9', 'a', 'b', 'c', 'd', 'e', 'f') THEN 1 ELSE -1 END)) > 0 THEN CAST(8796093022208 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN substring(h, 12, 1) IN ('1', '3', '5', '7', '9', 'b', 'd', 'f') THEN 1 ELSE -1 END)) > 0 THEN CAST(17592186044416 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN substring(h, 12, 1) IN ('2', '3', '6', '7', 'a', 'b', 'e', 'f') THEN 1 ELSE -1 END)) > 0 THEN CAST(35184372088832 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN substring(h, 12, 1) IN ('4', '5', '6', '7', 'c', 'd', 'e', 'f') THEN 1 ELSE -1 END)) > 0 THEN CAST(70368744177664 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN substring(h, 12, 1) IN ('8', '9', 'a', 'b', 'c', 'd', 'e', 'f') THEN 1 ELSE -1 END)) > 0 THEN CAST(140737488355328 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN substring(h, 13, 1) IN ('1', '3', '5', '7', '9', 'b', 'd', 'f') THEN 1 ELSE -1 END)) > 0 THEN CAST(281474976710656 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN substring(h, 13, 1) IN ('2', '3', '6', '7', 'a', 'b', 'e', 'f') THEN 1 ELSE -1 END)) > 0 THEN CAST(562949953421312 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN substring(h, 13, 1) IN ('4', '5', '6', '7', 'c', 'd', 'e', 'f') THEN 1 ELSE -1 END)) > 0 THEN CAST(1125899906842624 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN substring(h, 13, 1) IN ('8', '9', 'a', 'b', 'c', 'd', 'e', 'f') THEN 1 ELSE -1 END)) > 0 THEN CAST(2251799813685248 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN substring(h, 14, 1) IN ('1', '3', '5', '7', '9', 'b', 'd', 'f') THEN 1 ELSE -1 END)) > 0 THEN CAST(4503599627370496 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN substring(h, 14, 1) IN ('2', '3', '6', '7', 'a', 'b', 'e', 'f') THEN 1 ELSE -1 END)) > 0 THEN CAST(9007199254740992 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN substring(h, 14, 1) IN ('4', '5', '6', '7', 'c', 'd', 'e', 'f') THEN 1 ELSE -1 END)) > 0 THEN CAST(18014398509481984 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN substring(h, 14, 1) IN ('8', '9', 'a', 'b', 'c', 'd', 'e', 'f') THEN 1 ELSE -1 END)) > 0 THEN CAST(36028797018963968 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN substring(h, 15, 1) IN ('1', '3', '5', '7', '9', 'b', 'd', 'f') THEN 1 ELSE -1 END)) > 0 THEN CAST(72057594037927936 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN substring(h, 15, 1) IN ('2', '3', '6', '7', 'a', 'b', 'e', 'f') THEN 1 ELSE -1 END)) > 0 THEN CAST(144115188075855872 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN substring(h, 15, 1) IN ('4', '5', '6', '7', 'c', 'd', 'e', 'f') THEN 1 ELSE -1 END)) > 0 THEN CAST(288230376151711744 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN substring(h, 15, 1) IN ('8', '9', 'a', 'b', 'c', 'd', 'e', 'f') THEN 1 ELSE -1 END)) > 0 THEN CAST(576460752303423488 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN substring(h, 16, 1) IN ('1', '3', '5', '7', '9', 'b', 'd', 'f') THEN 1 ELSE -1 END)) > 0 THEN CAST(1152921504606846976 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN substring(h, 16, 1) IN ('2', '3', '6', '7', 'a', 'b', 'e', 'f') THEN 1 ELSE -1 END)) > 0 THEN CAST(2305843009213693952 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN substring(h, 16, 1) IN ('4', '5', '6', '7', 'c', 'd', 'e', 'f') THEN 1 ELSE -1 END)) > 0 THEN CAST(4611686018427387904 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN substring(h, 16, 1) IN ('8', '9', 'a', 'b', 'c', 'd', 'e', 'f') THEN 1 ELSE -1 END)) > 0 THEN CAST(-9223372036854775808 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS BIGINT) AS simhash
+FROM norm
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -474,6 +558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_guess": q_lang_guess,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
+        "simhash_md5": q_simhash_md5,
     }
 
 
@@ -494,6 +579,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dups": ORACLE_MINHASH,
         "lang_guess": ORACLE_LANG_GUESS,
         "ngram_jaccard": ORACLE_NGRAM_JACCARD,
+        "simhash_md5": ORACLE_SIMHASH_MD5,
         # simhash / ann_topk_lsh: xxhash64 / plane derivation have no DuckDB
         # equivalent → rows-only
     }

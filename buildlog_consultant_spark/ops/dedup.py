@@ -121,6 +121,50 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     return base.select("id", sig.alias("simhash"))
 
 
+_HIGH_NIBBLE_SETS = [
+    # hex digits with bit j set (j = 0..3, LSB first)
+    ["1", "3", "5", "7", "9", "b", "d", "f"],
+    ["2", "3", "6", "7", "a", "b", "e", "f"],
+    ["4", "5", "6", "7", "c", "d", "e", "f"],
+    ["8", "9", "a", "b", "c", "d", "e", "f"],
+]
+
+
+def simhash64_md5(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash whose per-token hash is md5 (hex) instead of xxhash64 —
+    bit (4d+j) is the j-th bit of hex digit d. Slower than simhash64 but the
+    identical computation is expressible in DuckDB SQL, giving near-dup
+    signatures an exact cross-engine oracle."""
+    tokens = F.split(F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")), " ")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(tokens, lambda t: F.md5(t)).alias("hs"),
+    )
+
+    def vote_for(digit: int, j: int):
+        members = _HIGH_NIBBLE_SETS[j]
+
+        def merge(acc, h):
+            nib = F.substring(h, digit + 1, 1)
+            return acc + F.when(nib.isin(members), 1).otherwise(-1)
+
+        return F.aggregate(F.col("hs"), F.lit(0), merge)
+
+    bit_cols = []
+    for digit in range(16):
+        for j in range(4):
+            b = digit * 4 + j
+            bit_cols.append(
+                F.when(
+                    vote_for(digit, j) > 0, F.shiftleft(F.lit(1).cast("long"), b)
+                ).otherwise(F.lit(0).cast("long"))
+            )
+    sig = bit_cols[0]
+    for c in bit_cols[1:]:
+        sig = sig.bitwiseOR(c)
+    return base.select("id", sig.alias("simhash"))
+
+
 def ngram_jaccard(
     df: DataFrame,
     id_a: int,
