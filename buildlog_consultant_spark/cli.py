@@ -25,7 +25,7 @@ def main(argv=None) -> int:
     ap.add_argument("--context", type=int, default=5, help="context lines")
     ap.add_argument(
         "--format",
-        choices=["auto", "plain", "sbuild", "autopkgtest"],
+        choices=["auto", "plain", "sbuild", "autopkgtest", "apt"],
         default="auto",
     )
     args = ap.parse_args(argv)
@@ -34,12 +34,31 @@ def main(argv=None) -> int:
 
     from .spark.classify import analyze_text, detect_container
 
-    container = args.format if args.format != "auto" else detect_container(text)
-    if args.format != "auto" and args.format != detect_container(text):
-        # force the requested analyzer by faking detection boundaries
-        pass
-    result = analyze_text(text)
-    result["container"] = container
+    if args.format == "apt":
+        # analyze-apt-log equivalent (/root/reference/src/bin/analyze-apt-log.rs)
+        from .core.problems import canonical_json
+        from .engine.apt import find_apt_get_failure
+
+        match, problem = find_apt_get_failure(text.splitlines())
+        result = {
+            "container": "apt",
+            "problem_kind": problem.kind if problem else None,
+            "match_line": match.line.rstrip("\n") if match else None,
+            "offset": match.offset if match else None,
+            "lineno": match.lineno if match else None,
+            "origin": match.origin if match else None,
+            "details": canonical_json(problem.details) if problem else None,
+            "stage": None,
+            "phase": None,
+            "phase_test": None,
+            "section": None,
+            "description": None,
+            "is_universal": problem.is_universal if problem else None,
+        }
+    else:
+        container = args.format if args.format != "auto" else detect_container(text)
+        result = analyze_text(text)
+        result["container"] = container
 
     if args.json:
         print(json.dumps(result, indent=2))
