@@ -161,11 +161,11 @@ def q_doc_stats(spark, sf_dir):
 ORACLE_DOC_STATS = """
 SELECT lang,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS sum_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
        MIN(n_chars) AS min_chars,
        MAX(n_chars) AS max_chars,
-       SUM(CASE WHEN length(trim(text)) = 0 THEN 0
-                ELSE length(regexp_split_to_array(trim(text), '\\s+')) END) AS sum_tokens
+       CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE length(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS sum_tokens
 FROM documents GROUP BY lang ORDER BY lang
 """
 
@@ -233,7 +233,7 @@ def q_events_by_type(spark, sf_dir):
 
 ORACLE_EVENTS_BY_TYPE = """
 SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
-       SUM(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events GROUP BY event_type
 """
 
@@ -266,7 +266,7 @@ WITH gaps AS (
          THEN 1 ELSE 0 END AS new_session
   FROM events
 )
-SELECT user_id, SUM(new_session) AS n_sessions
+SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions
 FROM gaps GROUP BY user_id
 """
 
@@ -277,7 +277,7 @@ def q_q1_lineitem(spark, sf_dir):
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            F.floor(F.sum("l_quantity")).alias("sum_qty"),
             F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("sum_base_cents"),
             F.count("*").alias("count_order"),
         )
@@ -286,8 +286,8 @@ def q_q1_lineitem(spark, sf_dir):
 
 ORACLE_Q1 = """
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
-       SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+       CAST(floor(SUM(l_quantity)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -312,7 +312,7 @@ def q_top_customers(spark, sf_dir):
 
 ORACLE_TOP_CUSTOMERS = """
 SELECT c_custkey, c_name, COUNT(*) AS n_orders,
-       SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_custkey, c_name
 ORDER BY total_cents DESC, c_custkey ASC
