@@ -419,18 +419,106 @@ FROM sh a, sh b WHERE a.doc_id = 0 AND b.doc_id = 1
 
 
 def q_ann_topk_lsh(spark, sf_dir):
-    """Approximate top-k via hyperplane-LSH bucket restriction (rows-only:
-    the deterministic plane derivation is not reasonably SQL-expressible)."""
+    """Approximate top-k via hyperplane-LSH bucket restriction. The plane
+    matrix is deterministic (sim_ops.plane_component), so the oracle rebuilds
+    the identical planes as DuckDB list literals and replays the bucket
+    restriction + cosine ranking in SQL."""
+    from pyspark.sql.window import Window
+
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return sim_ops.ann_topk_lsh(emb, query_vec_id=0, k=10, n_planes=6)
+    scored = sim_ops.ann_topk_lsh(emb, query_vec_id=0, k=10, n_planes=6)
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return scored.select(F.row_number().over(w).alias("rank"), "vec_id")
+
+
+def _oracle_ann_topk_lsh(n_planes: int = 6, dim: int = 64) -> str:
+    planes = ",\n".join(
+        "({}, [{}])".format(
+            b, ", ".join(repr(sim_ops.plane_component(b, i)) for i in range(dim))
+        )
+        for b in range(n_planes)
+    )
+    return f"""
+WITH planes AS (
+  SELECT * FROM (VALUES
+{planes}
+  ) AS p(b, w)
+), dots AS (
+  SELECT e.vec_id, p.b,
+         list_sum(list_transform(range(1, {dim + 1}),
+                                 i -> CAST(e.embedding[i] AS DOUBLE) * p.w[i])) AS dot
+  FROM embeddings e, planes p
+), bucketed AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << b
+                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id
+), qb AS (SELECT bucket FROM bucketed WHERE vec_id = 0),
+cands AS (
+  SELECT b.vec_id FROM bucketed b, qb WHERE b.bucket = qb.bucket AND b.vec_id <> 0
+), q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                CAST(q.embedding AS DOUBLE[])) AS cosine
+  FROM embeddings e JOIN cands USING (vec_id), q
+)
+SELECT CAST(row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank, vec_id
+FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
 
 
 def q_simhash(spark, sf_dir):
-    """SimHash signatures for the first 500 docs (rows-only: xxhash64 token
-    hash has no DuckDB equivalent; see q_simhash_md5 for the oracle-checked
-    variant)."""
+    """SimHash signatures for the first 500 docs. xxhash64 has no DuckDB
+    builtin, so the oracle is a golden VALUES table recomputed independently
+    in pure Python (ops/xxh64.py implements the public XXH64 spec; verified
+    byte-identical to Spark's xxhash64 incl. unicode)."""
     d = _docs(spark, sf_dir).where(F.col("doc_id") < 500)
     return dedup_ops.simhash64(d)
+
+
+_SIMHASH_ORACLE_SF_DIR = "/root/testdata/sf0.01"  # driver compares at sf0.01
+
+
+def _oracle_simhash() -> str:
+    """Golden VALUES oracle: recompute simhash64 in pure Python (independent
+    tokenizer + independent XXH64 implementation) over the sf0.01 documents.
+
+    Tokenization mirrors Spark's `split(lower(regexp_replace(trim(text),
+    '\\s+', ' ')), ' ')`: Java trim strips ASCII space; Java \\s is
+    ASCII-only [ \\t\\n\\x0b\\f\\r] (unlike Python's unicode-aware \\s)."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from buildlog_consultant_spark.ops.xxh64 import xxh64
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    tbl = pq.read_table(
+        f"{_SIMHASH_ORACLE_SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    )
+    hash_cache: dict[str, int] = {}
+    rows = []
+    for doc_id, text in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+        if doc_id >= 500:
+            continue
+        toks = ws.sub(" ", (text or "").strip(" ")).lower().split(" ")
+        votes = [0] * 64
+        for t in toks:
+            h = hash_cache.get(t)
+            if h is None:
+                h = hash_cache[t] = xxh64(t.encode("utf-8"))
+            for bit in range(64):
+                votes[bit] += 1 if (h >> bit) & 1 else -1
+        sig = sum(1 << bit for bit in range(64) if votes[bit] > 0)
+        if sig >= 1 << 63:
+            sig -= 1 << 64
+        rows.append((int(doc_id), sig))
+    vals = ",\n".join(f"({i}, {s})" for i, s in sorted(rows))
+    return (
+        "SELECT CAST(id AS BIGINT) AS id, CAST(simhash AS BIGINT) AS simhash "
+        f"FROM (VALUES\n{vals}\n) AS t(id, simhash)"
+    )
 
 
 def q_simhash_md5(spark, sf_dir):
@@ -579,7 +667,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dups": ORACLE_MINHASH,
         "lang_guess": ORACLE_LANG_GUESS,
         "ngram_jaccard": ORACLE_NGRAM_JACCARD,
+        "simhash": _oracle_simhash(),
         "simhash_md5": ORACLE_SIMHASH_MD5,
-        # simhash / ann_topk_lsh: xxhash64 / plane derivation have no DuckDB
-        # equivalent → rows-only
+        "ann_topk_lsh": _oracle_ann_topk_lsh(),
     }

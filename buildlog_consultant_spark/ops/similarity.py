@@ -55,6 +55,17 @@ def cosine_topk(
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
+def plane_component(b: int, i: int, seed: int = 42) -> float:
+    """Deterministic pseudo-random plane weight in [-1, 1): splitmix-style
+    mix of (seed, b, i). Module-level so an independent oracle can rebuild
+    the identical plane matrix."""
+    x = (seed * 1000003 + b * 10007 + i * 101) & 0xFFFFFFFF
+    x = (x ^ (x >> 16)) * 0x45D9F3B & 0xFFFFFFFF
+    x = (x ^ (x >> 16)) * 0x45D9F3B & 0xFFFFFFFF
+    x = x ^ (x >> 16)
+    return (x / 0x80000000) - 1.0
+
+
 def hyperplane_buckets(
     df: DataFrame,
     n_planes: int = 12,
@@ -64,21 +75,13 @@ def hyperplane_buckets(
     seed: int = 42,
 ) -> DataFrame:
     """Random-hyperplane LSH bucket id per vector: bit b = sign(v · h_b) with
-    h_b derived deterministically from xxhash64(seed, b, i) — reproducible on
+    h_b derived deterministically from plane_component(b, i) — reproducible on
     any executor without shipping plane matrices."""
     v = F.col(vec_col).cast("array<double>")
 
-    def plane_component(b: int, i: int) -> float:
-        # deterministic pseudo-random in [-1, 1): splitmix-style on (seed,b,i)
-        x = (seed * 1000003 + b * 10007 + i * 101) & 0xFFFFFFFF
-        x = (x ^ (x >> 16)) * 0x45D9F3B & 0xFFFFFFFF
-        x = (x ^ (x >> 16)) * 0x45D9F3B & 0xFFFFFFFF
-        x = x ^ (x >> 16)
-        return (x / 0x80000000) - 1.0
-
     bucket = F.lit(0).cast("long")
     for b in range(n_planes):
-        plane = F.array(*[F.lit(plane_component(b, i)) for i in range(dim)])
+        plane = F.array(*[F.lit(plane_component(b, i, seed)) for i in range(dim)])
         dot = F.aggregate(
             F.zip_with(v, plane, lambda x, w: x * w),
             F.lit(0.0),
