@@ -79,10 +79,21 @@ def _values_oracle(rows: list[tuple], cols: list[str]) -> str:
 # ---------------------------------------------------------------------------
 
 
+_classified_cache: dict[str, DataFrame] = {}
+
+
 def _fixture_classified(spark: SparkSession) -> DataFrame:
+    """Classified fixture corpus, persisted once per Spark application —
+    the three classify_* queries share one classify pass."""
+    key = spark.sparkContext.applicationId
+    cached = _classified_cache.get(key)
+    if cached is not None:
+        return cached
     _ensure_pkg_shipped(spark)
     pages = fixtures.pages_df(spark, FIXN)
-    return classify_documents(pages, text_col="text", keep_cols=("url", "lang"))
+    out = classify_documents(pages, text_col="text", keep_cols=("url", "lang")).persist()
+    _classified_cache[key] = out
+    return out
 
 
 def q_classify_kind_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -612,8 +623,11 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: parse→classify→enrich→aggregate over the sf0.001 documents
     (the majority no-match class) unioned with the fixture pages corpus (the
     log-bearing class), exercising every pipeline stage."""
+    import os
+
     _ensure_pkg_shipped(spark)
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sf_dir = os.environ.get("SPARK_GRAFT_ENTRY_SF_DIR", "/root/testdata/sf0.001")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     pages = docs.select(
         F.col("doc_id").cast("string").alias("url"),
         F.col("text"),

@@ -57,8 +57,7 @@ def main(argv=None) -> int:
         }
     else:
         container = args.format if args.format != "auto" else detect_container(text)
-        result = analyze_text(text)
-        result["container"] = container
+        result = analyze_text(text, container=container)
 
     if args.json:
         print(json.dumps(result, indent=2))

@@ -138,19 +138,29 @@ def find_build_failure_description(
                 )
             m = _CMAKE_IMPORTED_TARGET.search(line)
             if m:
-                # src/common.rs:3471-3499 (ported with its quirks: the inner
-                # loop advances past the block, then checks +2 for the
-                # "does not exist" marker)
+                # src/common.rs:3471-3499 would panic whenever this fired (its
+                # cursor loop tests the constant-truthy header, runs to
+                # lines.len(), then indexes lineno+2). Implemented here with
+                # the evident intent: cmake renders the header, a blank line,
+                # the quoted file entry, a blank line, then the
+                # "but this file does not exist." marker.
                 j = lineno + 1
-                while j < n and line:
+                while j < n and not lines[j].strip():
                     j += 1
-                if j + 2 < n and lines[j + 2].startswith("  but this file does not exist."):
-                    fm = _CMAKE_FILE_ENTRY.search(line)
-                    filename = fm.group(1) if fm else line
-                    return (
-                        SingleLineMatch("direct regex", j, lines[min(j, n - 1)]),
-                        MissingFile(filename),
-                    )
+                if j < n:
+                    fm = _CMAKE_FILE_ENTRY.search(lines[j].rstrip("\n"))
+                    k = j + 1
+                    while k < n and not lines[k].strip():
+                        k += 1
+                    if (
+                        fm
+                        and k < n
+                        and lines[k].lstrip().startswith("but this file does not exist.")
+                    ):
+                        return (
+                            SingleLineMatch("direct regex", j, lines[j]),
+                            MissingFile(fm.group(1)),
+                        )
                 lineno += 1
                 continue
             if lineno + 1 < n:

@@ -7,8 +7,13 @@ md5 is a uniform hash, so argmin over shingles is uniform — the standard
 MinHash estimator applies).
 
 Scale notes: shingling + min-aggregation are per-row (no shuffle); the LSH
-band bucket join shuffles only (band, signature) pairs — tiny compared to the
-corpus — and self-join skew on huge buckets is bounded by banding.
+band bucket join shuffles only (band, signature) pairs — tiny compared to
+the corpus. Banding bounds collisions between *dissimilar* documents, but
+NOT between true duplicates: m byte-identical documents share every band
+signature and would produce O(m²) candidate pairs. minhash_near_dup_pairs
+therefore (a) collapses exact-duplicate groups to one representative before
+banding (dedup_exact_first) and (b) drops buckets larger than max_bucket —
+both on by default; web crawls make both cases common.
 """
 
 from __future__ import annotations
@@ -76,11 +81,36 @@ def minhash_near_dup_pairs(
     bands: int = 8,
     k: int = 3,
     min_shared_bands: int = 2,
+    dedup_exact_first: bool = True,
+    max_bucket: int | None = 256,
+    log_dropped: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs: ids sharing ≥ min_shared_bands band
-    signatures. Bucket join on (band, sig) — the LSH trick keeps the self-join
-    tiny at corpus scale."""
-    sigs = minhash_signatures(df, id_col, text_col, bands, k)
+    signatures. Bucket join on (band, sig) — the LSH trick keeps the
+    self-join tiny at corpus scale for *dissimilar* documents.
+
+    True duplicates defeat banding (m identical texts share all bands →
+    O(m²) pairs in one bucket), so by default (a) exact-duplicate groups are
+    collapsed to their min-id representative before banding (report those
+    via exact_dup_groups instead) and (b) buckets larger than ``max_bucket``
+    are dropped — with ``log_dropped=True`` an extra cheap aggregation pass
+    counts and warns about what was skipped."""
+    src = dedup_exact(df, id_col, text_col) if dedup_exact_first else df
+    sigs = minhash_signatures(src, id_col, text_col, bands, k)
+    if max_bucket is not None:
+        sizes = sigs.groupBy("band", "sig").agg(F.count("*").alias("_bn"))
+        oversized = sizes.where(F.col("_bn") > max_bucket).select("band", "sig")
+        if log_dropped:
+            import logging
+
+            n_over = oversized.count()
+            if n_over:
+                logging.getLogger(__name__).warning(
+                    "minhash_near_dup_pairs: dropping %d buckets larger than %d",
+                    n_over,
+                    max_bucket,
+                )
+        sigs = sigs.join(oversized, ["band", "sig"], "left_anti")
     a = sigs.alias("a")
     b = sigs.alias("b")
     pairs = (

@@ -30,7 +30,12 @@ CLASSIFY_RESULT_FIELDS = (
     "container string, problem_kind string, match_line string, "
     "offset long, lineno long, origin string, details string, "
     "stage string, phase string, phase_test string, section string, description string, "
-    "is_universal boolean"
+    "is_universal boolean, "
+    # typed Summary payload (reference src/sbuild.rs:56-123) — per-build
+    # resource telemetry, queryable downstream
+    "build_time long, install_time long, package_time long, build_space long, "
+    "space long, package string, source_version string, distribution string, "
+    "sbuild_status string"
 )
 
 _EMPTY = {
@@ -47,6 +52,15 @@ _EMPTY = {
     "section": None,
     "description": None,
     "is_universal": None,
+    "build_time": None,
+    "install_time": None,
+    "package_time": None,
+    "build_space": None,
+    "space": None,
+    "package": None,
+    "source_version": None,
+    "distribution": None,
+    "sbuild_status": None,
 }
 
 
@@ -58,8 +72,13 @@ def detect_container(text: str) -> str:
     return "plain"
 
 
-def analyze_text(text: Optional[str], use_gate: bool = True) -> dict:
+def analyze_text(
+    text: Optional[str], use_gate: bool = True, container: Optional[str] = None
+) -> dict:
     """Classify one document's text; returns a flat result dict.
+
+    ``container`` forces the analyzer ("plain"/"sbuild"/"autopkgtest")
+    instead of auto-detection — the CLI's --format override.
 
     Never raises: at 10^12 rows one pathological document must not kill the
     executor (the reference is process-per-log and can afford to panic; a
@@ -67,7 +86,7 @@ def analyze_text(text: Optional[str], use_gate: bool = True) -> dict:
     '__analyzer-error__' rows for offline triage.
     """
     try:
-        return _analyze_text_inner(text, use_gate)
+        return _analyze_text_inner(text, use_gate, container)
     except Exception as ex:  # noqa: BLE001 — deliberate batch-safety net
         out = dict(_EMPTY)
         out["problem_kind"] = "__analyzer-error__"
@@ -75,15 +94,28 @@ def analyze_text(text: Optional[str], use_gate: bool = True) -> dict:
         return out
 
 
-def _analyze_text_inner(text: Optional[str], use_gate: bool = True) -> dict:
+def _analyze_text_inner(
+    text: Optional[str], use_gate: bool = True, container: Optional[str] = None
+) -> dict:
     if not text:
         return dict(_EMPTY)
-    container = detect_container(text)
+    if container is None:
+        container = detect_container(text)
     out = dict(_EMPTY)
     out["container"] = container
     if container == "sbuild":
         log = parse_sbuild_log(text)
         failure = worker_failure_from_sbuild_log(log)
+        summary = log.summary() or {}
+        out["build_time"] = summary.get("build_time")
+        out["install_time"] = summary.get("install_time")
+        out["package_time"] = summary.get("package_time")
+        out["build_space"] = summary.get("build_space")
+        out["space"] = summary.get("space")
+        out["package"] = summary.get("package")
+        out["source_version"] = summary.get("source_version")
+        out["distribution"] = summary.get("distribution")
+        out["sbuild_status"] = summary.get("status")
         out["stage"] = failure.stage
         if failure.section is not None:
             out["section"] = failure.section.title
@@ -140,7 +172,10 @@ def _classify_iter(
     for pdf in batches:
         rows = [analyze_text(t, use_gate=use_gate) for t in pdf[text_col]]
         res = pd.DataFrame(rows, columns=cols)
-        for c in ("offset", "lineno"):
+        for c in (
+            "offset", "lineno",
+            "build_time", "install_time", "package_time", "build_space", "space",
+        ):
             res[c] = res[c].astype("Int64")
         res["is_universal"] = res["is_universal"].astype("boolean")
         out = pd.concat(

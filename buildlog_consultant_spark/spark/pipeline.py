@@ -13,10 +13,15 @@ Scale design notes (local[32] is a stand-in for a 1000-executor cluster):
 * **Skew-aware fan-out.** problem_kind is Zipfian (a few missing-* kinds
   dominate); the fan-out repartition salts the key with a deterministic
   hash so one hot kind spreads over `salt_buckets` tasks instead of one.
-* **Resume.** Work is split into `n_shards` deterministic url-hash shards;
-  each shard commits its output and a lineage row atomically (directory
-  rename semantics of the parquet committer + lineage append). A rerun
-  skips shards already present in the lineage table.
+* **Resume, single-scan.** Work is split into `n_shards` deterministic
+  url-hash shards, but the input is NOT re-scanned per shard: one classify
+  pass computes the shard id as a column and writes shard-partitioned
+  output with dynamic partition overwrite. Checkpoint granularity is the
+  *wave* (a group of shards processed in one pass, `shards_per_wave`):
+  each wave commits its outputs plus one lineage row per shard; a rerun
+  skips committed shards and dynamic overwrite makes half-written waves
+  idempotent. At 10^12 rows you pick shards_per_wave so a wave's output
+  fits the commit budget — input scans = n_waves, never n_shards.
 """
 
 from __future__ import annotations
@@ -45,11 +50,11 @@ def classify_and_enrich(pages: DataFrame, keep_cols=("url", "lang")) -> DataFram
     return enrich_with_remediation(classified)
 
 
-def aggregate_counts(enriched: DataFrame) -> DataFrame:
+def aggregate_counts(enriched: DataFrame, extra_keys: tuple = ()) -> DataFrame:
     """Per-kind/per-lang counts — partial+final hash aggregate, one shuffle
     on a low-cardinality key."""
     return (
-        enriched.groupBy("problem_kind", "lang")
+        enriched.groupBy(*extra_keys, "problem_kind", "lang")
         .agg(
             F.count("*").alias("n"),
             F.count("match_line").alias("n_matched"),
@@ -62,20 +67,29 @@ def route_fanout(
     out_dir: str,
     salt_buckets: int = 8,
     mode: str = "overwrite",
+    extra_partition_cols: tuple = (),
+    dynamic: bool = False,
 ) -> None:
-    """Fan-out to per-kind sinks with salted repartition before the shuffle."""
+    """Fan-out to per-kind sinks with salted repartition before the shuffle.
+
+    With ``extra_partition_cols=("shard",)`` and ``dynamic=True`` the write
+    lands in shard=K/sink_kind=X directories and overwrites only the
+    partitions present in this pass (dynamic partition overwrite) — the
+    idempotent-rerun primitive for the single-scan sharded pipeline."""
     salted = enriched.withColumn(
         "_salt", F.pmod(F.xxhash64(F.col("url")), F.lit(salt_buckets))
     )
     sink_key = F.coalesce(F.col("problem_kind"), F.lit("__unmatched__"))
-    (
+    writer = (
         salted.withColumn("sink_kind", sink_key)
-        .repartition(F.col("sink_kind"), F.col("_salt"))
+        .repartition(*[F.col(c) for c in extra_partition_cols], F.col("sink_kind"), F.col("_salt"))
         .drop("_salt")
         .write.mode(mode)
-        .partitionBy("sink_kind")
-        .parquet(out_dir)
+        .partitionBy(*extra_partition_cols, "sink_kind")
     )
+    if dynamic:
+        writer = writer.option("partitionOverwriteMode", "dynamic")
+    writer.parquet(out_dir)
 
 
 @dataclass
@@ -93,12 +107,19 @@ def run_pipeline(
     n_shards: int = 1,
     resume: bool = True,
     salt_buckets: int = 8,
+    shards_per_wave: Optional[int] = None,
 ) -> list[ShardResult]:
-    """Classify → enrich → fan-out per shard, with lineage + resume.
+    """Classify → enrich → fan-out with shard lineage + resume, single-scan.
 
-    Shards are deterministic url-hash buckets. Lineage rows land in
-    ``{out_dir}/_lineage`` (shard, input_count, matched_count, wall_ms);
-    a resumed run skips committed shards — idempotent at shard granularity.
+    Shards are deterministic url-hash buckets computed as a COLUMN (one scan
+    for all of them), not per-shard input filters (which would re-scan the
+    table n_shards times — the round-1 design's scale bug). Shards are
+    processed in waves of ``shards_per_wave`` (default: all remaining in one
+    wave); each wave is one classify pass whose routed/counts writes use
+    dynamic partition overwrite keyed by shard, so a crashed wave reruns
+    idempotently. Lineage rows (shard, input_count, matched_count, wall_ms)
+    are appended to ``{out_dir}/_lineage`` after the wave's data commits; a
+    resumed run skips committed shards.
     """
     lineage_dir = f"{out_dir}/_lineage"
     done: set[int] = set()
@@ -110,39 +131,51 @@ def run_pipeline(
         except Exception:
             done = set()
 
+    todo = [s for s in range(n_shards) if s not in done]
+    wave_size = shards_per_wave or max(len(todo), 1)
     results = []
-    for shard in range(n_shards):
-        if shard in done:
-            continue
+    for w0 in range(0, len(todo), wave_size):
+        wave = todo[w0 : w0 + wave_size]
         t0 = time.time()
-        shard_pages = (
-            pages
-            if n_shards == 1
-            else pages.where(F.pmod(F.xxhash64(F.col("url")), F.lit(n_shards)) == shard)
-        )
-        enriched = classify_and_enrich(shard_pages)
-        enriched = enriched.persist()
+        shard_col = F.pmod(F.xxhash64(F.col("url")), F.lit(n_shards)).cast("int")
+        wave_pages = pages.withColumn("shard", shard_col)
+        if len(wave) < n_shards:
+            wave_pages = wave_pages.where(F.col("shard").isin(wave))
+        enriched = classify_and_enrich(
+            wave_pages, keep_cols=("url", "lang", "shard")
+        ).persist()
         try:
-            input_count = enriched.count()
-            matched_count = enriched.where(F.col("match_line").isNotNull()).count()
+            # one aggregation pass yields every shard's lineage stats
+            stats = {
+                r["shard"]: (r["n"], r["m"])
+                for r in enriched.groupBy("shard")
+                .agg(F.count("*").alias("n"), F.count("match_line").alias("m"))
+                .collect()
+            }
             route_fanout(
                 enriched,
-                f"{out_dir}/routed/shard={shard}",
+                f"{out_dir}/routed",
                 salt_buckets=salt_buckets,
+                extra_partition_cols=("shard",),
+                dynamic=True,
             )
             (
-                aggregate_counts(enriched)
+                aggregate_counts(enriched, extra_keys=("shard",))
                 .write.mode("overwrite")
-                .parquet(f"{out_dir}/counts/shard={shard}")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("shard")
+                .parquet(f"{out_dir}/counts")
             )
         finally:
             enriched.unpersist()
         wall_ms = int((time.time() - t0) * 1000)
-        res = ShardResult(shard, input_count, matched_count, wall_ms)
-        results.append(res)
-        # lineage commit marks the shard done (append of a single-row file)
+        wave_rows = [
+            ShardResult(shard, *stats.get(shard, (0, 0)), wall_ms) for shard in wave
+        ]
+        results.extend(wave_rows)
+        # lineage commit marks the wave's shards done (single small append)
         spark.createDataFrame(
-            [(shard, input_count, matched_count, wall_ms)],
+            [(r.shard, r.input_count, r.matched_count, r.wall_ms) for r in wave_rows],
             schema="shard int, input_count long, matched_count long, wall_ms long",
         ).coalesce(1).write.mode("append").parquet(lineage_dir)
     return results

@@ -85,6 +85,69 @@ def test_run_pipeline_resume(spark):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def test_run_pipeline_single_scan(spark):
+    """Scale invariant: the input is materialized ONCE for all shards —
+    shard ids are a computed column, not per-shard input filters (which
+    would re-scan the table n_shards times)."""
+    out = tempfile.mkdtemp(prefix="blc_test_scan_")
+    try:
+        acc = spark.sparkContext.accumulator(0)
+        pages = fixtures.pages_df(spark, 120, partitions=4)
+
+        def count_rows(batches):
+            for pdf in batches:
+                acc.add(len(pdf))
+                yield pdf
+
+        instrumented = pages.mapInPandas(count_rows, schema=pages.schema)
+        res = run_pipeline(spark, instrumented, out, n_shards=4)
+        assert sum(r.input_count for r in res) == 120
+        assert acc.value == 120, f"input rows materialized {acc.value}×, want 120 (once)"
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_run_pipeline_waves_resume(spark):
+    """Wave-granular checkpointing: 2 waves of 2 shards; rerun is a no-op
+    and a partially-committed run resumes only the missing shards."""
+    out = tempfile.mkdtemp(prefix="blc_test_wave_")
+    try:
+        pages = fixtures.pages_df(spark, 120, partitions=4)
+        res1 = run_pipeline(spark, pages, out, n_shards=4, shards_per_wave=2)
+        assert [r.shard for r in res1] == [0, 1, 2, 3]
+        assert sum(r.input_count for r in res1) == 120
+        res2 = run_pipeline(spark, pages, out, n_shards=4, shards_per_wave=2)
+        assert res2 == []
+        lineage = spark.read.parquet(f"{out}/_lineage")
+        assert lineage.count() == 4
+        routed = spark.read.parquet(f"{out}/routed")
+        assert routed.count() == 120
+        assert {"shard", "sink_kind"} <= set(routed.columns)
+        counts = spark.read.parquet(f"{out}/counts")
+        assert counts.select(F.sum("n")).collect()[0][0] == 120
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_minhash_identical_docs_bounded(spark):
+    """500 byte-identical docs must NOT produce O(m²) candidate pairs:
+    exact-dedup collapses them pre-banding; with dedup off, the bucket cap
+    drops the oversized bucket."""
+    from buildlog_consultant_spark.ops.dedup import minhash_near_dup_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "the same exact web page text repeated across the whole crawl") for i in range(500)],
+        schema="doc_id long, text string",
+    )
+    assert minhash_near_dup_pairs(docs).count() == 0
+    assert (
+        minhash_near_dup_pairs(
+            docs, dedup_exact_first=False, max_bucket=64, log_dropped=True
+        ).count()
+        == 0
+    )
+
+
 def test_streaming_smoke(spark):
     from buildlog_consultant_spark.streaming import (
         classify_stream,
