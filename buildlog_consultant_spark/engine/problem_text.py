@@ -266,7 +266,11 @@ def problem_message(p: Optional[Problem]) -> Optional[str]:
             else f"Missing Perl module: {_d(p,'module')}"
         )
         mv = _d(p, "minimum_version")
-        return base + (f" >= {mv}" if mv else "")
+        base += f" >= {mv}" if mv else ""
+        inc = _d(p, "inc")
+        if inc is not None:
+            base += " (INC: " + ", ".join(inc) + ")"
+        return base
     if kind == "missing-cargo-crate":
         req = _d(p, "requirement")
         if req:
@@ -300,6 +304,8 @@ def problem_message(p: Optional[Problem]) -> Optional[str]:
             return f"Version {_d(p,'version')} is invalid: {reason}"
         return f"Version {_d(p,'version')} is invalid"
     if kind == "brz-internal-error":
+        # reference Display appends the message only when non-empty
+        # (src/problems/debian.rs:1679-1691)
         msg = _d(p, "exception_message")
         if msg:
             return f"brz internal error: {_d(p,'exception_type')}: {msg}"
