@@ -37,11 +37,45 @@ from .classify import classify_documents
 from .enrich import enrich_with_remediation
 
 
-def load_pages(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
-    """Table-format abstraction: parquet now, iceberg when the runtime jar is
-    on the classpath (`fmt="iceberg"` + a table identifier)."""
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the Iceberg Spark runtime is on the JVM classpath.
+
+    The sandbox image ships no iceberg-spark-runtime jar and has no network
+    to fetch one (attempt documented in BENCH/BASELINE.md), so locally this
+    returns False and the pipeline runs on the parquet stand-in; on a real
+    cluster (--packages org.apache.iceberg:iceberg-spark-runtime-...) it
+    returns True and fmt="iceberg" reads the real table."""
+    try:
+        spark.sparkContext._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.source.IcebergSource"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def load_pages(
+    spark: SparkSession, path: str, fmt: str = "parquet", strict: bool = False
+) -> DataFrame:
+    """Table-format abstraction: parquet or an Iceberg table identifier/path.
+
+    fmt="iceberg" requires the runtime jar; without it we raise (strict) or
+    fall back to parquet with a warning (the sandbox default), keeping the
+    calling code identical across both environments."""
     if fmt == "iceberg":
-        return spark.read.format("iceberg").load(path)
+        if iceberg_available(spark):
+            return spark.read.format("iceberg").load(path)
+        if strict:
+            raise RuntimeError(
+                "fmt='iceberg' requested but no iceberg-spark-runtime jar on "
+                "the classpath (add --packages org.apache.iceberg:"
+                "iceberg-spark-runtime-4.0_2.13:<version>)"
+            )
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "iceberg runtime not on classpath; falling back to parquet at %s", path
+        )
     return spark.read.parquet(path)
 
 

@@ -129,6 +129,25 @@ def test_run_pipeline_waves_resume(spark):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def test_iceberg_detection_and_fallback(spark, tmp_path):
+    """No iceberg-spark-runtime jar ships in this image (and there is no
+    network to fetch one) — detection must return False, strict mode must
+    raise with the fix-it hint, and the default must fall back to parquet."""
+    import pytest as _pytest
+
+    from buildlog_consultant_spark.spark.pipeline import iceberg_available, load_pages
+
+    path = str(tmp_path / "pages")
+    fixtures.pages_df(spark, 20, partitions=2).write.parquet(path)
+    if iceberg_available(spark):  # pragma: no cover — cluster with the jar
+        df = load_pages(spark, path, fmt="iceberg", strict=True)
+        assert df.count() >= 0
+        return
+    with _pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+        load_pages(spark, path, fmt="iceberg", strict=True)
+    assert load_pages(spark, path, fmt="iceberg").count() == 20
+
+
 def test_minhash_identical_docs_bounded(spark):
     """500 byte-identical docs must NOT produce O(m²) candidate pairs:
     exact-dedup collapses them pre-banding; with dedup off, the bucket cap
