@@ -123,32 +123,42 @@ def minhash_near_dup_pairs(
     return pairs
 
 
+def _sig_from_votes(votes):
+    """Fold a 64-wide vote array into the signed 64-bit signature."""
+    sig = F.lit(0).cast("long")
+    for bit in range(64):
+        mask = (1 << bit) if bit < 63 else -(1 << 63)  # signed-long bit 63
+        sig = sig.bitwiseOR(
+            F.when(F.element_at(votes, bit + 1) > 0, F.lit(mask).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    return sig
+
+
 def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit SimHash over word tokens using xxhash64 bit votes.
 
     Per token t: h = xxhash64(t). For each bit position, vote +1/-1; the
-    signature bit is the vote sign. Expressed with built-ins: explode-free
-    via aggregate over the token array (stays JVM-side)."""
+    signature bit is the vote sign. Single pass: tokens are hashed ONCE into
+    an array, then one aggregate produces the 64-wide vote vector (the naive
+    formulation hashes every token 64 times — 64× the hash cost)."""
     tokens = F.split(F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")), " ")
-    base = df.select(F.col(id_col).alias("id"), tokens.alias("toks"))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(tokens, lambda t: F.xxhash64(t)).alias("hs"),
+    )
 
-    def vote_for(bit: int):
-        def merge(acc, t):
-            is_set = F.shiftright(F.xxhash64(t), bit).bitwiseAND(F.lit(1)) == 1
-            return acc + F.when(is_set, 1).otherwise(-1)
+    def add_votes(acc, h):
+        # h is a lambda-variable reference — the token is hashed once and
+        # each bit test reuses it (no per-bit rehash)
+        bits = F.array(*[
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            for i in range(64)
+        ])
+        return F.zip_with(acc, bits, lambda a, b: a + b)
 
-        return F.aggregate(F.col("toks"), F.lit(0), merge)
-
-    bit_cols = [
-        F.when(vote_for(bit) > 0, F.shiftleft(F.lit(1).cast("long"), bit)).otherwise(
-            F.lit(0).cast("long")
-        )
-        for bit in range(64)
-    ]
-    sig = bit_cols[0]
-    for c in bit_cols[1:]:
-        sig = sig.bitwiseOR(c)
-    return base.select("id", sig.alias("simhash"))
+    votes = F.aggregate(F.col("hs"), F.array_repeat(F.lit(0), 64), add_votes)
+    return base.select("id", _sig_from_votes(votes).alias("simhash"))
 
 
 _HIGH_NIBBLE_SETS = [
@@ -171,28 +181,21 @@ def simhash64_md5(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         F.transform(tokens, lambda t: F.md5(t)).alias("hs"),
     )
 
-    def vote_for(digit: int, j: int):
-        members = _HIGH_NIBBLE_SETS[j]
+    def add_votes(acc, h):
+        # one substring per hex digit, four bit tests each — single pass
+        # over the pre-hashed token array (the naive form re-aggregated the
+        # array 64 times)
+        bits = F.array(*[
+            F.when(
+                F.substring(h, digit + 1, 1).isin(_HIGH_NIBBLE_SETS[j]), 1
+            ).otherwise(-1)
+            for digit in range(16)
+            for j in range(4)
+        ])
+        return F.zip_with(acc, bits, lambda a, b: a + b)
 
-        def merge(acc, h):
-            nib = F.substring(h, digit + 1, 1)
-            return acc + F.when(nib.isin(members), 1).otherwise(-1)
-
-        return F.aggregate(F.col("hs"), F.lit(0), merge)
-
-    bit_cols = []
-    for digit in range(16):
-        for j in range(4):
-            b = digit * 4 + j
-            bit_cols.append(
-                F.when(
-                    vote_for(digit, j) > 0, F.shiftleft(F.lit(1).cast("long"), b)
-                ).otherwise(F.lit(0).cast("long"))
-            )
-    sig = bit_cols[0]
-    for c in bit_cols[1:]:
-        sig = sig.bitwiseOR(c)
-    return base.select("id", sig.alias("simhash"))
+    votes = F.aggregate(F.col("hs"), F.array_repeat(F.lit(0), 64), add_votes)
+    return base.select("id", _sig_from_votes(votes).alias("simhash"))
 
 
 def ngram_jaccard(
