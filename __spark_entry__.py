@@ -381,6 +381,88 @@ GROUP BY 1, 2 HAVING COUNT(*) >= 2
 """
 
 
+def q_minhash_near_dups_xx(spark, sf_dir):
+    """xxhash64-family MinHash+LSH near-dup pairs — the throughput path
+    (~8× cheaper hashing than the md5 family). Oracle: golden VALUES
+    recomputed in pure Python (independent tokenizer + ops/xxh64) with the
+    same banding, exact-dedup pre-pass, and bucket cap."""
+    d = _docs(spark, sf_dir)
+    return dedup_ops.minhash_near_dup_pairs_xx(d)
+
+
+def _oracle_minhash_xx(
+    bands: int = 8, k: int = 3, min_shared: int = 2, max_bucket: int = 256
+) -> str:
+    import re
+    import struct
+    from collections import Counter, defaultdict
+
+    import pyarrow.parquet as pq
+
+    from buildlog_consultant_spark.ops.xxh64 import xxh64
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    tbl = pq.read_table(
+        f"{_SIMHASH_ORACLE_SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    )
+    recs = sorted(
+        zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()), key=lambda r: r[0]
+    )
+    seeds = [xxh64(struct.pack("<q", b), 42) for b in range(bands)]
+
+    def signed(h: int) -> int:
+        return h - (1 << 64) if h >= (1 << 63) else h
+
+    shingle_cache: dict[str, tuple] = {}
+    sig_rows = []  # (band, sig, doc_id)
+    seen_texts: set[str] = set()
+    for doc_id, text in recs:
+        if text in seen_texts:  # exact-dedup: min-id representative wins
+            continue
+        seen_texts.add(text)
+        toks = ws.sub(" ", (text or "").strip(" ")).lower().split(" ")
+        n = len(toks)
+        shingles = [" ".join(toks[i : i + k]) for i in range(0, max(n - k, 0) + 1)]
+        mins = [None] * bands
+        for s in shingles:
+            hs = shingle_cache.get(s)
+            if hs is None:
+                enc = s.encode("utf-8")
+                hs = shingle_cache[s] = tuple(
+                    signed(xxh64(enc, seeds[b])) for b in range(bands)
+                )
+            for b in range(bands):
+                if mins[b] is None or hs[b] < mins[b]:
+                    mins[b] = hs[b]
+        for b in range(bands):
+            sig_rows.append((b, mins[b], doc_id))
+    bucket_sizes = Counter((b, s) for b, s, _ in sig_rows)
+    buckets = defaultdict(list)
+    for b, s, i in sig_rows:
+        if bucket_sizes[(b, s)] <= max_bucket:
+            buckets[(b, s)].append(i)
+    pair_counts: Counter = Counter()
+    for ids in buckets.values():
+        ids.sort()
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                pair_counts[(ids[x], ids[y])] += 1
+    rows = sorted(
+        (a, b, c) for (a, b), c in pair_counts.items() if c >= min_shared
+    )
+    vals = ",\n".join(f"({a}, {b}, {c})" for a, b, c in rows)
+    if not rows:
+        return (
+            "SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b, "
+            "CAST(NULL AS BIGINT) AS shared_bands WHERE 1=0"
+        )
+    return (
+        "SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, "
+        "CAST(shared_bands AS BIGINT) AS shared_bands "
+        f"FROM (VALUES\n{vals}\n) AS t(id_a, id_b, shared_bands)"
+    )
+
+
 def q_lang_guess(spark, sf_dir):
     """Stopword-hit language-ID over documents, counted per (actual, guessed)."""
     d = text_ops.with_lang_guess(_docs(spark, sf_dir))
@@ -442,15 +524,16 @@ def q_ann_topk_lsh(spark, sf_dir):
     return scored.select(F.row_number().over(w).alias("rank"), "vec_id")
 
 
-def _oracle_ann_topk_lsh(n_planes: int = 6, dim: int = 64) -> str:
+def _bucket_cte(n_planes: int, dim: int) -> str:
+    """Shared SQL prefix: deterministic plane literals → per-vector LSH
+    bucket (replays sim_ops.hyperplane_buckets exactly)."""
     planes = ",\n".join(
         "({}, [{}])".format(
             b, ", ".join(repr(sim_ops.plane_component(b, i)) for i in range(dim))
         )
         for b in range(n_planes)
     )
-    return f"""
-WITH planes AS (
+    return f"""planes AS (
   SELECT * FROM (VALUES
 {planes}
   ) AS p(b, w)
@@ -464,9 +547,19 @@ WITH planes AS (
          CAST(SUM(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << b
                        ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
   FROM dots GROUP BY vec_id
-), qb AS (SELECT bucket FROM bucketed WHERE vec_id = 0),
+)"""
+
+
+def _oracle_ann_topk_lsh(n_planes: int = 6, dim: int = 64) -> str:
+    probe = " OR ".join(
+        ["b.bucket = qb.bucket"]
+        + [f"b.bucket = xor(qb.bucket, {1 << i})" for i in range(n_planes)]
+    )
+    return f"""
+WITH {_bucket_cte(n_planes, dim)},
+qb AS (SELECT bucket FROM bucketed WHERE vec_id = 0),
 cands AS (
-  SELECT b.vec_id FROM bucketed b, qb WHERE b.bucket = qb.bucket AND b.vec_id <> 0
+  SELECT b.vec_id FROM bucketed b, qb WHERE b.vec_id <> 0 AND ({probe})
 ), q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
 scored AS (
   SELECT e.vec_id,
@@ -476,6 +569,35 @@ scored AS (
 )
 SELECT CAST(row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank, vec_id
 FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via multi-probe LSH candidates +
+    exact cosine filter. Threshold 0.45 is boundary-safe on this data (no
+    pair cosine within 5e-4 of it), so the double-precision filter agrees
+    across engines."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return sim_ops.embedding_near_dups(emb, threshold=0.45, n_planes=6)
+
+
+def _oracle_embedding_near_dups(n_planes: int = 6, dim: int = 64) -> str:
+    probe_list = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << i})" for i in range(n_planes)]
+    )
+    return f"""
+WITH {_bucket_cte(n_planes, dim)},
+probes AS (
+  SELECT vec_id, unnest([{probe_list}]) AS probe FROM bucketed
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM probes a JOIN bucketed b ON a.probe = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b FROM cand
+JOIN embeddings ea ON ea.vec_id = cand.id_a
+JOIN embeddings eb ON eb.vec_id = cand.id_b
+WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                             CAST(eb.embedding AS DOUBLE[])) >= 0.45
 """
 
 
@@ -656,7 +778,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": q_top_customers,
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
+        "embedding_near_dups": q_embedding_near_dups,
         "minhash_near_dups": q_minhash_near_dups,
+        "minhash_near_dups_xx": q_minhash_near_dups_xx,
         "lang_guess": q_lang_guess,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
@@ -679,9 +803,11 @@ def oracle_sql() -> dict[str, str]:
         "top_customers": ORACLE_TOP_CUSTOMERS,
         "ann_topk": ORACLE_ANN_TOPK,
         "minhash_near_dups": ORACLE_MINHASH,
+        "minhash_near_dups_xx": _oracle_minhash_xx(),
         "lang_guess": ORACLE_LANG_GUESS,
         "ngram_jaccard": ORACLE_NGRAM_JACCARD,
         "simhash": _oracle_simhash(),
         "simhash_md5": ORACLE_SIMHASH_MD5,
         "ann_topk_lsh": _oracle_ann_topk_lsh(),
+        "embedding_near_dups": _oracle_embedding_near_dups(),
     }

@@ -102,16 +102,65 @@ def ann_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    probe_hamming: int = 1,
 ) -> DataFrame:
     """Approximate top-k: restrict the exact scorer to the query's LSH bucket
-    (falls back to hamming-adjacent buckets being future work)."""
+    and (multi-probe) its hamming-``probe_hamming`` neighbor buckets — the
+    standard recall fix for single-probe hyperplane LSH, at (n_planes+1)×
+    the candidate volume instead of 2^n_planes."""
     buckets = hyperplane_buckets(df, n_planes, id_col, vec_col, dim)
     qb = buckets.where(F.col(id_col) == query_vec_id).select(
         F.col("bucket").alias("qbucket")
     )
-    cands = (
-        buckets.crossJoin(F.broadcast(qb))
-        .where(F.col("bucket") == F.col("qbucket"))
-        .select(id_col)
-    )
+    cond = F.col("bucket") == F.col("qbucket")
+    if probe_hamming >= 1:
+        for i in range(n_planes):
+            cond = cond | (F.col("bucket") == F.col("qbucket").bitwiseXOR(F.lit(1 << i)))
+    cands = buckets.crossJoin(F.broadcast(qb)).where(cond).select(id_col)
     return cosine_topk(df.join(cands, id_col, "left_semi"), query_vec_id, k, id_col, vec_col)
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    threshold: float = 0.45,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs at corpus scale.
+
+    Candidate generation is a bucket JOIN (never all-pairs): each vector's
+    LSH bucket is expanded to itself plus its hamming-``probe_hamming``
+    neighbors (multi-probe), candidates join on bucket equality, and only
+    candidates get the exact cosine test (>= threshold). At 10^12 rows the
+    shuffle carries (n_planes+1)× the id+bucket pairs — tiny next to the
+    vectors, which are only re-read for the surviving candidates."""
+    buckets = hyperplane_buckets(df, n_planes, id_col, vec_col, dim)
+    masks = [0] + ([1 << i for i in range(n_planes)] if probe_hamming >= 1 else [])
+    probes = buckets.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])
+        ).alias("probe"),
+    )
+    a, b = probes.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(b, F.col("a.probe") == F.col("b.bucket"))
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    v = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    va = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    vb = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .where(cos >= threshold)
+        .select("id_a", "id_b")
+    )
