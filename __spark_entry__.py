@@ -736,6 +736,35 @@ FROM norm
 """
 
 
+MEDIA_N = 64
+_MEDIA_COLS = [
+    "url", "media_type", "width", "height",
+    "mean_r_milli", "mean_g_milli", "mean_b_milli",
+    "sample_rate", "n_samples", "rms_milli",
+]
+
+
+def q_media_meta(spark, sf_dir):
+    """Multimodal decode over a deterministic binary corpus: REAL 24-bit BMP
+    and PCM WAV decoders (numpy/stdlib — no image libs needed), unknown blobs
+    labeled as such. Oracle: golden VALUES carrying the BY-CONSTRUCTION
+    expectations (stats computed from the generating arrays in fixtures,
+    independent of the decoders)."""
+    from buildlog_consultant_spark.ops.multimodal import extract_media_meta
+
+    _ensure_pkg_shipped(spark)
+    media = fixtures.media_df(spark, MEDIA_N)
+    return extract_media_meta(media, binary_col="media").select(*_MEDIA_COLS)
+
+
+def _oracle_media_meta() -> str:
+    rows = []
+    for i in range(MEDIA_N):
+        _, g = fixtures.make_media(i)
+        rows.append(tuple(g.get(c) for c in _MEDIA_COLS))
+    return _values_oracle(rows, _MEDIA_COLS)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -785,6 +814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "simhash_md5": q_simhash_md5,
+        "media_meta": q_media_meta,
     }
 
 
@@ -810,4 +840,5 @@ def oracle_sql() -> dict[str, str]:
         "simhash_md5": ORACLE_SIMHASH_MD5,
         "ann_topk_lsh": _oracle_ann_topk_lsh(),
         "embedding_near_dups": _oracle_embedding_near_dups(),
+        "media_meta": _oracle_media_meta(),
     }

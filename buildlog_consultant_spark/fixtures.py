@@ -464,6 +464,75 @@ def pages_df(spark, n: int, partitions: Optional[int] = None, pad_scale: int = 1
     return spark.range(0, n, 1, partitions).mapInPandas(gen, schema=PAGES_SCHEMA)
 
 
+def make_media(i: int) -> tuple[dict, dict]:
+    """Deterministic media row i: alternating real BMP / WAV bytes, plus one
+    'unknown' blob in every 8. Returns (row, golden) where golden carries
+    the BY-CONSTRUCTION expectations (stats computed from the generating
+    arrays, independently of the decoders in ops/multimodal.py)."""
+    import math
+
+    import numpy as np
+
+    from .ops.multimodal import encode_bmp, encode_wav
+
+    url = f"media://{i:06d}"
+    kind = i % 8
+    if kind == 7:
+        data = (b"\x89OPAQUE" + bytes([(i * 37 + j) % 256 for j in range(64)]))
+        golden = {"url": url, "media_type": "unknown"}
+        return {"url": url, "media": data}, golden
+    if i % 2 == 0:
+        w, h = 8 + (i % 5), 6 + (i % 3)
+        yy, xx = np.mgrid[0:h, 0:w]
+        px = np.stack(
+            [
+                (xx * 7 + i) % 256,
+                (yy * 11 + 2 * i) % 256,
+                (xx + yy + 3 * i) % 256,
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+        golden = {
+            "url": url,
+            "media_type": "image/bmp",
+            "width": w,
+            "height": h,
+            "mean_r_milli": int(px[:, :, 0].astype(np.int64).sum() * 1000 // (w * h)),
+            "mean_g_milli": int(px[:, :, 1].astype(np.int64).sum() * 1000 // (w * h)),
+            "mean_b_milli": int(px[:, :, 2].astype(np.int64).sum() * 1000 // (w * h)),
+        }
+        return {"url": url, "media": encode_bmp(px)}, golden
+    n_samples = 200 + (i % 7) * 50
+    t = np.arange(n_samples, dtype=np.int64)
+    samples = (((t * (i + 3)) % 2000) - 1000).astype(np.int16)
+    sq = samples.astype(np.int64)
+    golden = {
+        "url": url,
+        "media_type": "audio/wav",
+        "sample_rate": 8000,
+        "n_samples": n_samples,
+        "rms_milli": math.isqrt(int((sq * sq).sum()) * 1_000_000 // n_samples),
+    }
+    return {"url": url, "media": encode_wav(samples)}, golden
+
+
+MEDIA_SCHEMA = "url string, media binary"
+
+
+def media_df(spark, n: int, partitions: Optional[int] = None):
+    """Distributed deterministic media corpus (url, media:binary)."""
+    partitions = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                [make_media(int(i))[0] for i in pdf["id"]],
+                columns=["url", "media"],
+            )
+
+    return spark.range(0, n, 1, partitions).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
 def expected_counts(n: int) -> dict[tuple, int]:
     """Golden per-(kind, lang) counts over the first n docs."""
     counts: dict[tuple, int] = {}

@@ -248,15 +248,57 @@ def test_multimodal_plumbing(spark):
     pages = fixtures.pages_df(spark, 20, partitions=2)
     meta = extract_media_meta(pages).collect()
     assert len(meta) == 20
-    # deterministic stub: same bytes → same fake features
+    # html bytes aren't BMP/WAV → deterministic stub path, clearly labeled
     by_url = {r.url: r for r in meta}
     page0, _ = fixtures.make_doc(0)
     import hashlib
 
     r = by_url[page0["url"]]
+    assert r.media_type == "unknown"
     assert r.n_bytes == len(page0["html"])
     assert r.sha1 == hashlib.sha1(page0["html"]).hexdigest()
     assert 64 <= r.fake_width < 256
+
+
+def test_multimodal_real_decoders(spark):
+    """BMP and WAV are decoded for real (header parse + numpy stats); the
+    golden expectations come from the generating arrays, not the decoders."""
+    from buildlog_consultant_spark.ops.multimodal import extract_media_meta
+
+    media = fixtures.media_df(spark, 32, partitions=2)
+    got = {r.url: r.asDict() for r in extract_media_meta(media, binary_col="media").collect()}
+    assert len(got) == 32
+    n_bmp = n_wav = 0
+    for i in range(32):
+        _, golden = fixtures.make_media(i)
+        row = got[golden["url"]]
+        for k, v in golden.items():
+            assert row[k] == v, (i, k, row[k], v)
+        n_bmp += golden["media_type"] == "image/bmp"
+        n_wav += golden["media_type"] == "audio/wav"
+    assert n_bmp >= 10 and n_wav >= 10
+
+
+def test_bmp_wav_roundtrip_unit():
+    import numpy as np
+
+    from buildlog_consultant_spark.ops.multimodal import (
+        decode_bmp,
+        decode_wav,
+        encode_bmp,
+        encode_wav,
+    )
+
+    px = np.arange(5 * 4 * 3, dtype=np.uint8).reshape(5, 4, 3)
+    meta = decode_bmp(encode_bmp(px))
+    assert meta["width"] == 4 and meta["height"] == 5
+    assert meta["mean_r_milli"] == int(px[:, :, 0].astype(int).sum() * 1000 // 20)
+    samples = (np.arange(100) % 64 - 32).astype(np.int16)
+    w = decode_wav(encode_wav(samples, 16000))
+    assert w["sample_rate"] == 16000 and w["n_samples"] == 100
+    # junk is neither
+    assert decode_bmp(b"not a bmp at all, definitely not") is None
+    assert decode_wav(b"RIFFxxxxNOPE") is None
 
 
 def test_dedup_ops(spark):
