@@ -463,6 +463,28 @@ def _oracle_minhash_xx(
     )
 
 
+def q_bpe_token_counts(spark, sf_dir):
+    """BPE-ish pre-tokenizer counts per lang (JVM regexp_count; the regex is
+    restricted to Java/RE2-identical constructs so DuckDB replays it)."""
+    d = text_ops.with_bpe_token_count(_docs(spark, sf_dir))
+    return d.groupBy("lang").agg(
+        F.sum("n_bpe_tokens").alias("sum_bpe_tokens"),
+        F.max("n_bpe_tokens").alias("max_bpe_tokens"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+ORACLE_BPE_TOKEN_COUNTS = r"""
+WITH c AS (
+  SELECT lang, len(regexp_extract_all(text, ' ?[A-Za-zÀ-ÿ]+| ?[0-9]+| ?[^A-Za-zÀ-ÿ0-9\s]+|\s+')) AS n
+  FROM documents
+)
+SELECT lang, CAST(SUM(n) AS BIGINT) AS sum_bpe_tokens,
+       CAST(MAX(n) AS BIGINT) AS max_bpe_tokens, COUNT(*) AS n_docs
+FROM c GROUP BY lang
+"""
+
+
 def q_lang_guess(spark, sf_dir):
     """Stopword-hit language-ID over documents, counted per (actual, guessed)."""
     d = text_ops.with_lang_guess(_docs(spark, sf_dir))
@@ -811,6 +833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": q_minhash_near_dups,
         "minhash_near_dups_xx": q_minhash_near_dups_xx,
         "lang_guess": q_lang_guess,
+        "bpe_token_counts": q_bpe_token_counts,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "simhash_md5": q_simhash_md5,
@@ -835,6 +858,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dups": ORACLE_MINHASH,
         "minhash_near_dups_xx": _oracle_minhash_xx(),
         "lang_guess": ORACLE_LANG_GUESS,
+        "bpe_token_counts": ORACLE_BPE_TOKEN_COUNTS,
         "ngram_jaccard": ORACLE_NGRAM_JACCARD,
         "simhash": _oracle_simhash(),
         "simhash_md5": ORACLE_SIMHASH_MD5,

@@ -31,6 +31,21 @@ def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenizer: letter runs / digit runs / other-symbol runs, each
+# optionally absorbing one leading space, plus whitespace runs — the GPT-2
+# pre-split shape, restricted to constructs Java regex and RE2 (DuckDB)
+# evaluate identically (no lookahead — RE2 has none; ASCII \s on both).
+BPE_ISH_PATTERN = r" ?[A-Za-zÀ-ÿ]+| ?[0-9]+| ?[^A-Za-zÀ-ÿ0-9\s]+|\s+"
+
+
+def with_bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token count under the BPE-ish pre-tokenizer (JVM-side regexp_count —
+    no Python, no explode; at crawl scale this is a pure map column)."""
+    return df.withColumn(
+        "n_bpe_tokens", F.regexp_count(F.col(text_col), F.lit(BPE_ISH_PATTERN))
+    )
+
+
 def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic integer quality score in [0, 100]:
     length component + punctuation-ratio + uppercase-ratio penalties.

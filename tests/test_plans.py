@@ -69,6 +69,38 @@ def test_aggregate_is_partial_final_hash(spark, pages_path):
     assert plan.count("HashAggregate") >= 2, plan[:1500]
 
 
+def test_copartitioned_join_reuses_partitioning(spark, pages_path):
+    """Co-located join: two sides repartitioned on the same key must join
+    WITHOUT a third exchange — the property that makes pre-bucketed /
+    co-partitioned joins shuffle-free at 100 TB. (AQE and auto-broadcast
+    disabled so the physical plan shows the raw exchange structure.)"""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pages = spark.read.parquet(pages_path)
+        a = pages.repartition(8, "url").select("url", "lang")
+        b = pages.repartition(8, "url").select("url", F.length("text").alias("n"))
+        plan = _plan(a.join(b, "url"))
+        n_shuffles = plan.count("Exchange hashpartitioning")
+        assert n_shuffles == 2, plan[:2000]  # only the two explicit repartitions
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_bpe_token_count_is_jvm_side(spark, pages_path):
+    """The BPE-ish token counter must stay inside whole-stage codegen — no
+    Python evaluation node in the plan."""
+    from buildlog_consultant_spark.ops.text import with_bpe_token_count
+
+    pages = spark.read.parquet(pages_path).select("text")
+    plan = _plan(with_bpe_token_count(pages))
+    # regexp_count lowers to size(regexp_extract_all(...)) in codegen
+    assert "regexp_extract_all" in plan or "regexp_count" in plan, plan[:800]
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+
+
 def test_topk_uses_take_ordered(spark):
     emb = spark.createDataFrame(
         [(i, [float(i), 1.0]) for i in range(20)], "vec_id long, embedding array<double>"
