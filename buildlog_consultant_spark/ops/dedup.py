@@ -105,30 +105,47 @@ def minhash_signatures_xx(
     )
 
 
-def _pairs_from_sigs(sigs: DataFrame, min_shared_bands: int) -> DataFrame:
-    a = sigs.alias("a")
-    b = sigs.alias("b")
+def _pairs_from_sigs(
+    sigs: DataFrame,
+    min_shared_bands: int,
+    max_bucket: int | None = None,
+    log_dropped: bool = False,
+) -> DataFrame:
+    """Candidate pairs from (id, band, sig) rows, single-pass.
+
+    ONE shuffle groups rows into buckets (collect_list per (band, sig));
+    pair generation is then map-side array math — no self-join, so the
+    shingle/hash lineage is computed exactly once and the per-bucket pair
+    count is bounded by max_bucket² by construction. Buckets larger than
+    max_bucket are dropped here (they defeat banding — see module doc)."""
+    buckets = sigs.groupBy("band", "sig").agg(F.collect_list("id").alias("ids"))
+    keep = buckets.where(F.size("ids") >= 2)
+    if max_bucket is not None:
+        if log_dropped:
+            import logging
+
+            n_over = keep.where(F.size("ids") > max_bucket).count()
+            if n_over:
+                logging.getLogger(__name__).warning(
+                    "minhash: dropping %d buckets larger than %d", n_over, max_bucket
+                )
+        keep = keep.where(F.size("ids") <= max_bucket)
+    ids = F.array_sort(F.col("ids"))
+    pair_array = F.flatten(
+        F.transform(
+            ids,
+            lambda a: F.transform(
+                F.filter(ids, lambda b: b > a),
+                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig")))
-        .where(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        keep.select(F.explode(pair_array).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count("*").alias("shared_bands"))
         .where(F.col("shared_bands") >= min_shared_bands)
     )
-
-
-def _cap_buckets(sigs: DataFrame, max_bucket: int, log_dropped: bool) -> DataFrame:
-    sizes = sigs.groupBy("band", "sig").agg(F.count("*").alias("_bn"))
-    oversized = sizes.where(F.col("_bn") > max_bucket).select("band", "sig")
-    if log_dropped:
-        import logging
-
-        n_over = oversized.count()
-        if n_over:
-            logging.getLogger(__name__).warning(
-                "minhash: dropping %d buckets larger than %d", n_over, max_bucket
-            )
-    return sigs.join(oversized, ["band", "sig"], "left_anti")
 
 
 def minhash_near_dup_pairs_xx(
@@ -147,9 +164,7 @@ def minhash_near_dup_pairs_xx(
     semantics; see minhash_signatures_xx for the hash construction)."""
     src = dedup_exact(df, id_col, text_col) if dedup_exact_first else df
     sigs = minhash_signatures_xx(src, id_col, text_col, bands, k)
-    if max_bucket is not None:
-        sigs = _cap_buckets(sigs, max_bucket, log_dropped)
-    return _pairs_from_sigs(sigs, min_shared_bands)
+    return _pairs_from_sigs(sigs, min_shared_bands, max_bucket, log_dropped)
 
 
 def minhash_near_dup_pairs(
@@ -175,9 +190,7 @@ def minhash_near_dup_pairs(
     counts and warns about what was skipped."""
     src = dedup_exact(df, id_col, text_col) if dedup_exact_first else df
     sigs = minhash_signatures(src, id_col, text_col, bands, k)
-    if max_bucket is not None:
-        sigs = _cap_buckets(sigs, max_bucket, log_dropped)
-    return _pairs_from_sigs(sigs, min_shared_bands)
+    return _pairs_from_sigs(sigs, min_shared_bands, max_bucket, log_dropped)
 
 
 def _sig_from_votes(votes):
