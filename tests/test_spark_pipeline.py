@@ -208,6 +208,61 @@ def test_streaming_smoke(spark):
         shutil.rmtree(src, ignore_errors=True)
 
 
+def test_streaming_routed_sink(spark):
+    """Streaming → enrich → salted fan-out sink via foreachBatch: the batch
+    pipeline's route_fanout is reused verbatim per micro-batch, landing the
+    same partitioned layout (sink_kind=...) in append mode."""
+    from buildlog_consultant_spark.spark.enrich import enrich_with_remediation
+    from buildlog_consultant_spark.spark.pipeline import route_fanout
+    from buildlog_consultant_spark.streaming.pipeline import (
+        classify_stream,
+        read_pages_stream,
+    )
+
+    src = tempfile.mkdtemp(prefix="blc_stream_route_src_")
+    out = tempfile.mkdtemp(prefix="blc_stream_route_out_") + "/routed"
+    try:
+        fixtures.pages_df(spark, 60, partitions=3).write.mode("overwrite").parquet(src)
+        stream = read_pages_stream(spark, src, max_files_per_trigger=2)
+
+        def write_batch(batch_df, epoch_id):
+            route_fanout(enrich_with_remediation(batch_df), out, mode="append")
+
+        q = classify_stream(stream).writeStream.foreachBatch(write_batch).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        routed = spark.read.parquet(out)
+        assert routed.count() == 60
+        assert "sink_kind" in routed.columns
+        assert routed.where(F.col("sink_kind") != "__unmatched__").count() > 0
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(out.rsplit("/", 1)[0], ignore_errors=True)
+
+
+def test_xxh64_matches_spark(spark):
+    """ops/xxh64.py is the oracle-side hash: pin bit-identity to Spark's
+    xxhash64 for strings (seed 42) and the multi-arg long-seed chain."""
+    import struct
+
+    from buildlog_consultant_spark.ops.xxh64 import xxh64, xxh64_signed
+
+    toks = ["", "a", "hello world", "x" * 31, "y" * 32, "z" * 100, "üñïçødé", "汉字词"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(toks)], "b long, t string")
+    rows = df.select(
+        "b", "t",
+        F.xxhash64("t").alias("h1"),
+        F.xxhash64("b", "t").alias("h2"),
+    ).collect()
+    for r in rows:
+        assert xxh64_signed(r.t.encode()) == r.h1
+        chained = xxh64(r.t.encode(), xxh64(struct.pack("<q", r.b), 42))
+        chained = chained - (1 << 64) if chained >= (1 << 63) else chained
+        assert chained == r.h2
+
+
 def test_streaming_stateful_first_seen(spark):
     """applyInPandasWithState: only the first doc per kind crosses the
     stream, across micro-batches."""
