@@ -331,6 +331,70 @@ LIMIT 20
 """
 
 
+def q_q3_shipping(spark, sf_dir):
+    """TPC-H-Q3-shaped 3-table join: broadcast customer dim, shuffle join on
+    orderkey, per-(order, date) revenue in exact cents, top 10."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(F.col("l_shipdate") > F.lit("1995-03-15"))
+        .join(
+            o.where(F.col("o_orderdate") < F.lit("1995-03-15")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"))
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+            ).alias("revenue_cents")
+        )
+        .orderBy(F.desc("revenue_cents"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+ORACLE_Q3 = """
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, order_date
+ORDER BY revenue_cents DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_events_tumbling(spark, sf_dir):
+    """1-hour tumbling-window aggregate per event type (the batch analogue of
+    the streaming windowed counts; window start emitted as a string so the
+    hash compares identically across engines)."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        e.groupBy(
+            "event_type",
+            F.date_format(F.window("ts", "1 hour").start, "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("sum_cents"),
+        )
+    )
+
+
+ORACLE_EVENTS_TUMBLING = """
+SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY event_type, hour
+"""
+
+
 def q_ann_topk(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     from pyspark.sql.window import Window
@@ -827,6 +891,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionization": q_sessionization,
         "q1_lineitem": q_q1_lineitem,
         "top_customers": q_top_customers,
+        "q3_shipping": q_q3_shipping,
+        "events_tumbling": q_events_tumbling,
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
         "embedding_near_dups": q_embedding_near_dups,
@@ -854,6 +920,8 @@ def oracle_sql() -> dict[str, str]:
         "sessionization": ORACLE_SESSIONIZATION,
         "q1_lineitem": ORACLE_Q1,
         "top_customers": ORACLE_TOP_CUSTOMERS,
+        "q3_shipping": ORACLE_Q3,
+        "events_tumbling": ORACLE_EVENTS_TUMBLING,
         "ann_topk": ORACLE_ANN_TOPK,
         "minhash_near_dups": ORACLE_MINHASH,
         "minhash_near_dups_xx": _oracle_minhash_xx(),
