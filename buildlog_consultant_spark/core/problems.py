@@ -354,4 +354,7 @@ def python_distribution_from_requirement(text: str, python_version: Optional[int
         mv = _PYVER_MARKER_RE.search(marker)
         if mv:
             python_version = int(mv.group(1))
+    # pep508_rs normalizes the package name per PEP 503 (reference
+    # from_requirement_str → Requirement.name): lowercase, [-_.]+ → -
+    name = re.sub(r"[-_.]+", "-", name).lower()
     return MissingPythonDistribution(name, python_version, minimum_version)

@@ -1102,6 +1102,92 @@ TRANCHE5 = [
 ]
 CASES.extend(TRANCHE5)
 
+# TRANCHE6 — round 2: the last reference vectors not yet ported (gap scan
+# against every assert_match/assert_just_match first-line in
+# /root/reference/src/common.rs mod tests)
+TRANCHE6 = [
+    # test_mv_stat (common.rs)
+    (["mv: cannot stat 'res/boss.png': No such file or directory"], 1, None),
+    # test_fortran / undefined reference vectors
+    (["./testFortranCompiler.f:4: undefined reference to `sgemm_'"], 1, None),
+    (["writer.d:59: error: undefined reference to 'sam_hdr_parse_'"], 1, None),
+    # relative-path command missing → match only
+    (["make[1]: ./docker: Command not found"], 1, None),
+    # typescript error
+    (
+        ["blah/tokenizer.ts(175,21): error TS2532: Object is possibly 'undefined'."],
+        1,
+        None,
+    ),
+    # pkg-config version too old
+    (
+        ["Requested 'vte-2.91 >= 0.59.0' but version of vte is 0.58.2"],
+        1,
+        lambda: P.MissingPkgConfig("vte-2.91", "0.59.0"),
+    ),
+    # configure needs pkgconf itself
+    (
+        ['checking for LAPACK... configure: error: "Cannot check for existence of module lapack without pkgconf"'],
+        1,
+        lambda: P.MissingCommand("pkgconf"),
+    ),
+    # ld relocation advice → match only
+    (
+        ["/usr/bin/ld: pcap-linux.o: relocation R_X86_64_PC32 against symbol `stderr@@GLIBC_2.2.5' can not be used when making a shared object; recompile with -fPIC"],
+        1,
+        None,
+    ),
+    # perl module with full @INC capture
+    (
+        ["Can't locate Test/Needs.pm in @INC (you may need to install the Test::Needs module) (@INC contains: t/lib /<<PKGBUILDDIR>>/blib/lib /<<PKGBUILDDIR>>/blib/arch /etc/perl /usr/local/lib/x86_64-linux-gnu/perl/5.30.0 /usr/local/share/perl/5.30.0 /usr/lib/x86_64-linux-gnu/perl5/5.30 /usr/share/perl5 /usr/lib/x86_64-linux-gnu/perl/5.30 /usr/share/perl/5.30 /usr/local/lib/site_perl /usr/lib/x86_64-linux-gnu/perl-base .) at t/anon-basic.t line 7."],
+        1,
+        lambda: P.MissingPerlModule(
+            "Test/Needs.pm",
+            "Test::Needs",
+            [
+                "t/lib", "/<<PKGBUILDDIR>>/blib/lib", "/<<PKGBUILDDIR>>/blib/arch",
+                "/etc/perl", "/usr/local/lib/x86_64-linux-gnu/perl/5.30.0",
+                "/usr/local/share/perl/5.30.0", "/usr/lib/x86_64-linux-gnu/perl5/5.30",
+                "/usr/share/perl5", "/usr/lib/x86_64-linux-gnu/perl/5.30",
+                "/usr/share/perl/5.30", "/usr/local/lib/site_perl",
+                "/usr/lib/x86_64-linux-gnu/perl-base", ".",
+            ],
+            None,
+        ),
+    ),
+    (
+        ["Can't locate ExtUtils/Depends.pm in @INC (you may need to install the ExtUtils::Depends module) (@INC contains: /etc/perl /usr/local/lib/x86_64-linux-gnu/perl/5.32.1 /usr/local/share/perl/5.32.1 /usr/lib/x86_64-linux-gnu/perl5/5.32 /usr/share/perl5 /usr/lib/x86_64-linux-gnu/perl-base /usr/lib/x86_64-linux-gnu/perl/5.32 /usr/share/perl/5.32 /usr/local/lib/site_perl) at (eval 11) line 1."],
+        1,
+        lambda: P.MissingPerlModule(
+            "ExtUtils/Depends.pm",
+            "ExtUtils::Depends",
+            [
+                "/etc/perl", "/usr/local/lib/x86_64-linux-gnu/perl/5.32.1",
+                "/usr/local/share/perl/5.32.1", "/usr/lib/x86_64-linux-gnu/perl5/5.32",
+                "/usr/share/perl5", "/usr/lib/x86_64-linux-gnu/perl-base",
+                "/usr/lib/x86_64-linux-gnu/perl/5.32", "/usr/share/perl/5.32",
+                "/usr/local/lib/site_perl",
+            ],
+            None,
+        ),
+    ),
+    # py2-style ImportError without quotes → match only
+    (["ImportError: cannot import name SubfieldBase"], 1, None),
+    # sphinx config syntax error → match only
+    (
+        ["There is a syntax error in your configuration file: Unknown syntax: Constant"],
+        1,
+        None,
+    ),
+    # pip wheel subprocess failure → distribution from the command line
+    (
+        ["subprocess.CalledProcessError: Command '['/usr/bin/python', '-m', 'pip', '--disable-pip-version-check', 'wheel', '--no-deps', '-w', '/tmp/tmpm2l3kcgv', '--quiet', 'setuptools_scm']' returned non-zero exit status 1."],
+        1,
+        lambda: P.MissingPythonDistribution("setuptools-scm", None, None),
+    ),
+]
+CASES.extend(TRANCHE6)
+
 
 def test_setup_py_command_missing():
     lines = (
@@ -1338,6 +1424,11 @@ def test_just_match_tranche4():
         1,
     )
     assert_just_match(["FAIL\tgithub.com/edsrzf/mmap-go\t0.083s"], 1)
+    # common.rs:5257-5260 — literal "[31m" (colors already stripped), no
+    # "Error:" prefix: no matcher claims it, and no problem is reported
+    assert_just_match(
+        ["✖ [31mERROR:[39m Cannot find module '/<<PKGBUILDDIR>>/test'"], 1
+    )
 
 
 @pytest.mark.parametrize("lines,lineno,expected", CASES, ids=lambda v: str(v)[:48])
