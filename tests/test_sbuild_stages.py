@@ -145,3 +145,82 @@ def test_no_fail_stage_brz_fallback():
     f = worker_failure_from_sbuild_log(parse_sbuild_log(text))
     assert f.error.kind == "nested-tree-unresolvable"
     assert f.phase == ("build-env",)
+
+
+# --- round-2 ports of reference regression vectors (src/sbuild.rs mod tests) ---
+
+
+def test_apt_get_update_connection_failed_sets_phase():
+    """test_find_failure_apt_get_update_sets_phase: even an unrecognized apt
+    fetch error must carry phase=('apt-get-update',)."""
+    f = _fail(
+        [(
+            "update chroot",
+            ["E: Failed to fetch http://deb.debian.org/debian/dists/sid/InRelease  Connection failed"],
+        )],
+        "apt-get-update",
+    )
+    assert f.stage == "apt-get-update"
+    assert f.phase == ("apt-get-update",)
+
+
+def test_autopkgtest_failure_before_any_test_sets_sentinel_phase():
+    """test_find_failure_autopkgtest_sets_phase_without_testname: a testbed
+    failure before any test runs must still get a non-empty AutoPkgTest phase,
+    keep the recognised problem, and surface the reason in the description."""
+    f = _fail(
+        [(
+            "post build",
+            [
+                "autopkgtest [01:50:23]: starting date and time: 2026-05-06 01:50:23+0000",
+                "autopkgtest [01:50:23]: ERROR: testbed failure: eof from the virtualisation server",
+            ],
+        )],
+        "post-build",
+    )
+    assert f.phase is not None and f.phase[0] == "autopkgtest"
+    assert len(f.phase) > 1 and f.phase[1], f.phase
+    assert f.error is not None
+    assert "eof from the virtualisation server" in (f.description or "")
+
+
+def test_autopkgtest_failure_keeps_testname_when_present():
+    """test_find_failure_autopkgtest_keeps_testname_when_present."""
+    f = _fail(
+        [(
+            "autopkgtest",
+            [
+                "autopkgtest [10:00:00]: test command1: preparing testbed",
+                "autopkgtest [10:00:01]: test command1: [-----------------------",
+                "autopkgtest [10:00:02]: ERROR: testbed failure: eof from the virtualisation server",
+            ],
+        )],
+        "autopkgtest",
+    )
+    assert f.phase == ("autopkgtest", "command1"), f.phase
+
+
+def test_unpack_local_changes_sets_phase():
+    """test_find_failure_unpack_sets_phase."""
+    f = _fail(
+        [(
+            "build",
+            [
+                "dpkg-source: info: local changes detected, the modified files are:",
+                " setup.cfg",
+                "dpkg-source: error: aborting due to unexpected upstream changes, see /tmp/foo.diff",
+                "E: Failed to package source directory /build/area/foo-1.0",
+            ],
+        )],
+        "unpack",
+    )
+    assert f.stage == "unpack"
+    assert f.phase == ("unpack",)
+    assert f.error is not None
+
+
+def test_unpack_without_preamble_match_still_sets_phase():
+    """test_find_failure_unpack_sets_phase_without_preamble_match."""
+    f = _fail([("build", ["something inscrutable went wrong"])], "unpack")
+    assert f.phase == ("unpack",)
+    assert f.error is None
