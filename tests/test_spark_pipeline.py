@@ -148,7 +148,48 @@ def test_iceberg_detection_and_fallback(spark, tmp_path):
     assert load_pages(spark, path, fmt="iceberg").count() == 20
 
 
-def test_minhash_identical_docs_bounded(spark):
+def _planted_embeddings(spark, n=200, dim=64, planted=20):
+    """Deterministic corpus with a planted near-neighbor cluster around
+    vec 0 (base + small perturbation, cosine ≳ 0.95) amid random vectors."""
+    from buildlog_consultant_spark.ops.similarity import plane_component
+
+    def comp(i, j):
+        # splitmix-style mixer — an LCG here leaves vectors correlated
+        # enough to create accidental near-dups among the "random" fill
+        return plane_component(i, j, seed=777)
+
+    base = [comp(0, j) for j in range(dim)]
+    rows = [(0, base)]
+    rows += [
+        (i, [b + 0.15 * comp(i, j) for j, b in enumerate(base)])
+        for i in range(1, planted + 1)
+    ]
+    rows += [(i, [comp(i, j) for j in range(dim)]) for i in range(planted + 1, n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ann_lsh_recall_on_planted_neighbors(spark):
+    """LSH ANN is a near-duplicate retriever: on a planted high-cosine
+    cluster its top-10 must equal the exact top-10 (recall 1.0,
+    deterministic planes + data). On near-orthogonal random vectors (the
+    driver embeddings table, max pair cosine 0.51) bucket collisions are
+    ~random — that regime is cosine_topk's job, not LSH's."""
+    from buildlog_consultant_spark.ops import similarity as S
+
+    emb = _planted_embeddings(spark)
+    exact = {r.vec_id for r in S.cosine_topk(emb, 0, k=10).collect()}
+    approx = {r.vec_id for r in S.ann_topk_lsh(emb, 0, k=10, n_planes=6).collect()}
+    assert len(exact & approx) == 10
+
+
+def test_embedding_near_dups_finds_planted_cluster(spark):
+    from buildlog_consultant_spark.ops import similarity as S
+
+    emb = _planted_embeddings(spark)
+    pairs = S.embedding_near_dups(emb, threshold=0.9, n_planes=6).collect()
+    ids = {r.id_a for r in pairs} | {r.id_b for r in pairs}
+    assert len(pairs) > 50  # the 21-member cluster pairs up
+    assert ids <= set(range(21)), ids  # and nothing outside it
     """500 byte-identical docs must NOT produce O(m²) candidate pairs:
     exact-dedup collapses them pre-banding; with dedup off, the bucket cap
     drops the oversized bucket."""
