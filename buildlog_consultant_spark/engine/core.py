@@ -43,7 +43,7 @@ MAX_SCAN_CHARS = 8192
 
 def clamp_lines(lines: Sequence[str]) -> Sequence[str]:
     """Truncate pathologically long lines before regex work."""
-    if all(len(l) <= MAX_SCAN_CHARS for l in lines):
+    if not lines or max(map(len, lines)) <= MAX_SCAN_CHARS:
         return lines
     return [l if len(l) <= MAX_SCAN_CHARS else l[:MAX_SCAN_CHARS] for l in lines]
 
@@ -53,17 +53,93 @@ def match_lines(lines: Sequence[str], offset: int, use_gate: bool = True):
     return COMMON_MATCHERS.extract(lines, offset, use_gate=use_gate)
 
 
+def _window_text_and_starts(
+    lines: Sequence[str], start: int, end: int, text: Optional[str]
+) -> tuple:
+    """(window_text, line_start_offsets). Uses the original document string
+    zero-copy when the window covers it and every line is its keepends
+    split; otherwise joins with newline termination."""
+    if text is not None and start == 0 and end == len(lines):
+        win = text
+        lens = map(len, lines)
+    else:
+        parts = [
+            l if l.endswith("\n") else l + "\n" for l in lines[start:end]
+        ]
+        win = "".join(parts)
+        lens = map(len, parts)
+    import itertools
+
+    starts = [0]
+    starts.extend(itertools.accumulate(lens))
+    return win, starts
+
+
+# lines per blocked gate scan: small enough that a late match (the common
+# real-log shape — errors near the tail) costs about one block, large
+# enough that benign windows amortize the per-block call overhead
+_GATE_BLOCK = 8
+
+
+def _block_hits(seg: str, gate, lo: int) -> list:
+    """Window-relative line indices (first block line = ``lo``) of gate
+    matches inside one block of window text.
+
+    Soundness: gate tokens are newline-free literals and every line in the
+    block is newline-terminated, so a token inside line i also occurs
+    within line i's span (no false negatives). A match is attributed to the
+    line containing its START by counting newlines incrementally; any false
+    positive merely sends that line through the exact per-line gate
+    downstream, which re-filters."""
+    hits = []
+    pos = 0
+    ln = lo
+    for m in gate.finditer(seg):
+        ln += seg.count("\n", pos, m.start())
+        pos = m.start()
+        hits.append(ln)
+    return hits
+
+
 def find_secondary_build_failure(
-    lines: Sequence[str], start_offset: int, use_gate: bool = True
+    lines: Sequence[str], start_offset: int, use_gate: bool = True,
+    text: Optional[str] = None, candidates: Optional[set] = None,
 ) -> Optional[Match]:
     """Forward scan over the last ``start_offset`` lines for secondary
-    patterns (src/common.rs:3385-3434)."""
-    lines = clamp_lines(lines)
+    patterns (src/common.rs:3385-3434). ``text``, when given, must be the
+    string ``lines`` was split from (zero-copy gate scan); ``candidates``
+    is an optional superset of gate-positive offsets (from the combined
+    pass) — lines outside it are provably uninteresting, lines inside are
+    re-filtered by the exact per-line gate below."""
+    clamped = clamp_lines(lines)
+    if clamped is not lines:
+        text = None
+        candidates = None
+    lines = clamped
     n = len(lines)
     start = max(0, n - start_offset)
-    for offset in range(start, n):
+    gated = use_gate and SECONDARY_GATE is not None
+    if gated and not SECONDARY_NO_ANCHOR:
+        # Blocked forward scan: one C-level gate pass per ~32-line block
+        # instead of a search call per line; only gate-positive lines run
+        # the candidate-rule loop (no rule runs on gate-negative lines)
+        if candidates is None:
+            win, starts = _window_text_and_starts(lines, start, n, text)
+            nwin = n - start
+            offsets = []
+            for lo in range(0, nwin, _GATE_BLOCK):
+                hi = min(nwin, lo + _GATE_BLOCK)
+                hits = _block_hits(win[starts[lo] : starts[hi]], SECONDARY_GATE, lo)
+                offsets.extend(start + h for h in dict.fromkeys(hits))
+        else:
+            offsets = sorted(o for o in candidates if start <= o < n)
+    elif gated:
+        offsets = range(start, n)
+    else:
+        offsets = range(start, n)
+    for offset in offsets:
         match_line = lines[offset].rstrip("\n")
-        if not use_gate or SECONDARY_GATE is None:
+        if not gated:
             idxs = range(len(SECONDARY_MATCHERS))
         elif not SECONDARY_GATE.search(match_line):
             idxs = SECONDARY_NO_ANCHOR
@@ -109,20 +185,47 @@ _CMAKE_PKG_CONFIG_HEADER = re.compile(
 
 
 def find_build_failure_description(
-    lines: Sequence[str], use_gate: bool = True
+    lines: Sequence[str], use_gate: bool = True, text: Optional[str] = None
 ) -> tuple[Optional[Match], Optional[Problem]]:
-    """Find the key failure line in build output (src/common.rs:3440-3528)."""
-    lines = clamp_lines(lines)
+    """Find the key failure line in build output (src/common.rs:3440-3528).
+
+    ``text``, when given, must be the string ``lines`` was split from
+    (splitlines keepends) — it lets the gate scan the document without
+    re-joining the window."""
+    clamped = clamp_lines(lines)
+    if clamped is not lines:
+        text = None
+    lines = clamped
     n = len(lines)
-    cmake = False
     # We search backwards for clear errors.
     start = max(0, n - OFFSET)
-    for lineno in range(n - 1, start - 1, -1):
-        if "cmake" in lines[lineno]:
-            cmake = True
-        r = match_lines(lines, lineno, use_gate=use_gate)
-        if r is not None:
-            return r
+    if use_gate and COMMON_MATCHERS._gate is not None:
+        # Blocked backward scan: one C-level primary-gate pass per ~32-line
+        # block instead of a search call per line, processed newest-block-
+        # first so a match near the tail keeps the reference's early exit.
+        # The per-line gate inside extract() re-filters hit lines exactly.
+        gate = COMMON_MATCHERS._gate
+        win, starts = _window_text_and_starts(lines, start, n, text)
+        nwin = n - start
+        for hi in range(nwin, 0, -_GATE_BLOCK):
+            lo = max(0, hi - _GATE_BLOCK)
+            hits = _block_hits(win[starts[lo] : starts[hi]], gate, lo)
+            for h in sorted(set(hits), reverse=True):
+                r = match_lines(lines, start + h, use_gate=True)
+                if r is not None:
+                    return r
+        # only reached when nothing matched — the flag's only consumer
+        # ('cmake' is newline-free, every window line newline-terminated,
+        # so substring presence in win ≡ presence in some window line)
+        cmake = "cmake" in win
+    else:
+        cmake = False
+        for lineno in range(n - 1, start - 1, -1):
+            if "cmake" in lines[lineno]:
+                cmake = True
+            r = match_lines(lines, lineno, use_gate=use_gate)
+            if r is not None:
+                return r
 
     # TODO(reference jelmer): kept for parity with CMakeErrorMatcher
     # (src/common.rs:3454-3519).
@@ -179,7 +282,7 @@ def find_build_failure_description(
             lineno += 1
 
     # And forwards for vague ("secondary") errors.
-    m = find_secondary_build_failure(lines, OFFSET, use_gate=use_gate)
+    m = find_secondary_build_failure(lines, OFFSET, use_gate=use_gate, text=text)
     if m is not None:
         return m, None
 

@@ -146,7 +146,7 @@ def _analyze_text_inner(
         out["phase_test"] = testname
         out["description"] = description or problem_message(error)
     else:
-        match, error = find_build_failure_description(lines, use_gate=use_gate)
+        match, error = find_build_failure_description(lines, use_gate=use_gate, text=text)
         out["description"] = (
             problem_message(error)
             if error is not None
