@@ -454,9 +454,9 @@ def q_minhash_near_dups_xx(spark, sf_dir):
     return dedup_ops.minhash_near_dup_pairs_xx(d)
 
 
-def _oracle_minhash_xx(
+def _minhash_xx_pairs_golden(
     bands: int = 8, k: int = 3, min_shared: int = 2, max_bucket: int = 256
-) -> str:
+) -> list:
     import re
     import struct
     from collections import Counter, defaultdict
@@ -511,9 +511,13 @@ def _oracle_minhash_xx(
         for x in range(len(ids)):
             for y in range(x + 1, len(ids)):
                 pair_counts[(ids[x], ids[y])] += 1
-    rows = sorted(
+    return sorted(
         (a, b, c) for (a, b), c in pair_counts.items() if c >= min_shared
     )
+
+
+def _oracle_minhash_xx() -> str:
+    rows = _minhash_xx_pairs_golden()
     vals = ",\n".join(f"({a}, {b}, {c})" for a, b, c in rows)
     if not rows:
         return (
@@ -547,6 +551,45 @@ SELECT lang, CAST(SUM(n) AS BIGINT) AS sum_bpe_tokens,
        CAST(MAX(n) AS BIGINT) AS max_bpe_tokens, COUNT(*) AS n_docs
 FROM c GROUP BY lang
 """
+
+
+def q_near_dup_clusters(spark, sf_dir):
+    """Near-dup clusters: MinHash-LSH pairs → connected components by
+    iterative min-label propagation. Oracle: Python union-find over the
+    independently recomputed golden pair list."""
+    d = _docs(spark, sf_dir)
+    return dedup_ops.near_dup_clusters(d)
+
+
+def _oracle_near_dup_clusters() -> str:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b, _ in _minhash_xx_pairs_golden():
+        union(a, b)
+    rows = sorted((x, find(x)) for x in parent)
+    vals = ",\n".join(f"({x}, {c})" for x, c in rows)
+    if not rows:
+        return (
+            "SELECT CAST(NULL AS BIGINT) AS id, CAST(NULL AS BIGINT) AS cluster "
+            "WHERE 1=0"
+        )
+    return (
+        "SELECT CAST(id AS BIGINT) AS id, CAST(cluster AS BIGINT) AS cluster "
+        f"FROM (VALUES\n{vals}\n) AS t(id, cluster)"
+    )
 
 
 def q_lang_guess(spark, sf_dir):
@@ -898,6 +941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "minhash_near_dups": q_minhash_near_dups,
         "minhash_near_dups_xx": q_minhash_near_dups_xx,
+        "near_dup_clusters": q_near_dup_clusters,
         "lang_guess": q_lang_guess,
         "bpe_token_counts": q_bpe_token_counts,
         "ngram_jaccard": q_ngram_jaccard,
@@ -925,6 +969,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": ORACLE_ANN_TOPK,
         "minhash_near_dups": ORACLE_MINHASH,
         "minhash_near_dups_xx": _oracle_minhash_xx(),
+        "near_dup_clusters": _oracle_near_dup_clusters(),
         "lang_guess": ORACLE_LANG_GUESS,
         "bpe_token_counts": ORACLE_BPE_TOKEN_COUNTS,
         "ngram_jaccard": ORACLE_NGRAM_JACCARD,

@@ -205,6 +205,75 @@ def _sig_from_votes(votes):
     return sig
 
 
+def connected_components(
+    edges: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Connected components over an undirected edge list (id_a, id_b) by
+    iterative min-label propagation: every vertex starts labeled with its
+    own id; each round vertices adopt the minimum label among themselves
+    and their neighbors, until a fixpoint.
+
+    Scale notes: each round is two broadcast-free joins + one aggregation —
+    all shuffles keyed on vertex id, O(diameter) rounds (near-dup clusters
+    are shallow; web-scale dedup graphs converge in a handful). Labels are
+    checkpointed per round via persist to cut the lineage chain; the
+    convergence check is one count per round."""
+    edges = edges.select(
+        F.col("id_a").cast("long").alias("id_a"), F.col("id_b").cast("long").alias("id_b")
+    ).persist()
+    labels = (
+        edges.select(F.col("id_a").alias("id"))
+        .union(edges.select(F.col("id_b").alias("id")))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .persist()
+    )
+    try:
+        for _ in range(max_iter):
+            msgs = (
+                edges.join(labels, edges.id_a == labels.id)
+                .select(F.col("id_b").alias("id"), "label")
+                .union(
+                    edges.join(labels, edges.id_b == labels.id)
+                    .select(F.col("id_a").alias("id"), "label")
+                )
+            )
+            new_labels = (
+                labels.select("id", "label")
+                .union(msgs)
+                .groupBy("id")
+                .agg(F.min("label").alias("label"))
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .where(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select(F.col("id"), F.col("label").alias("cluster"))
+    finally:
+        edges.unpersist()
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **minhash_kwargs,
+) -> DataFrame:
+    """Near-duplicate clusters: MinHash-LSH candidate pairs (xxhash64
+    family) → connected components. Returns (id, cluster) with cluster =
+    the component's minimum doc id; singletons are not rows (every
+    unclustered doc is its own implicit cluster)."""
+    pairs = minhash_near_dup_pairs_xx(df, id_col, text_col, **minhash_kwargs)
+    return connected_components(pairs.select("id_a", "id_b"))
+
+
 def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit SimHash over word tokens using xxhash64 bit votes.
 

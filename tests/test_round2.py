@@ -95,3 +95,17 @@ def test_summary_columns_from_sbuild_log():
 def test_summary_columns_absent_on_plain():
     out = analyze_text("ModuleNotFoundError: No module named 'x'\n")
     assert out["build_time"] is None and out["sbuild_status"] is None
+
+
+def test_analyzer_error_safety_net(monkeypatch):
+    """A pathological document must not raise out of the batch UDF: the
+    exception surfaces as a typed __analyzer-error__ row."""
+    from buildlog_consultant_spark.spark import classify as C
+
+    def boom(text, use_gate=True, container=None):
+        raise ValueError("synthetic parser explosion")
+
+    monkeypatch.setattr(C, "_analyze_text_inner", boom)
+    out = C.analyze_text("anything")
+    assert out["problem_kind"] == "__analyzer-error__"
+    assert "synthetic parser explosion" in out["description"]

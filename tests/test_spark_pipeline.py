@@ -283,6 +283,20 @@ def test_streaming_routed_sink(spark):
         shutil.rmtree(out.rsplit("/", 1)[0], ignore_errors=True)
 
 
+def test_connected_components(spark):
+    """Min-label propagation over a chain (worst diameter), a triangle, and
+    an isolated pair — labels must settle to each component's min id."""
+    from buildlog_consultant_spark.ops.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        # chain 1-2-3-4-5, triangle 10-11-12, pair 20-21
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {r.id: r.cluster for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
 def test_xxh64_matches_spark(spark):
     """ops/xxh64.py is the oracle-side hash: pin bit-identity to Spark's
     xxhash64 for strings (seed 42) and the multi-arg long-seed chain."""
