@@ -215,49 +215,57 @@ def connected_components(
 
     Scale notes: each round is two broadcast-free joins + one aggregation —
     all shuffles keyed on vertex id, O(diameter) rounds (near-dup clusters
-    are shallow; web-scale dedup graphs converge in a handful). Labels are
-    checkpointed per round via persist to cut the lineage chain; the
-    convergence check is one count per round."""
+    are shallow; web-scale dedup graphs converge in a handful). Each
+    round's labels are localCheckpoint()ed: a persist alone is NOT enough —
+    the logical plan references the previous round's frame three times, so
+    without truncation the plan tree grows 3^rounds and OOMs the planner
+    long before the data does."""
     edges = edges.select(
         F.col("id_a").cast("long").alias("id_a"), F.col("id_b").cast("long").alias("id_b")
-    ).persist()
+    ).localCheckpoint()
     labels = (
         edges.select(F.col("id_a").alias("id"))
         .union(edges.select(F.col("id_b").alias("id")))
         .distinct()
         .withColumn("label", F.col("id"))
-        .persist()
+        .localCheckpoint()
     )
-    try:
-        for _ in range(max_iter):
-            msgs = (
-                edges.join(labels, edges.id_a == labels.id)
-                .select(F.col("id_b").alias("id"), "label")
-                .union(
-                    edges.join(labels, edges.id_b == labels.id)
-                    .select(F.col("id_a").alias("id"), "label")
-                )
+    for _ in range(max_iter):
+        msgs = (
+            edges.join(labels, edges.id_a == labels.id)
+            .select(F.col("id_b").alias("id"), "label")
+            .union(
+                edges.join(labels, edges.id_b == labels.id)
+                .select(F.col("id_a").alias("id"), "label")
             )
-            new_labels = (
-                labels.select("id", "label")
-                .union(msgs)
-                .groupBy("id")
-                .agg(F.min("label").alias("label"))
-                .persist()
-            )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "id")
-                .where(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
-            labels.unpersist()
-            labels = new_labels
-            if changed == 0:
-                break
-        return labels.select(F.col("id"), F.col("label").alias("cluster"))
-    finally:
-        edges.unpersist()
+        )
+        propagated = (
+            labels.select("id", "label")
+            .union(msgs)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+        )
+        # pointer jumping: labels are themselves vertex ids, so following
+        # the label one hop (label ← label's label) halves chain lengths —
+        # O(log diameter) rounds instead of O(diameter)
+        hop = propagated.select(
+            F.col("id").alias("label"), F.col("label").alias("label2")
+        )
+        new_labels = (
+            propagated.join(hop, "label", "left")
+            .select("id", F.coalesce("label2", "label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("cluster"))
 
 
 def near_dup_clusters(
