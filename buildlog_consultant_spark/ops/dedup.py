@@ -6,9 +6,11 @@ the oracle (lexicographic min over hex digests is a valid min-hash family:
 md5 is a uniform hash, so argmin over shingles is uniform — the standard
 MinHash estimator applies).
 
-Scale notes: shingling + min-aggregation are per-row (no shuffle); the LSH
-band bucket join shuffles only (band, signature) pairs — tiny compared to
-the corpus. Banding bounds collisions between *dissimilar* documents, but
+Scale notes: shingling + min-aggregation are per-row (no shuffle); ONE
+shuffle groups (band, signature) rows into buckets and pairs are generated
+map-side from each bucket's id array (no self-join — the signature lineage
+is computed exactly once). Banding bounds collisions between *dissimilar*
+documents, but
 NOT between true duplicates: m byte-identical documents share every band
 signature and would produce O(m²) candidate pairs. minhash_near_dup_pairs
 therefore (a) collapses exact-duplicate groups to one representative before
