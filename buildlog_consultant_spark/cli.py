@@ -38,8 +38,10 @@ def main(argv=None) -> int:
         # analyze-apt-log equivalent (/root/reference/src/bin/analyze-apt-log.rs)
         from .core.problems import canonical_json
         from .engine.apt import find_apt_get_failure
+        from .engine.core import split_log_lines
 
-        match, problem = find_apt_get_failure(text.splitlines())
+        # split_inclusive('\n') like analyze-apt-log.rs:28
+        match, problem = find_apt_get_failure(split_log_lines(text))
         result = {
             "container": "apt",
             "problem_kind": problem.kind if problem else None,
@@ -67,9 +69,9 @@ def main(argv=None) -> int:
         print("No issues found")
         return 1
     from .core.matchers import SingleLineMatch
-    from .engine.core import highlight_lines
+    from .engine.core import highlight_lines, split_log_lines
 
-    lines = text.splitlines()
+    lines = split_log_lines(text)
     offset = (result["lineno"] or 1) - 1
     offset = min(max(offset, 0), len(lines) - 1)
     m = SingleLineMatch(result["origin"] or "", offset, lines[offset])

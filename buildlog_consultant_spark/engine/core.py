@@ -31,6 +31,21 @@ from ..rules.secondary import (
 
 OFFSET = 250  # src/common.rs:3441
 
+
+def split_log_lines(text: str) -> list[str]:
+    """Split a document exactly like the reference: ``split_inclusive('\\n')``
+    (src/bin/analyze-build-log.rs:77, src/common.rs:2677, and sbuild's
+    BufRead::read_line). Every line keeps its trailing ``\\n``; the final
+    line may lack one; no other codepoint (``\\r``, ``\\f``, ``\\u2028``…) is
+    a line break. Using ``str.splitlines`` here would diverge: it splits on
+    those extra codepoints, so e.g. curl/wget ``\\r`` progress bars would
+    become separate lines and change match offsets vs the reference."""
+    parts = text.split("\n")
+    out = [p + "\n" for p in parts[:-1]]
+    if parts[-1]:
+        out.append(parts[-1])
+    return out
+
 # Web-scale safety guard: Python's `re` backtracks (the reference's Rust
 # `regex` crate is linear-time), so a single multi-hundred-KB line (minified
 # JS, binary junk in a crawled page) can stall a scan for minutes. Lines
@@ -81,23 +96,24 @@ def _window_text_and_starts(
 _GATE_BLOCK = 8
 
 
-def _block_hits(seg: str, gate, lo: int) -> list:
-    """Window-relative line indices (first block line = ``lo``) of gate
-    matches inside one block of window text.
+def _block_hits(win: str, gate, starts: Sequence[int], lo: int, hi: int) -> list:
+    """Window-relative line indices of gate matches inside lines
+    [``lo``, ``hi``) of the window text ``win`` (whose line i starts at
+    ``starts[i]``).
 
-    Soundness: gate tokens are newline-free literals and every line in the
-    block is newline-terminated, so a token inside line i also occurs
-    within line i's span (no false negatives). A match is attributed to the
-    line containing its START by counting newlines incrementally; any false
-    positive merely sends that line through the exact per-line gate
-    downstream, which re-filters."""
+    Soundness: gate tokens are newline-free literals and every line's full
+    span (terminator included) is inside ``win``, so a token inside line i
+    also occurs within line i's span (no false negatives). A match is
+    attributed to the line containing its START by bisecting the line-start
+    offsets — exact for ANY terminator byte, unlike newline counting, which
+    misattributed hits after ``\\r``-terminated segments; any false positive
+    merely sends that line through the exact per-line gate downstream,
+    which re-filters."""
+    from bisect import bisect_right
+
     hits = []
-    pos = 0
-    ln = lo
-    for m in gate.finditer(seg):
-        ln += seg.count("\n", pos, m.start())
-        pos = m.start()
-        hits.append(ln)
+    for m in gate.finditer(win, starts[lo], starts[hi]):
+        hits.append(bisect_right(starts, m.start(), lo, hi) - 1)
     return hits
 
 
@@ -120,16 +136,16 @@ def find_secondary_build_failure(
     start = max(0, n - start_offset)
     gated = use_gate and SECONDARY_GATE is not None
     if gated and not SECONDARY_NO_ANCHOR:
-        # Blocked forward scan: one C-level gate pass per ~32-line block
-        # instead of a search call per line; only gate-positive lines run
-        # the candidate-rule loop (no rule runs on gate-negative lines)
+        # Blocked forward scan: one C-level gate pass per _GATE_BLOCK-line
+        # block instead of a search call per line; only gate-positive lines
+        # run the candidate-rule loop (no rule runs on gate-negative lines)
         if candidates is None:
             win, starts = _window_text_and_starts(lines, start, n, text)
             nwin = n - start
             offsets = []
             for lo in range(0, nwin, _GATE_BLOCK):
                 hi = min(nwin, lo + _GATE_BLOCK)
-                hits = _block_hits(win[starts[lo] : starts[hi]], SECONDARY_GATE, lo)
+                hits = _block_hits(win, SECONDARY_GATE, starts, lo, hi)
                 offsets.extend(start + h for h in dict.fromkeys(hits))
         else:
             offsets = sorted(o for o in candidates if start <= o < n)
@@ -199,17 +215,21 @@ def find_build_failure_description(
     n = len(lines)
     # We search backwards for clear errors.
     start = max(0, n - OFFSET)
-    if use_gate and COMMON_MATCHERS._gate is not None:
-        # Blocked backward scan: one C-level primary-gate pass per ~32-line
-        # block instead of a search call per line, processed newest-block-
-        # first so a match near the tail keeps the reference's early exit.
-        # The per-line gate inside extract() re-filters hit lines exactly.
+    if use_gate and COMMON_MATCHERS._gate is not None and not COMMON_MATCHERS._no_anchor:
+        # Blocked backward scan: one C-level primary-gate pass per
+        # _GATE_BLOCK-line block instead of a search call per line, processed
+        # newest-block-first so a match near the tail keeps the reference's
+        # early exit. The per-line gate inside extract() re-filters hit lines
+        # exactly. The _no_anchor guard mirrors the secondary path above:
+        # rules without an extractable anchor must run on every line, so the
+        # gate-positive-only fast path is sound only while that set is empty
+        # (also pinned by tests/test_rules_integrity.py).
         gate = COMMON_MATCHERS._gate
         win, starts = _window_text_and_starts(lines, start, n, text)
         nwin = n - start
         for hi in range(nwin, 0, -_GATE_BLOCK):
             lo = max(0, hi - _GATE_BLOCK)
-            hits = _block_hits(win[starts[lo] : starts[hi]], gate, lo)
+            hits = _block_hits(win, gate, starts, lo, hi)
             for h in sorted(set(hits), reverse=True):
                 r = match_lines(lines, start + h, use_gate=True)
                 if r is not None:

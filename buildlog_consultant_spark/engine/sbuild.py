@@ -37,7 +37,7 @@ from .apt import (
     find_cudf_output,
     error_from_dose3_reports,
 )
-from .core import find_build_failure_description
+from .core import find_build_failure_description, split_log_lines
 from .problem_text import problem_message
 
 
@@ -102,7 +102,7 @@ def parse_sbuild_log(text: str) -> SbuildLog:
     """Streaming split on +{78×'-'}+ / |title| / sep triplets
     (src/sbuild.rs:375-463). Lines keep their trailing newline, matching the
     reference's read_line behavior."""
-    raw = text.splitlines(keepends=True)
+    raw = split_log_lines(text)
     sections: list[SbuildLogSection] = []
     begin_offset = 1
     lines: list[str] = []

@@ -33,11 +33,11 @@ from .helpers import command_missing
 def _compiler_failure(m):
     # src/common.rs:2673-2680: re-run the full analysis on the dedented
     # compiler output (lazy import: engine.core imports this module's parent).
-    from ..engine.core import find_build_failure_description
+    from ..engine.core import find_build_failure_description, split_log_lines
 
     compiler_output = textwrap.dedent(m.group(3))
     _match, error = find_build_failure_description(
-        compiler_output.splitlines(keepends=True)
+        split_log_lines(compiler_output)
     )
     return error
 

@@ -22,7 +22,7 @@ import pandas as pd
 
 from ..core.problems import canonical_json
 from ..engine.autopkgtest import find_autopkgtest_failure_description
-from ..engine.core import find_build_failure_description
+from ..engine.core import find_build_failure_description, split_log_lines
 from ..engine.problem_text import problem_message
 from ..engine.sbuild import SEP, parse_sbuild_log, worker_failure_from_sbuild_log
 
@@ -139,7 +139,9 @@ def _analyze_text_inner(
             out["details"] = canonical_json(failure.error.details)
             out["is_universal"] = failure.error.is_universal
         return out
-    lines = text.splitlines(keepends=True)
+    # split_inclusive('\n') parity — NOT splitlines(), which also splits on
+    # \r/\f/  and would shift offsets vs the reference (core.py docstring)
+    lines = split_log_lines(text)
     if container == "autopkgtest":
         match, testname, error, description = find_autopkgtest_failure_description(lines)
         out["phase"] = "autopkgtest"

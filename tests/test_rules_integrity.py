@@ -66,6 +66,18 @@ def test_catalog_shape():
     assert len(BRZ_ERRORS) == 19
 
 
+def test_no_anchor_sets_stay_empty():
+    """The blocked gate fast paths in engine/core.py run rules only on
+    gate-positive lines; that is sound only while every rule has an
+    extractable anchor. Both paths now guard on the set being empty, but
+    this pins the invariant so adding an anchor-less rule fails loudly here
+    instead of silently never matching (ADVICE r2, medium)."""
+    from buildlog_consultant_spark.rules.secondary import SECONDARY_NO_ANCHOR
+
+    assert COMMON_MATCHERS._no_anchor == [], COMMON_MATCHERS._no_anchor
+    assert SECONDARY_NO_ANCHOR == [], SECONDARY_NO_ANCHOR
+
+
 def test_every_regex_compiles_and_searches():
     # exercise each compiled pattern once (catches pathological syntax that
     # compiles but cannot run)
