@@ -680,7 +680,9 @@ def _bucket_cte(n_planes: int, dim: int) -> str:
 )"""
 
 
-def _oracle_ann_topk_lsh(n_planes: int = 6, dim: int = 64) -> str:
+def _oracle_ann_topk_lsh(
+    n_planes: int = 6, dim: int = 64, max_bucket: int = 1024
+) -> str:
     probe = " OR ".join(
         ["b.bucket = qb.bucket"]
         + [f"b.bucket = xor(qb.bucket, {1 << i})" for i in range(n_planes)]
@@ -689,7 +691,11 @@ def _oracle_ann_topk_lsh(n_planes: int = 6, dim: int = 64) -> str:
 WITH {_bucket_cte(n_planes, dim)},
 qb AS (SELECT bucket FROM bucketed WHERE vec_id = 0),
 cands AS (
-  SELECT b.vec_id FROM bucketed b, qb WHERE b.vec_id <> 0 AND ({probe})
+  SELECT vec_id FROM (
+    SELECT b.vec_id,
+           row_number() OVER (PARTITION BY b.bucket ORDER BY b.vec_id) AS rn
+    FROM bucketed b, qb WHERE b.vec_id <> 0 AND ({probe})
+  ) WHERE rn <= {max_bucket}
 ), q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
 scored AS (
   SELECT e.vec_id,
@@ -711,17 +717,22 @@ def q_embedding_near_dups(spark, sf_dir):
     return sim_ops.embedding_near_dups(emb, threshold=0.45, n_planes=6)
 
 
-def _oracle_embedding_near_dups(n_planes: int = 6, dim: int = 64) -> str:
+def _oracle_embedding_near_dups(
+    n_planes: int = 6, dim: int = 64, max_bucket: int = 256
+) -> str:
     probe_list = ", ".join(
         ["bucket"] + [f"xor(bucket, {1 << i})" for i in range(n_planes)]
     )
     return f"""
 WITH {_bucket_cte(n_planes, dim)},
-probes AS (
-  SELECT vec_id, unnest([{probe_list}]) AS probe FROM bucketed
+kept AS (
+  SELECT vec_id, bucket FROM bucketed
+  QUALIFY COUNT(*) OVER (PARTITION BY bucket) <= {max_bucket}
+), probes AS (
+  SELECT vec_id, unnest([{probe_list}]) AS probe FROM kept
 ), cand AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-  FROM probes a JOIN bucketed b ON a.probe = b.bucket AND a.vec_id < b.vec_id
+  FROM probes a JOIN kept b ON a.probe = b.bucket AND a.vec_id < b.vec_id
 )
 SELECT id_a, id_b FROM cand
 JOIN embeddings ea ON ea.vec_id = cand.id_a

@@ -10,12 +10,26 @@ misattributed blocked-gate hits after a \\r segment by counting only \\n
 starts).
 """
 
+import pytest
+
 from buildlog_consultant_spark.engine.core import (
     find_build_failure_description,
     find_secondary_build_failure,
     split_log_lines,
 )
 from buildlog_consultant_spark.spark.classify import analyze_text
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pyspark.sql import SparkSession
+
+    yield (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
 
 
 def test_split_log_lines_inclusive_newline_only():
@@ -77,3 +91,75 @@ def test_secondary_scan_cr_parity_direct():
     assert gated is not None and ungated is not None
     assert gated.offset == ungated.offset
     assert "TEST FAILURE" in gated.line
+
+
+# ---------------------------------------------------------------------------
+# LSH bucket caps (VERDICT r2 "next" #1): a planted hot bucket — the crawl
+# failure mode where near-identical boilerplate collapses a constant corpus
+# fraction into one bucket — must stay bounded, not go quadratic.
+# ---------------------------------------------------------------------------
+
+_DIM = 8
+_PLANES = 4
+
+
+def _py_bucket(v):
+    from buildlog_consultant_spark.ops.similarity import plane_component
+
+    b = 0
+    for p in range(_PLANES):
+        dot = sum(v[i] * plane_component(p, i) for i in range(_DIM))
+        if dot > 0:
+            b |= 1 << p
+    return b
+
+
+def _hot_cold_df(spark, n_hot=600):
+    v_hot = [1.0, 0.25, -0.5, 0.75, -0.1, 0.6, -0.3, 0.2]
+    v_cold = [-x for x in v_hot]  # every plane dot flips sign →
+    # hamming(bucket_hot, bucket_cold) == n_planes, so the cold bucket is
+    # not even a hamming-1 probe of the hot one
+    assert bin(_py_bucket(v_hot) ^ _py_bucket(v_cold)).count("1") == _PLANES
+    rows = [(i, v_hot, "hot") for i in range(n_hot)]
+    rows += [
+        (10_000, v_cold, "cold"),
+        (10_001, [x * 1.01 for x in v_cold], "cold"),
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+
+
+def test_embedding_near_dups_hot_bucket_capped(spark):
+    from buildlog_consultant_spark.ops.similarity import embedding_near_dups
+
+    df = _hot_cold_df(spark)
+    # threshold=-1 makes every candidate pair a result row, so the output
+    # size IS the candidate volume: the 600-member hot bucket (>256 cap)
+    # must contribute zero, leaving exactly the one cold pair
+    pairs = embedding_near_dups(
+        df, threshold=-1.0, n_planes=_PLANES, dim=_DIM, max_bucket=256
+    ).collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [(10_000, 10_001)]
+
+
+def test_embedding_near_dups_uncapped_keeps_hot_bucket(spark):
+    from buildlog_consultant_spark.ops.similarity import embedding_near_dups
+
+    df = _hot_cold_df(spark, n_hot=20)
+    n = embedding_near_dups(
+        df, threshold=0.99, n_planes=_PLANES, dim=_DIM, max_bucket=None
+    ).count()
+    assert n == 20 * 19 // 2 + 1  # all hot pairs + the cold pair
+
+
+def test_ann_topk_lsh_hot_bucket_capped_deterministic(spark):
+    from buildlog_consultant_spark.ops.similarity import ann_topk_lsh
+
+    df = _hot_cold_df(spark, n_hot=100)
+    out = ann_topk_lsh(
+        df, query_vec_id=0, k=10, n_planes=_PLANES, dim=_DIM, max_bucket=50
+    ).collect()
+    # all hot vectors tie at cosine 1.0; the cap keeps the 50 lowest ids of
+    # the probed bucket (query excluded), the scorer then tie-breaks by id
+    assert [r.vec_id for r in out] == list(range(1, 11))
