@@ -207,6 +207,19 @@ def _sig_from_votes(votes):
     return sig
 
 
+def _truncate_lineage(df: DataFrame) -> DataFrame:
+    """Cut the logical plan. Uses RELIABLE checkpoint() when the session has
+    a checkpoint dir configured (spark.sparkContext.setCheckpointDir) —
+    blocks land on the cluster's fault-tolerant store, so losing an executor
+    mid-iteration recomputes from the checkpoint instead of killing the job.
+    Falls back to localCheckpoint() (executor-local blocks, NOT
+    fault-tolerant) for single-node / test sessions with no dir set."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint()
+    return df.localCheckpoint()
+
+
 def connected_components(
     edges: DataFrame, max_iter: int = 25
 ) -> DataFrame:
@@ -218,20 +231,26 @@ def connected_components(
     Scale notes: each round is two broadcast-free joins + one aggregation —
     all shuffles keyed on vertex id, O(diameter) rounds (near-dup clusters
     are shallow; web-scale dedup graphs converge in a handful). Each
-    round's labels are localCheckpoint()ed: a persist alone is NOT enough —
+    round's labels are checkpointed (reliable when a checkpoint dir is set,
+    else local — see _truncate_lineage): a persist alone is NOT enough —
     the logical plan references the previous round's frame three times, so
     without truncation the plan tree grows 3^rounds and OOMs the planner
-    long before the data does."""
-    edges = edges.select(
-        F.col("id_a").cast("long").alias("id_a"), F.col("id_b").cast("long").alias("id_b")
-    ).localCheckpoint()
-    labels = (
+    long before the data does. If max_iter rounds pass without a fixpoint
+    the possibly-non-converged labels are returned with a warning (with
+    pointer jumping, 25 rounds cover ~2^25-deep chains — defense-in-depth)."""
+    edges = _truncate_lineage(
+        edges.select(
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+        )
+    )
+    labels = _truncate_lineage(
         edges.select(F.col("id_a").alias("id"))
         .union(edges.select(F.col("id_b").alias("id")))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint()
     )
+    changed = 0
     for _ in range(max_iter):
         msgs = (
             edges.join(labels, edges.id_a == labels.id)
@@ -253,10 +272,9 @@ def connected_components(
         hop = propagated.select(
             F.col("id").alias("label"), F.col("label").alias("label2")
         )
-        new_labels = (
+        new_labels = _truncate_lineage(
             propagated.join(hop, "label", "left")
             .select("id", F.coalesce("label2", "label").alias("label"))
-            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -267,6 +285,16 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "connected_components: no fixpoint after %d rounds "
+            "(%d labels still changing) — returning possibly non-converged "
+            "labels; raise max_iter",
+            max_iter,
+            changed,
+        )
     return labels.select(F.col("id"), F.col("label").alias("cluster"))
 
 
@@ -279,7 +307,16 @@ def near_dup_clusters(
     """Near-duplicate clusters: MinHash-LSH candidate pairs (xxhash64
     family) → connected components. Returns (id, cluster) with cluster =
     the component's minimum doc id; singletons are not rows (every
-    unclustered doc is its own implicit cluster)."""
+    unclustered doc is its own implicit cluster).
+
+    NOTE (inherited from minhash_near_dup_pairs_xx defaults): exact
+    duplicates of a clustered representative are ABSENT from the output —
+    the exact-dedup pre-pass collapses byte-identical groups to their
+    min-id representative before banding. Recover them by joining
+    exact_dup_groups on the representative id, or pass
+    ``dedup_exact_first=False`` (at the cost of O(m²) pairs per
+    m-duplicate group). Buckets over ``max_bucket`` are likewise dropped
+    (pass ``log_dropped=True`` to count what was skipped)."""
     pairs = minhash_near_dup_pairs_xx(df, id_col, text_col, **minhash_kwargs)
     return connected_components(pairs.select("id_a", "id_b"))
 

@@ -153,6 +153,51 @@ def test_embedding_near_dups_uncapped_keeps_hot_bucket(spark):
     assert n == 20 * 19 // 2 + 1  # all hot pairs + the cold pair
 
 
+# ---------------------------------------------------------------------------
+# Cluster-grade checkpointing (VERDICT r2 "next" #4): with a checkpoint dir
+# configured, connected_components must use RELIABLE checkpoint() — the plan
+# is truncated to a checkpoint scan and blocks land in the dir, so executor
+# loss mid-iteration recomputes instead of killing the job.
+# ---------------------------------------------------------------------------
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    import os
+
+    from buildlog_consultant_spark.ops.dedup import connected_components
+
+    ckpt = str(tmp_path / "ckpt")
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    sc.setCheckpointDir(ckpt)
+    try:
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (5, 6), (9, 9)], "id_a long, id_b long"
+        )
+        out = connected_components(edges)
+        rows = sorted((r.id, r.cluster) for r in out.collect())
+        assert rows == [(1, 1), (2, 1), (3, 1), (5, 5), (6, 5), (9, 9)]
+        # plan truncated: the result reads from checkpointed RDDs, not the
+        # original join lineage
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "LogicalRDD" in plan and "Join" not in plan
+        # and blocks actually landed in the reliable dir
+        found = any(files for _, _, files in os.walk(ckpt))
+        assert found, "no checkpoint files written"
+    finally:
+        # reset so later tests see no checkpoint dir (no public unset API)
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.empty())
+
+
+def test_connected_components_local_checkpoint_without_dir(spark):
+    from buildlog_consultant_spark.ops.dedup import connected_components
+
+    assert spark.sparkContext.getCheckpointDir() is None
+    edges = spark.createDataFrame([(1, 2), (3, 4), (4, 1)], "id_a long, id_b long")
+    rows = sorted((r.id, r.cluster) for r in connected_components(edges).collect())
+    assert rows == [(1, 1), (2, 1), (3, 1), (4, 1)]
+
+
 def test_ann_topk_lsh_hot_bucket_capped_deterministic(spark):
     from buildlog_consultant_spark.ops.similarity import ann_topk_lsh
 
