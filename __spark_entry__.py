@@ -36,23 +36,43 @@ _REPO_DIR = Path(__file__).resolve().parent
 _shipped_sessions: set[str] = set()
 
 
+_CACHE_DIR = _REPO_DIR / ".cache"
+
+
+def _pkg_content_key() -> str:
+    """Hash of every package source file — the cache key for the shipped
+    zip and the fixture parquet (any source edit invalidates both)."""
+    import hashlib
+
+    h = hashlib.md5()
+    pkg_root = _REPO_DIR / "buildlog_consultant_spark"
+    for p in sorted(pkg_root.rglob("*.py")):
+        h.update(str(p.relative_to(_REPO_DIR)).encode())
+        h.update(p.read_bytes())
+    return h.hexdigest()[:16]
+
+
 def _ensure_pkg_shipped(spark: SparkSession) -> None:
     """Ship the package zip to executors (addPyFile) so the classify UDF's
-    imports resolve regardless of the harness's working directory."""
+    imports resolve regardless of the harness's working directory. The zip
+    is content-keyed and cached on disk, so repeat sessions (bench reruns,
+    the driver's per-query invocations) skip the rebuild."""
     key = spark.sparkContext.applicationId
     if key in _shipped_sessions:
         return
     import os
-    import tempfile
     import zipfile
 
-    fd, zpath = tempfile.mkstemp(suffix=".zip", prefix="blc_pkg_")
-    os.close(fd)
-    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
-        pkg_root = _REPO_DIR / "buildlog_consultant_spark"
-        for p in pkg_root.rglob("*.py"):
-            zf.write(p, p.relative_to(_REPO_DIR))
-    spark.sparkContext.addPyFile(zpath)
+    _CACHE_DIR.mkdir(exist_ok=True)
+    zpath = _CACHE_DIR / f"blc_pkg_{_pkg_content_key()}.zip"
+    if not zpath.exists():
+        tmp = str(zpath) + f".tmp{os.getpid()}"
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+            pkg_root = _REPO_DIR / "buildlog_consultant_spark"
+            for p in pkg_root.rglob("*.py"):
+                zf.write(p, p.relative_to(_REPO_DIR))
+        os.replace(tmp, zpath)  # atomic: concurrent builders agree on content
+    spark.sparkContext.addPyFile(str(zpath))
     _shipped_sessions.add(key)
 
 
@@ -82,6 +102,28 @@ def _values_oracle(rows: list[tuple], cols: list[str]) -> str:
 _classified_cache: dict[str, DataFrame] = {}
 
 
+def _fixture_pages(spark: SparkSession, n: int) -> DataFrame:
+    """Fixture pages corpus via a content-keyed parquet cache: first build
+    synthesizes distributed (fixtures.pages_df) and writes parquet; repeat
+    sessions read the parquet (pure JVM scan) instead of re-running the
+    Python synthesis workers — this stops one-time corpus setup from being
+    charged to whichever classify query the driver times first
+    (VERDICT r2 "next" #3)."""
+    import os
+    import shutil
+
+    _CACHE_DIR.mkdir(exist_ok=True)
+    path = _CACHE_DIR / f"fixture_pages_{n}_{_pkg_content_key()}.parquet"
+    if not path.exists():
+        tmp = str(path) + f".tmp{os.getpid()}"
+        fixtures.pages_df(spark, n).write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:  # concurrent builder won the rename; same content
+            shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(str(path))
+
+
 def _fixture_classified(spark: SparkSession) -> DataFrame:
     """Classified fixture corpus, persisted once per Spark application —
     the three classify_* queries share one classify pass."""
@@ -90,7 +132,7 @@ def _fixture_classified(spark: SparkSession) -> DataFrame:
     if cached is not None:
         return cached
     _ensure_pkg_shipped(spark)
-    pages = fixtures.pages_df(spark, FIXN)
+    pages = _fixture_pages(spark, FIXN)
     out = classify_documents(pages, text_col="text", keep_cols=("url", "lang")).persist()
     _classified_cache[key] = out
     return out
