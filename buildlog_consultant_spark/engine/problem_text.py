@@ -13,12 +13,44 @@ from typing import Optional
 from ..core.problems import Problem
 
 
+def _rust_str_dbg(s: str) -> str:
+    """Rust ``{:?}`` for str: double-quoted with backslash escapes
+    (core::fmt Debug for str escapes ``\\``, ``\"``, \\n, \\r, \\t; rare
+    control chars render as \\u{..} upstream — not reproduced, none of the
+    matched capture groups can contain them)."""
+    out = (
+        str(s)
+        .replace("\\", "\\\\")
+        .replace('"', '\\"')
+        .replace("\n", "\\n")
+        .replace("\r", "\\r")
+        .replace("\t", "\\t")
+    )
+    return f'"{out}"'
+
+
 def _dbg(v) -> str:
     if v is None:
         return "None"
     if isinstance(v, list):
         return "[" + ", ".join(_dbg(x) for x in v) + "]"
-    return '"' + str(v) + '"'
+    return _rust_str_dbg(v)
+
+
+def _badpkg_args_dbg(args) -> str:
+    """Byte-exact reference Display for badpkg
+    (/root/reference/src/problems/autopkgtest.rs:56-60): ``{:?}`` of
+    ``Vec<(Option<String>, String)>`` — ``[(Some("deb"), "foo"), (None,
+    "bar")]``. The JSON data model carries each tuple as a two-element list
+    with null for None (serde's tuple/Option encoding,
+    autopkgtest.rs:38-42), so the tuple/Option shape is reconstructed here
+    rather than rendered as nested lists."""
+    parts = []
+    for pair in args or []:
+        kind, arg = (pair + [None, None])[:2] if isinstance(pair, list) else pair
+        k = f"Some({_rust_str_dbg(kind)})" if kind is not None else "None"
+        parts.append(f"({k}, {_rust_str_dbg(arg)})")
+    return "[" + ", ".join(parts) + "]"
 
 
 def _d(p: Problem, key: str):
@@ -201,7 +233,7 @@ _SIMPLE = {
     ),
     "uscan-watchfile-malformed": lambda p: "uscan rejected malformed debian/watch paragraph",
     # autopkgtest.rs
-    "badpkg": lambda p: f"autopkgtest dependencies unsatisfiable: {_dbg(_d(p,'args'))}",
+    "badpkg": lambda p: f"autopkgtest dependencies unsatisfiable: {_badpkg_args_dbg(_d(p,'args'))}",
     "timed-out": lambda p: "autopkgtest timed out",
     "xdg-runtime-dir-not-set": lambda p: "XDG_RUNTIME_DIR not set",
     "testbed-failure": lambda p: f"autopkgtest testbed failure: {_d(p,'reason')}",
