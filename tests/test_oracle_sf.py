@@ -47,7 +47,15 @@ def duck():
 
 
 @pytest.mark.parametrize(
-    "name", ["simhash", "minhash_near_dups_xx", "near_dup_clusters"]
+    "name",
+    [
+        "simhash",
+        "minhash_near_dups_xx",
+        "near_dup_clusters",
+        # streaming query: plain-SQL oracle, but its file-stream staging
+        # logic is sf_dir-dependent — exercise it at the second scale too
+        "streaming_event_counts",
+    ],
 )
 def test_golden_oracle_follows_sf_dir(spark, duck, name):
     sdf = entry.queries()[name](spark, SF_DIR)
