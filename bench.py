@@ -137,9 +137,14 @@ def main():
         nogate_path = f"{workdir}/pages_nogate"
         n_nogate = min(n_docs, 10000)
         build_corpus(spark_big, n_nogate, nogate_path)
-        # larger corpus for the scaling pair (amortizes fixed per-job cost)
+        # larger corpus for the scaling pair: per-run FIXED cost (job
+        # scheduling, plan time, output commit — ~5 s by Amdahl fit on the
+        # round-3 numbers) does not shrink with cores, so at 150k docs it
+        # alone caps measurable efficiency near 0.78; 300k docs halves its
+        # relative weight. On a real cluster the corpus is 10^12 rows and
+        # this term vanishes.
         scale_docs = int(os.environ.get("BLC_BENCH_SCALE_DOCS", "0")) or min(
-            max(int(n_docs * 2.5), 40_000), 160_000
+            max(int(n_docs * 5), 40_000), 320_000
         )
         scale_path = f"{workdir}/pages_scale"
         build_corpus(spark_big, scale_docs, scale_path)
@@ -175,13 +180,20 @@ def main():
             sp.stop()
             return times
 
-        # symmetric, fixed-count protocol (no early exit): the round-2
-        # adaptive loop resampled only while the metric looked bad and gave
-        # 4N one more draw than N, both of which bias min-of-N upward —
-        # ADVICE r2. Three runs per config, report whatever comes out.
+        # symmetric, fixed-count, INTERLEAVED protocol (no early exit): the
+        # round-2 adaptive loop resampled only while the metric looked bad
+        # and gave 4N one more draw than N, both of which bias min-of-N
+        # upward (ADVICE r2); and running each config's draws as one
+        # consecutive block lets slow machine-state drift (co-tenant steal
+        # comes in multi-minute waves on this VM) hit one config's whole
+        # block — round-3 blocked runs measured the same job at 0.78 and
+        # 1.07 depending on which config caught the slow window. Alternating
+        # 4N/N per round exposes both configs to the same noise process.
         n_runs = int(os.environ.get("BLC_BENCH_SCALE_RUNS", "3"))
-        times_4n = measure(f"local[{SCALE_4N}]", "4n", n_runs)
-        times_n = measure(f"local[{SCALE_N}]", "n", n_runs)
+        times_4n, times_n = [], []
+        for i in range(n_runs):
+            times_4n += measure(f"local[{SCALE_4N}]", f"4n{i}", 1)
+            times_n += measure(f"local[{SCALE_N}]", f"n{i}", 1)
 
         efficiency = (min(times_n) / min(times_4n)) / (SCALE_4N / SCALE_N)
         run_n = {"total_sec": min(times_n), "docs_per_sec": scale_docs / min(times_n)}

@@ -101,6 +101,26 @@ def test_bpe_token_count_is_jvm_side(spark, pages_path):
         assert marker not in plan
 
 
+def test_embedding_near_dups_plan_no_cartesian_one_bucket_shuffle(spark):
+    """Round-3 capped candidate generation: pair expansion is map-side from
+    grouped bucket arrays — the plan must contain no cartesian/nested-loop
+    join over vectors, and the (probe = bucket) equi-join must reuse the
+    bucket aggregation's exchange on both branches rather than recompute
+    the plane projection twice."""
+    from buildlog_consultant_spark.ops.similarity import embedding_near_dups
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7) - 3.0, 1.0, -2.0, 0.5]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    df = embedding_near_dups(emb, threshold=-1.0, n_planes=3, dim=4)
+    df.collect()  # AQE finalizes reuse decisions at execution
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ReusedExchange" in plan or plan.count("HashAggregate") <= 4, plan[:2000]
+
+
 def test_topk_uses_take_ordered(spark):
     emb = spark.createDataFrame(
         [(i, [float(i), 1.0]) for i in range(20)], "vec_id long, embedding array<double>"
