@@ -802,6 +802,86 @@ FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """
 
 
+def q_ann_topk_ivf(spark, sf_dir):
+    """Approximate top-k via the IVF coarse quantizer (deterministic
+    lowest-id pivots, nprobe=4 of 16 cells). Oracle: golden VALUES
+    recomputed in pure Python — every distance is the same left-to-right
+    IEEE-double fold as Spark's F.aggregate, so cells, probes, and ranks
+    replay bit-exactly."""
+    from pyspark.sql.window import Window
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    scored = sim_ops.ivf_topk(emb, query_vec_id=0, k=10, n_pivots=16, nprobe=4)
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return scored.select(F.row_number().over(w).alias("rank"), "vec_id")
+
+
+def _oracle_ann_topk_ivf(
+    n_pivots: int = 16,
+    nprobe: int = 4,
+    k: int = 10,
+    max_cell: int = 1024,
+    sf_dir: str = None,
+) -> str:
+    import math
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        f"{sf_dir or _oracle_sf_dir()}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+    )
+    recs = sorted(
+        zip(tbl["vec_id"].to_pylist(), tbl["embedding"].to_pylist()),
+        key=lambda r: r[0],
+    )
+    vecs = {i: [float(x) for x in v] for i, v in recs}
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def norm(a):
+        return math.sqrt(dot(a, a))
+
+    pivots = [(i, vecs[i]) for i, _ in recs[:n_pivots]]
+    pnorms = [norm(pv) for _, pv in pivots]
+
+    def cell_of(v):
+        vn = norm(v)
+        best = max(
+            ((dot(v, pv) / (vn * pnorms[i]), -i) for i, (_, pv) in enumerate(pivots))
+        )
+        return -best[1]
+
+    qv = vecs[0]
+    qn = norm(qv)
+    qcos = [
+        (dot(qv, pv) / (qn * pnorms[i]), -i) for i, (_, pv) in enumerate(pivots)
+    ]
+    probes = {-ni for _, ni in sorted(qcos, reverse=True)[:nprobe]}
+
+    per_cell: dict[int, list] = {}
+    for i, _ in recs:
+        if i == 0:
+            continue
+        c = cell_of(vecs[i])
+        if c in probes:
+            per_cell.setdefault(c, []).append(i)
+    cand = [i for c in per_cell for i in sorted(per_cell[c])[:max_cell]]
+    scored = sorted(
+        ((dot(qv, vecs[i]) / (norm(vecs[i]) * qn), i) for i in cand),
+        key=lambda t: (-t[0], t[1]),
+    )[:k]
+    vals = ",\n".join(f"({r + 1}, {i})" for r, (_, i) in enumerate(scored))
+    return (
+        "SELECT CAST(rank AS INT) AS rank, CAST(vec_id AS BIGINT) AS vec_id "
+        f"FROM (VALUES\n{vals}\n) AS t(rank, vec_id)"
+    )
+
+
 def q_embedding_near_dups(spark, sf_dir):
     """Embedding-cosine near-dup pairs via multi-probe LSH candidates +
     exact cosine filter. Threshold 0.45 is boundary-safe on this data (no
@@ -1053,6 +1133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_event_counts": q_streaming_event_counts,
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "embedding_near_dups": q_embedding_near_dups,
         "minhash_near_dups": q_minhash_near_dups,
         "minhash_near_dups_xx": q_minhash_near_dups_xx,
@@ -1094,6 +1175,7 @@ def oracle_sql(sf_dir: str = None) -> dict[str, str]:
         "simhash": _oracle_simhash(sf_dir),
         "simhash_md5": ORACLE_SIMHASH_MD5,
         "ann_topk_lsh": _oracle_ann_topk_lsh(),
+        "ann_topk_ivf": _oracle_ann_topk_ivf(sf_dir=sf_dir),
         "embedding_near_dups": _oracle_embedding_near_dups(),
         "media_meta": _oracle_media_meta(),
     }

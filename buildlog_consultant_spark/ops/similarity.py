@@ -150,6 +150,96 @@ def ann_topk_lsh(
     return cosine_topk(restricted, query_vec_id, k, id_col, vec_col)
 
 
+def ivf_topk(
+    df: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_pivots: int = 16,
+    nprobe: int = 4,
+    max_cell: int | None = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index — the coarse-
+    quantizer alternative to hyperplane LSH.
+
+    Pivot selection is deterministic (the ``n_pivots`` lowest-id vectors),
+    so the whole index is replayable off-Spark bit-exactly: every distance
+    is a left-to-right double fold, identical in Spark's F.aggregate, in
+    DuckDB list_sum, and in a plain Python loop. Each vector joins the cell
+    of its highest-cosine pivot (ties → lowest pivot index); the query
+    probes its ``nprobe`` nearest cells; only those cells get the exact
+    scorer, capped at ``max_cell`` lowest ids per cell (mirroring the LSH
+    family's bucket caps).
+
+    Scale shape: the pivot table is a driver-side collect of n_pivots rows
+    (bounded, documented); assignment is a per-row JVM expression (n_pivots
+    dot products — no shuffle); candidate selection is a filter on the cell
+    id, which also makes cell a natural write-partition key for repeated
+    queries (partition pruning replaces the filter scan). Expected scan
+    fraction ≈ nprobe / n_pivots; pick n_pivots ≈ sqrt(N) for the classic
+    IVF balance at crawl scale."""
+    piv_rows = (
+        df.orderBy(id_col)
+        .limit(n_pivots)
+        .select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    pivots = [(r[0], list(r[1])) for r in piv_rows]
+
+    def py_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    import math
+
+    piv_norms = [math.sqrt(py_dot(v, v)) for _, v in pivots]
+
+    v = F.col(vec_col).cast("array<double>")
+    vnorm = _norm(v)
+    # struct max: (cosine, -index) — lexicographic array_max gives the
+    # highest cosine, ties broken toward the LOWEST pivot index
+    piv_entries = []
+    for i, (_pid, pv) in enumerate(pivots):
+        pcos = _dot(v, F.array(*[F.lit(x) for x in pv])) / (vnorm * F.lit(piv_norms[i]))
+        piv_entries.append(F.struct(pcos.alias("c"), F.lit(-i).alias("ni")))
+    cands_struct = F.array(*piv_entries)
+    cell = (-F.array_max(cands_struct)["ni"]).alias("cell")
+    assigned = df.select(F.col(id_col), cell)
+
+    # query-side probe selection in plain Python — same IEEE doubles, same
+    # fold order, so it agrees bit-exactly with the JVM assignment
+    qv = [
+        float(x)
+        for x in df.where(F.col(id_col) == query_vec_id).select(v.alias("q")).head()[0]
+    ]
+    qnorm = math.sqrt(py_dot(qv, qv))
+    qcos = [
+        (py_dot(qv, pv) / (qnorm * piv_norms[i]), -i)
+        for i, (_, pv) in enumerate(pivots)
+    ]
+    probe_cells = [-ni for _, ni in sorted(qcos, reverse=True)[:nprobe]]
+
+    cands = assigned.where(
+        F.col("cell").isin(probe_cells) & (F.col(id_col) != query_vec_id)
+    )
+    if max_cell is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("cell").orderBy(id_col)
+        cands = (
+            cands.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= max_cell)
+        )
+    cands = cands.select(id_col)
+    restricted = df.join(cands, id_col, "left_semi").unionByName(
+        df.where(F.col(id_col) == query_vec_id)
+    )
+    return cosine_topk(restricted, query_vec_id, k, id_col, vec_col)
+
+
 def embedding_near_dups(
     df: DataFrame,
     threshold: float = 0.45,

@@ -198,6 +198,38 @@ def test_connected_components_local_checkpoint_without_dir(spark):
     assert rows == [(1, 1), (2, 1), (3, 1), (4, 1)]
 
 
+def test_ivf_topk_probes_only_nearest_cells(spark):
+    from buildlog_consultant_spark.ops.similarity import ivf_topk
+
+    # pivots = two lowest ids: 0 → [1,0], 1 → [0,1]; query = 0; nprobe=1
+    # probes only cell 0, so id 11 (cell 1) is excluded despite a positive
+    # cosine — the IVF recall trade the operator is supposed to make
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.0, 1.0]),
+            (10, [0.9, 0.1]),
+            (11, [0.1, 0.9]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = ivf_topk(df, query_vec_id=0, k=10, n_pivots=2, nprobe=1).collect()
+    ids = [r.vec_id for r in out]
+    assert 10 in ids and 11 not in ids and 1 not in ids
+
+
+def test_ivf_topk_cell_cap_deterministic(spark):
+    from buildlog_consultant_spark.ops.similarity import ivf_topk
+
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    rows += [(100 + i, [1.0, 0.0]) for i in range(50)]  # hot cell 0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = ivf_topk(df, query_vec_id=0, k=10, n_pivots=2, nprobe=1, max_cell=5).collect()
+    # cap keeps the 5 lowest ids of cell 0 (query excluded); all tie at
+    # cosine 1.0 so the scorer orders by id
+    assert [r.vec_id for r in out] == [100, 101, 102, 103, 104]
+
+
 def test_ann_topk_lsh_hot_bucket_capped_deterministic(spark):
     from buildlog_consultant_spark.ops.similarity import ann_topk_lsh
 
