@@ -272,17 +272,20 @@ def connected_components(
         hop = propagated.select(
             F.col("id").alias("label"), F.col("label").alias("label2")
         )
-        new_labels = _truncate_lineage(
+        # the convergence flag is computed inside the same checkpointed
+        # pass (one extra vertex-keyed join folded into the round's job);
+        # the count() below then only filters cached blocks instead of
+        # re-joining old vs new labels as a second shuffle job per round
+        flagged = _truncate_lineage(
             propagated.join(hop, "label", "left")
             .select("id", F.coalesce("label2", "label").alias("label"))
+            .join(labels.select("id", F.col("label").alias("_old")), "id")
+            .select(
+                "id", "label", (F.col("label") != F.col("_old")).alias("_chg")
+            )
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = flagged.where(F.col("_chg")).count()
+        labels = flagged.select("id", "label")
         if changed == 0:
             break
     if changed != 0:
