@@ -687,6 +687,63 @@ def _oracle_near_dup_clusters(sf_dir: str = None) -> str:
     )
 
 
+def q_winnow_dups(spark, sf_dir):
+    """Winnowing (MOSS) fingerprints shared by >= 2 documents. Oracle:
+    Python-golden replay — same tokenizer/shingles as the minhash golden,
+    signed xxhash64 (seed 42, ops/xxh64.py), w-window minima, per-doc
+    distinct, cross-doc group."""
+    d = _docs(spark, sf_dir)
+    return dedup_ops.winnow_dup_groups(d)
+
+
+def _oracle_winnow_dups(k: int = 3, w: int = 4, sf_dir: str = None) -> str:
+    import re
+
+    import pyarrow.parquet as pq
+
+    from buildlog_consultant_spark.ops.xxh64 import xxh64
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    tbl = pq.read_table(
+        f"{sf_dir or _oracle_sf_dir()}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def signed(h: int) -> int:
+        return h - (1 << 64) if h >= (1 << 63) else h
+
+    hash_cache: dict[str, int] = {}
+    groups: dict[int, list] = {}
+    for doc_id, text in sorted(
+        zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()), key=lambda r: r[0]
+    ):
+        toks = ws.sub(" ", (text or "").strip(" ")).lower().split(" ")
+        n = len(toks)
+        shingles = [" ".join(toks[i : i + k]) for i in range(0, max(n - k, 0) + 1)]
+        hs = []
+        for s in shingles:
+            h = hash_cache.get(s)
+            if h is None:
+                h = hash_cache[s] = signed(xxh64(s.encode("utf-8"), 42))
+            hs.append(h)
+        n_win = max(len(hs) - (w - 1), 1)
+        fps = {min(hs[i : i + w]) for i in range(n_win)}
+        for fp in fps:
+            groups.setdefault(fp, []).append(doc_id)
+    rows = sorted(
+        (fp, len(ids), min(ids)) for fp, ids in groups.items() if len(ids) >= 2
+    )
+    if not rows:
+        return (
+            "SELECT CAST(NULL AS BIGINT) AS fp, CAST(NULL AS BIGINT) AS n_docs, "
+            "CAST(NULL AS BIGINT) AS min_doc WHERE 1=0"
+        )
+    vals = ",\n".join(f"({a}, {b}, {c})" for a, b, c in rows)
+    return (
+        "SELECT CAST(fp AS BIGINT) AS fp, CAST(n_docs AS BIGINT) AS n_docs, "
+        f"CAST(min_doc AS BIGINT) AS min_doc FROM (VALUES\n{vals}\n) AS t(fp, n_docs, min_doc)"
+    )
+
+
 def q_lang_guess(spark, sf_dir):
     """Stopword-hit language-ID over documents, counted per (actual, guessed)."""
     d = text_ops.with_lang_guess(_docs(spark, sf_dir))
@@ -1138,6 +1195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": q_minhash_near_dups,
         "minhash_near_dups_xx": q_minhash_near_dups_xx,
         "near_dup_clusters": q_near_dup_clusters,
+        "winnow_dups": q_winnow_dups,
         "lang_guess": q_lang_guess,
         "bpe_token_counts": q_bpe_token_counts,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1169,6 +1227,7 @@ def oracle_sql(sf_dir: str = None) -> dict[str, str]:
         "minhash_near_dups": ORACLE_MINHASH,
         "minhash_near_dups_xx": _oracle_minhash_xx(sf_dir),
         "near_dup_clusters": _oracle_near_dup_clusters(sf_dir),
+        "winnow_dups": _oracle_winnow_dups(sf_dir=sf_dir),
         "lang_guess": ORACLE_LANG_GUESS,
         "bpe_token_counts": ORACLE_BPE_TOKEN_COUNTS,
         "ngram_jaccard": ORACLE_NGRAM_JACCARD,

@@ -16,6 +16,7 @@ also the reason per-document work is bounded at 10^12-row scale.
 from __future__ import annotations
 
 import re
+from bisect import bisect_right
 from typing import Optional, Sequence
 
 from ..core.matchers import Match, SingleLineMatch
@@ -109,8 +110,6 @@ def _block_hits(win: str, gate, starts: Sequence[int], lo: int, hi: int) -> list
     misattributed hits after ``\\r``-terminated segments; any false positive
     merely sends that line through the exact per-line gate downstream,
     which re-filters."""
-    from bisect import bisect_right
-
     hits = []
     for m in gate.finditer(win, starts[lo], starts[hi]):
         hits.append(bisect_right(starts, m.start(), lo, hi) - 1)

@@ -195,6 +195,59 @@ def minhash_near_dup_pairs(
     return _pairs_from_sigs(sigs, min_shared_bands, max_bucket, log_dropped)
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """MOSS-style winnowing fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): hash every k-token shingle, slide a w-wide window over the
+    hash sequence, keep each window's minimum; the document's fingerprint
+    set is the distinct window-minima. Any shared substring of ≥ w+k-1
+    tokens is guaranteed to share a fingerprint, at ~2/(w+1) the density
+    of full shingling.
+
+    All JVM-side: shingles hashed ONCE into an array (xxhash64), windows
+    via transform over an index sequence + slice + array_min, one explode
+    — no shuffle until the caller aggregates. Returns (id, fp) with fp a
+    signed 64-bit hash. Docs shorter than w shingles emit one whole-array
+    fingerprint."""
+    sh = _shingles(text_col, k)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(sh, lambda s: F.xxhash64(s)).alias("hs"),
+    )
+    n = F.size(F.col("hs"))
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(w - 1), F.lit(1)))
+    mins = F.transform(idx, lambda i: F.array_min(F.slice(F.col("hs"), i, w)))
+    return base.select(
+        "id", F.explode(F.array_distinct(mins)).alias("fp")
+    )
+
+
+def winnow_dup_groups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Fingerprints shared by ≥ 2 documents: (fp, n_docs, min_doc). One
+    shuffle keyed on the 64-bit fingerprint — uniform by construction, so
+    no skew handling needed."""
+    fps = winnow_fingerprints(df, id_col, text_col, k, w)
+    return (
+        fps.groupBy("fp")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("id").alias("min_doc"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
 def _sig_from_votes(votes):
     """Fold a 64-wide vote array into the signed 64-bit signature."""
     sig = F.lit(0).cast("long")

@@ -53,6 +53,7 @@ def duck():
         "minhash_near_dups_xx",
         "near_dup_clusters",
         "ann_topk_ivf",
+        "winnow_dups",
         # streaming query: plain-SQL oracle, but its file-stream staging
         # logic is sf_dir-dependent — exercise it at the second scale too
         "streaming_event_counts",

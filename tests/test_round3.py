@@ -198,6 +198,35 @@ def test_connected_components_local_checkpoint_without_dir(spark):
     assert rows == [(1, 1), (2, 1), (3, 1), (4, 1)]
 
 
+def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
+    """Winnowing's core guarantee: two documents sharing a token run of
+    length >= w+k-1 (here 6) must share at least one fingerprint; docs
+    with no overlap share none (whp)."""
+    from buildlog_consultant_spark.ops.dedup import winnow_dup_groups
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens = w+k-1
+    df = spark.createDataFrame(
+        [
+            (1, f"intro one two {shared} tail x y z"),
+            (2, f"completely different head {shared} other ending words"),
+            (3, "nothing in common with the others at all whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    groups = winnow_dup_groups(df, k=3, w=4).collect()
+    assert groups, "shared 6-token run must produce a shared fingerprint"
+    for g in groups:
+        assert g.n_docs == 2 and g.min_doc == 1  # only docs 1 and 2 overlap
+
+
+def test_winnow_short_doc_single_fingerprint(spark):
+    from buildlog_consultant_spark.ops.dedup import winnow_fingerprints
+
+    df = spark.createDataFrame([(7, "just two")], "doc_id long, text string")
+    rows = winnow_fingerprints(df, k=3, w=4).collect()
+    assert len(rows) == 1  # shorter than one window → one whole-array min
+
+
 def test_ivf_topk_probes_only_nearest_cells(spark):
     from buildlog_consultant_spark.ops.similarity import ivf_topk
 
