@@ -687,6 +687,29 @@ def _oracle_near_dup_clusters(sf_dir: str = None) -> str:
     )
 
 
+def q_token_topk(spark, sf_dir):
+    """Top-10 most frequent tokens per lang (vocabulary heavy hitters).
+    Oracle: same tokenizer in DuckDB (ASCII-\\s normalize, lower, split on
+    single space), count, row_number with (n DESC, token ASC) tie-break."""
+    return text_ops.token_topk(_docs(spark, sf_dir), k=10)
+
+
+ORACLE_TOKEN_TOPK = r"""
+WITH toks AS (
+  SELECT lang,
+         unnest(string_split(lower(regexp_replace(trim(text, ' '),
+                '[ \t\n\x0b\f\r]+', ' ', 'g')), ' ')) AS token
+  FROM documents
+), counts AS (
+  SELECT lang, token, COUNT(*) AS n FROM toks GROUP BY lang, token
+)
+SELECT lang, CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, token ASC) AS INT) AS rank,
+       token, CAST(n AS BIGINT) AS n
+FROM counts
+QUALIFY rank <= 10
+"""
+
+
 def q_winnow_dups(spark, sf_dir):
     """Winnowing (MOSS) fingerprints shared by >= 2 documents. Oracle:
     Python-golden replay — same tokenizer/shingles as the minhash golden,
@@ -1195,6 +1218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": q_minhash_near_dups,
         "minhash_near_dups_xx": q_minhash_near_dups_xx,
         "near_dup_clusters": q_near_dup_clusters,
+        "token_topk": q_token_topk,
         "winnow_dups": q_winnow_dups,
         "lang_guess": q_lang_guess,
         "bpe_token_counts": q_bpe_token_counts,
@@ -1227,6 +1251,7 @@ def oracle_sql(sf_dir: str = None) -> dict[str, str]:
         "minhash_near_dups": ORACLE_MINHASH,
         "minhash_near_dups_xx": _oracle_minhash_xx(sf_dir),
         "near_dup_clusters": _oracle_near_dup_clusters(sf_dir),
+        "token_topk": ORACLE_TOKEN_TOPK,
         "winnow_dups": _oracle_winnow_dups(sf_dir=sf_dir),
         "lang_guess": ORACLE_LANG_GUESS,
         "bpe_token_counts": ORACLE_BPE_TOKEN_COUNTS,

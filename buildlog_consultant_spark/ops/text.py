@@ -46,6 +46,36 @@ def with_bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def token_topk(
+    df: DataFrame, k: int = 10, text_col: str = "text", lang_col: str = "lang"
+) -> DataFrame:
+    """Heavy hitters: the top-k most frequent whitespace tokens per language
+    — the vocabulary-stats pass of a training-data pipeline.
+
+    Shape at 10^12 rows: explode is a flat map (no shuffle); the count is a
+    partial+final hash aggregate, so each executor pre-combines its token
+    counts map-side before ONE shuffle keyed on (lang, token) — the shuffle
+    carries at most executors × distinct-vocab rows, not corpus tokens. The
+    final per-lang top-k ranks the aggregated counts (vocab-sized input,
+    ties broken lexicographically for cross-engine determinism)."""
+    from pyspark.sql import Window
+
+    toks = F.split(
+        F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")), " "
+    )
+    counts = (
+        df.select(F.col(lang_col).alias("lang"), F.explode(toks).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("lang", F.col("rank").cast("int").alias("rank"), "token", "n")
+    )
+
+
 def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic integer quality score in [0, 100]:
     length component + punctuation-ratio + uppercase-ratio penalties.
