@@ -687,6 +687,129 @@ def _oracle_near_dup_clusters(sf_dir: str = None) -> str:
     )
 
 
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic (hash-threshold) ~10% subsample, counted per lang.
+    The SAME rows are kept on any cluster/partitioning/engine — md5 hex
+    prefix compare replays exactly in DuckDB."""
+    d = text_ops.deterministic_sample(_docs(spark, sf_dir))
+    return d.groupBy("lang").agg(F.count("*").alias("n_kept"))
+
+
+ORACLE_SAMPLE_STRATIFIED = """
+SELECT lang, COUNT(*) AS n_kept
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '19999999'
+GROUP BY lang
+"""
+
+
+def q_near_dup_dedup(spark, sf_dir):
+    """The corpus-dedup endpoint: exact dups collapsed, near-dup cluster
+    members dropped (representative kept); result counted per lang.
+    Oracle: full Python replay — exact-dedup first-occurrence + golden
+    LSH pairs + union-find, then per-lang counts."""
+    d = _docs(spark, sf_dir)
+    return dedup_ops.near_dup_dedup(d).groupBy("lang").agg(
+        F.count("*").alias("n_kept")
+    )
+
+
+def _oracle_near_dup_dedup(sf_dir: str = None) -> str:
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        f"{sf_dir or _oracle_sf_dir()}/documents.parquet",
+        columns=["doc_id", "text", "lang"],
+    )
+    recs = sorted(
+        zip(
+            tbl["doc_id"].to_pylist(),
+            tbl["text"].to_pylist(),
+            tbl["lang"].to_pylist(),
+        ),
+        key=lambda r: r[0],
+    )
+    seen_texts: set = set()
+    exact_kept: list = []
+    for doc_id, text, lang in recs:
+        if text in seen_texts:
+            continue
+        seen_texts.add(text)
+        exact_kept.append((doc_id, lang))
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b, _ in _minhash_xx_pairs_golden(sf_dir=sf_dir):
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    drop = {x for x in parent if find(x) != x}
+    counts: dict[str, int] = {}
+    for doc_id, lang in exact_kept:
+        if doc_id not in drop:
+            counts[lang] = counts.get(lang, 0) + 1
+    rows = sorted(counts.items())
+    vals = ",\n".join(f"('{l}', {n})" for l, n in rows)
+    return (
+        "SELECT CAST(lang AS VARCHAR) AS lang, CAST(n_kept AS BIGINT) AS n_kept "
+        f"FROM (VALUES\n{vals}\n) AS t(lang, n_kept)"
+    )
+
+
+def q_embedding_clusters(spark, sf_dir):
+    """Embedding near-dup clusters: capped LSH pairs -> connected
+    components. Oracle: the plane-replay pair SQL executed in an embedded
+    DuckDB at oracle-build time, then union-find in Python."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return sim_ops.embedding_near_dup_clusters(emb, threshold=0.45, n_planes=6)
+
+
+def _oracle_embedding_clusters(sf_dir: str = None) -> str:
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM read_parquet("
+        f"'{sf_dir or _oracle_sf_dir()}/embeddings.parquet')"
+    )
+    pairs = con.execute(_oracle_embedding_near_dups()).fetchall()
+    con.close()
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    rows = sorted((x, find(x)) for x in parent)
+    if not rows:
+        return (
+            "SELECT CAST(NULL AS BIGINT) AS id, CAST(NULL AS BIGINT) AS cluster "
+            "WHERE 1=0"
+        )
+    vals = ",\n".join(f"({x}, {c})" for x, c in rows)
+    return (
+        "SELECT CAST(id AS BIGINT) AS id, CAST(cluster AS BIGINT) AS cluster "
+        f"FROM (VALUES\n{vals}\n) AS t(id, cluster)"
+    )
+
+
 def q_token_topk(spark, sf_dir):
     """Top-10 most frequent tokens per lang (vocabulary heavy hitters).
     Oracle: same tokenizer in DuckDB (ASCII-\\s normalize, lower, split on
@@ -1218,6 +1341,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": q_minhash_near_dups,
         "minhash_near_dups_xx": q_minhash_near_dups_xx,
         "near_dup_clusters": q_near_dup_clusters,
+        "sample_stratified": q_sample_stratified,
+        "near_dup_dedup": q_near_dup_dedup,
+        "embedding_clusters": q_embedding_clusters,
         "token_topk": q_token_topk,
         "winnow_dups": q_winnow_dups,
         "lang_guess": q_lang_guess,
@@ -1251,6 +1377,9 @@ def oracle_sql(sf_dir: str = None) -> dict[str, str]:
         "minhash_near_dups": ORACLE_MINHASH,
         "minhash_near_dups_xx": _oracle_minhash_xx(sf_dir),
         "near_dup_clusters": _oracle_near_dup_clusters(sf_dir),
+        "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
+        "near_dup_dedup": _oracle_near_dup_dedup(sf_dir),
+        "embedding_clusters": _oracle_embedding_clusters(sf_dir),
         "token_topk": ORACLE_TOKEN_TOPK,
         "winnow_dups": _oracle_winnow_dups(sf_dir=sf_dir),
         "lang_guess": ORACLE_LANG_GUESS,

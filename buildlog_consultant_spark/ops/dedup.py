@@ -377,6 +377,27 @@ def near_dup_clusters(
     return connected_components(pairs.select("id_a", "id_b"))
 
 
+def near_dup_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **minhash_kwargs,
+) -> DataFrame:
+    """The corpus-dedup ENDPOINT: returns the deduplicated DataFrame —
+    exact duplicates collapsed to their min-id representative, then every
+    near-dup cluster member except the cluster representative dropped.
+    This is the pass a training-data pipeline actually runs before
+    tokenization; near_dup_clusters is its diagnostic view.
+
+    Scale shape: exact dedup is one hash shuffle; clustering is the capped
+    LSH + CC pipeline; the final drop is a left-anti join keyed on id."""
+    clusters = near_dup_clusters(df, id_col, text_col, **minhash_kwargs)
+    drop = clusters.where(F.col("id") != F.col("cluster")).select(
+        F.col("id").alias(id_col)
+    )
+    return dedup_exact(df, id_col, text_col).join(drop, id_col, "left_anti")
+
+
 def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit SimHash over word tokens using xxhash64 bit votes.
 

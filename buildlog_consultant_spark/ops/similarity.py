@@ -320,3 +320,25 @@ def embedding_near_dups(
         .where(cos >= threshold)
         .select("id_a", "id_b")
     )
+
+
+def embedding_near_dup_clusters(
+    df: DataFrame,
+    threshold: float = 0.45,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    probe_hamming: int = 1,
+    max_bucket: int | None = 256,
+) -> DataFrame:
+    """Embedding-cosine near-dup CLUSTERS: the capped LSH pair generator
+    feeding connected components (same CC machinery as the text-minhash
+    family — reliable checkpointing, pointer jumping). Returns
+    (id, cluster) with cluster = the component's minimum vec_id."""
+    from .dedup import connected_components
+
+    pairs = embedding_near_dups(
+        df, threshold, n_planes, id_col, vec_col, dim, probe_hamming, max_bucket
+    )
+    return connected_components(pairs.select("id_a", "id_b"))

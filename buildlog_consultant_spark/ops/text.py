@@ -76,6 +76,21 @@ def token_topk(
     )
 
 
+def deterministic_sample(
+    df: DataFrame, threshold_hex: str = "19999999", id_col: str = "doc_id"
+) -> DataFrame:
+    """Reproducible uniform subsample: keep rows whose md5(id) hex digest
+    sorts below ``threshold_hex`` (8 hex digits → rate = int(threshold,16)
+    / 16^8; the default ≈ 0.1). Hash-based, so the SAME rows are kept on
+    any cluster, any partitioning, any engine — the property a training-
+    data pipeline needs for resumable/rerunnable sampling, which
+    rand()-based sampling does not give. Pure map-side filter: no shuffle,
+    prunes at scan when id is a partition/sort column."""
+    return df.where(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8) < F.lit(threshold_hex)
+    )
+
+
 def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic integer quality score in [0, 100]:
     length component + punctuation-ratio + uppercase-ratio penalties.

@@ -54,6 +54,8 @@ def duck():
         "near_dup_clusters",
         "ann_topk_ivf",
         "winnow_dups",
+        "near_dup_dedup",
+        "embedding_clusters",
         # streaming query: plain-SQL oracle, but its file-stream staging
         # logic is sf_dir-dependent — exercise it at the second scale too
         "streaming_event_counts",
