@@ -72,3 +72,29 @@ def test_gate_parity(lines):
     kb = (b[0].offsets if b[0] else None, b[0].origin if b[0] else None,
           b[1].kind if b[1] else None, b[1].details if b[1] else None)
     assert ka == kb
+
+
+_SEP = st.sampled_from(["\n", "\r", "\r\n", "\f", " ", " \r", "\n\n"])
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.lists(st.tuples(_ERRORY, _SEP), min_size=0, max_size=6),
+    st.booleans(),
+)
+def test_gate_parity_document_level(parts, trailing_newline):
+    """Document-level gate parity through the FULL splitting + zero-copy
+    window path (the round-2 fuzz fed pre-split lines and therefore never
+    exercised it — the \\r misattribution bug lived exactly there). The
+    separators include every codepoint str.splitlines treats as a break
+    but split_inclusive('\\n') must not."""
+    from buildlog_consultant_spark.engine.core import split_log_lines
+    from buildlog_consultant_spark.spark.classify import analyze_text
+
+    text = "".join(s + sep for s, sep in parts)
+    if trailing_newline:
+        text += "\n"
+    assert "".join(split_log_lines(text)) == text  # byte-exact round trip
+    a = analyze_text(text, use_gate=True, container="plain")
+    b = analyze_text(text, use_gate=False, container="plain")
+    assert a == b
