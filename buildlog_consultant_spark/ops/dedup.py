@@ -248,18 +248,6 @@ def winnow_dup_groups(
     )
 
 
-def _sig_from_votes(votes):
-    """Fold a 64-wide vote array into the signed 64-bit signature."""
-    sig = F.lit(0).cast("long")
-    for bit in range(64):
-        mask = (1 << bit) if bit < 63 else -(1 << 63)  # signed-long bit 63
-        sig = sig.bitwiseOR(
-            F.when(F.element_at(votes, bit + 1) > 0, F.lit(mask).cast("long"))
-            .otherwise(F.lit(0).cast("long"))
-        )
-    return sig
-
-
 def _truncate_lineage(df: DataFrame) -> DataFrame:
     """Cut the logical plan. Uses RELIABLE checkpoint() when the session has
     a checkpoint dir configured (spark.sparkContext.setCheckpointDir) —
@@ -398,67 +386,111 @@ def near_dup_dedup(
     return dedup_exact(df, id_col, text_col).join(drop, id_col, "left_anti")
 
 
+def _sig_from_bit_votes_udf():
+    """Vectorized Arrow UDF: array<long> of token hashes → signed 64-bit
+    SimHash. The bit-vote accumulation lives here rather than in a
+    64-wide higher-order-function fold because Spark's HOF expressions
+    (aggregate/zip_with/transform) do NOT enter whole-stage codegen — the
+    fold runs interpreted, ~60× slower than numpy's unpackbits over the
+    same Arrow batch. Hashing stays JVM-side (one xxhash64 per token), so
+    no hash semantics cross the language boundary."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def sig_from_hashes(hs):
+        out = np.zeros(len(hs), dtype=np.int64)
+        for i, arr in enumerate(hs):
+            a = np.asarray(arr, dtype=np.int64)
+            if a.size == 0:
+                continue  # zero votes → all bits 0
+            # bits in value order 0..63: little-endian byte view + LSB-first
+            bits = np.unpackbits(
+                a.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+            )
+            votes = 2 * bits.sum(axis=0, dtype=np.int64) - a.size
+            # pack the sign bits back into one signed long (LSB-first)
+            out[i] = np.packbits(
+                (votes > 0).astype(np.uint8), bitorder="little"
+            ).view(np.int64)[0]
+        return pd.Series(out)
+
+    # real annotation objects: `from __future__ import annotations` would
+    # stringify inline hints and break pandas_udf type inference
+    sig_from_hashes.__annotations__ = {"hs": pd.Series, "return": pd.Series}
+    return pandas_udf(sig_from_hashes, "long")
+
+
 def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit SimHash over word tokens using xxhash64 bit votes.
 
     Per token t: h = xxhash64(t). For each bit position, vote +1/-1; the
-    signature bit is the vote sign. Single pass: tokens are hashed ONCE into
-    an array, then one aggregate produces the 64-wide vote vector (the naive
-    formulation hashes every token 64 times — 64× the hash cost)."""
+    signature bit is the vote sign. Tokenization and hashing are JVM-side
+    (exact Spark split/lower semantics, one hash per token); the 64-wide
+    vote accumulation is a vectorized Arrow UDF (see
+    _sig_from_bit_votes_udf for why not a HOF fold)."""
     tokens = F.split(F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")), " ")
     base = df.select(
         F.col(id_col).alias("id"),
         F.transform(tokens, lambda t: F.xxhash64(t)).alias("hs"),
     )
-
-    def add_votes(acc, h):
-        # h is a lambda-variable reference — the token is hashed once and
-        # each bit test reuses it (no per-bit rehash)
-        bits = F.array(*[
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            for i in range(64)
-        ])
-        return F.zip_with(acc, bits, lambda a, b: a + b)
-
-    votes = F.aggregate(F.col("hs"), F.array_repeat(F.lit(0), 64), add_votes)
-    return base.select("id", _sig_from_votes(votes).alias("simhash"))
+    sig = _sig_from_bit_votes_udf()
+    return base.select("id", sig(F.col("hs")).alias("simhash"))
 
 
-_HIGH_NIBBLE_SETS = [
-    # hex digits with bit j set (j = 0..3, LSB first)
-    ["1", "3", "5", "7", "9", "b", "d", "f"],
-    ["2", "3", "6", "7", "a", "b", "e", "f"],
-    ["4", "5", "6", "7", "c", "d", "e", "f"],
-    ["8", "9", "a", "b", "c", "d", "e", "f"],
-]
+def _md5_sig_udf():
+    """Vectorized Arrow UDF: array<string> of tokens → signed 64-bit
+    md5-nibble SimHash (same HOF-interpretation rationale as
+    _sig_from_bit_votes_udf). hashlib.md5 over the token's UTF-8 bytes is
+    the same MD5 the JVM/DuckDB compute, so cross-engine exactness is
+    preserved; a per-batch token cache amortizes repeated words."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def md5_sig(toks_col):
+        out = np.zeros(len(toks_col), dtype=np.int64)
+        cache: dict = {}
+        jbits = np.arange(4, dtype=np.uint8)
+        for i, toks in enumerate(toks_col):
+            n = len(toks)
+            if n == 0:
+                continue
+            digs = np.empty((n, 8), dtype=np.uint8)
+            for j, t in enumerate(toks):
+                d = cache.get(t)
+                if d is None:
+                    d = cache[t] = hashlib.md5(t.encode("utf-8")).digest()[:8]
+                digs[j] = np.frombuffer(d, dtype=np.uint8)
+            # hex digit d of the digest = high nibble of byte d//2 (d even)
+            # else low nibble; signature bit (4d + j) = bit j of digit d
+            nibbles = np.empty((n, 16), dtype=np.uint8)
+            nibbles[:, 0::2] = digs >> 4
+            nibbles[:, 1::2] = digs & 15
+            bits = (nibbles[:, :, None] >> jbits) & 1  # (n, 16, 4)
+            votes = 2 * bits.sum(axis=0, dtype=np.int64).reshape(64) - n
+            out[i] = np.packbits(
+                (votes > 0).astype(np.uint8), bitorder="little"
+            ).view(np.int64)[0]
+        return pd.Series(out)
+
+    md5_sig.__annotations__ = {"toks_col": pd.Series, "return": pd.Series}
+    return pandas_udf(md5_sig, "long")
 
 
 def simhash64_md5(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash whose per-token hash is md5 (hex) instead of xxhash64 —
-    bit (4d+j) is the j-th bit of hex digit d. Slower than simhash64 but the
-    identical computation is expressible in DuckDB SQL, giving near-dup
-    signatures an exact cross-engine oracle."""
+    """64-bit SimHash whose per-token hash is md5 instead of xxhash64 —
+    bit (4d+j) is the j-th bit of hex digit d. Slower than simhash64 but
+    the identical computation is expressible in DuckDB SQL, giving
+    near-dup signatures an exact cross-engine oracle. Tokenization stays
+    JVM-side (exact Spark split/lower semantics); hashing + bit votes run
+    in the vectorized Arrow UDF."""
     tokens = F.split(F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")), " ")
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(tokens, lambda t: F.md5(t)).alias("hs"),
-    )
-
-    def add_votes(acc, h):
-        # one substring per hex digit, four bit tests each — single pass
-        # over the pre-hashed token array (the naive form re-aggregated the
-        # array 64 times)
-        bits = F.array(*[
-            F.when(
-                F.substring(h, digit + 1, 1).isin(_HIGH_NIBBLE_SETS[j]), 1
-            ).otherwise(-1)
-            for digit in range(16)
-            for j in range(4)
-        ])
-        return F.zip_with(acc, bits, lambda a, b: a + b)
-
-    votes = F.aggregate(F.col("hs"), F.array_repeat(F.lit(0), 64), add_votes)
-    return base.select("id", _sig_from_votes(votes).alias("simhash"))
+    base = df.select(F.col(id_col).alias("id"), tokens.alias("toks"))
+    sig = _md5_sig_udf()
+    return base.select("id", sig(F.col("toks")).alias("simhash"))
 
 
 def ngram_jaccard(
