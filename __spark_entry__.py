@@ -1279,8 +1279,27 @@ def q_media_meta(spark, sf_dir):
     from buildlog_consultant_spark.ops.multimodal import extract_media_meta
 
     _ensure_pkg_shipped(spark)
-    media = fixtures.media_df(spark, MEDIA_N)
+    media = _media_corpus(spark, MEDIA_N)
     return extract_media_meta(media, binary_col="media").select(*_MEDIA_COLS)
+
+
+def _media_corpus(spark: SparkSession, n: int) -> DataFrame:
+    """Media fixture corpus behind the same content-keyed parquet cache as
+    the pages corpus — repeat sessions read parquet instead of re-running
+    the Python synthesis stage."""
+    import os
+    import shutil
+
+    _CACHE_DIR.mkdir(exist_ok=True)
+    path = _CACHE_DIR / f"fixture_media_{n}_{_pkg_content_key()}.parquet"
+    if not path.exists():
+        tmp = str(path) + f".tmp{os.getpid()}"
+        fixtures.media_df(spark, n).write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(str(path))
 
 
 def _oracle_media_meta() -> str:
