@@ -198,6 +198,30 @@ def test_connected_components_local_checkpoint_without_dir(spark):
     assert rows == [(1, 1), (2, 1), (3, 1), (4, 1)]
 
 
+def test_simhash_kernels_edges(spark):
+    """The round-3 vectorized bit-vote kernels: empty text (one ''-token),
+    single-token docs (signature = the token hash's bit pattern), and the
+    signed bit-63 path must all survive both hash families."""
+    from buildlog_consultant_spark.ops.dedup import simhash64, simhash64_md5
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "solo"), (3, "a b a b a")], "doc_id long, text string"
+    )
+    for fn in (simhash64, simhash64_md5):
+        rows = {r.id: r.simhash for r in fn(df).collect()}
+        assert set(rows) == {1, 2, 3}
+        again = {r.id: r.simhash for r in fn(df).collect()}
+        assert rows == again  # deterministic
+    # single-token doc: every vote is ±1 from that one hash, so the
+    # signature IS the token's hash bit pattern
+    from pyspark.sql import functions as F
+
+    h = df.where("doc_id = 2").select(
+        F.xxhash64(F.lit("solo")).alias("h")
+    ).head()[0]
+    assert {r.simhash for r in simhash64(df.where("doc_id = 2")).collect()} == {h}
+
+
 def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
     """Winnowing's core guarantee: two documents sharing a token run of
     length >= w+k-1 (here 6) must share at least one fingerprint; docs
