@@ -262,29 +262,57 @@ def _truncate_lineage(df: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 25
+    edges: DataFrame, max_iter: int = 25, driver_threshold: int = 1_000_000
 ) -> DataFrame:
     """Connected components over an undirected edge list (id_a, id_b) by
     iterative min-label propagation: every vertex starts labeled with its
     own id; each round vertices adopt the minimum label among themselves
     and their neighbors, until a fixpoint.
 
-    Scale notes: each round is two broadcast-free joins + one aggregation —
-    all shuffles keyed on vertex id, O(diameter) rounds (near-dup clusters
-    are shallow; web-scale dedup graphs converge in a handful). Each
-    round's labels are checkpointed (reliable when a checkpoint dir is set,
-    else local — see _truncate_lineage): a persist alone is NOT enough —
-    the logical plan references the previous round's frame three times, so
-    without truncation the plan tree grows 3^rounds and OOMs the planner
-    long before the data does. If max_iter rounds pass without a fixpoint
-    the possibly-non-converged labels are returned with a warning (with
-    pointer jumping, 25 rounds cover ~2^25-deep chains — defense-in-depth)."""
+    Adaptive small-graph fast path (same spirit as AQE's runtime broadcast
+    decision): when the checkpointed edge list has ≤ ``driver_threshold``
+    rows, run union-find on the driver instead — 1M edges is ~16 MB and
+    ~1 s of union-find, versus O(rounds) distributed jobs each paying
+    scheduler+shuffle overhead. The labels are identical (component-min
+    ids). Dedup graphs are usually far smaller than their corpora (pairs
+    survive banding + caps), so this path often holds even at crawl scale;
+    pass ``driver_threshold=0`` to force the distributed loop.
+
+    Distributed-path scale notes: each round is two broadcast-free joins +
+    one aggregation — all shuffles keyed on vertex id, O(log diameter)
+    rounds via pointer jumping. Each round's labels are checkpointed
+    (reliable when a checkpoint dir is set, else local — see
+    _truncate_lineage): a persist alone is NOT enough — the logical plan
+    references the previous round's frame three times, so without
+    truncation the plan tree grows 3^rounds and OOMs the planner long
+    before the data does. If max_iter rounds pass without a fixpoint the
+    possibly-non-converged labels are returned with a warning (25
+    pointer-jumping rounds cover ~2^25-deep chains — defense-in-depth)."""
+    spark = edges.sparkSession
     edges = _truncate_lineage(
         edges.select(
             F.col("id_a").cast("long").alias("id_a"),
             F.col("id_b").cast("long").alias("id_b"),
         )
     )
+    if edges.count() <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in edges.collect():
+            a, b = r[0], r[1]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        rows = [(x, find(x)) for x in sorted(parent)]
+        return spark.createDataFrame(rows, "id long, cluster long")
     labels = _truncate_lineage(
         edges.select(F.col("id_a").alias("id"))
         .union(edges.select(F.col("id_b").alias("id")))

@@ -174,7 +174,9 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
         edges = spark.createDataFrame(
             [(1, 2), (2, 3), (5, 6), (9, 9)], "id_a long, id_b long"
         )
-        out = connected_components(edges)
+        # driver_threshold=0 forces the distributed loop (the adaptive
+        # small-graph path would otherwise swallow this graph)
+        out = connected_components(edges, driver_threshold=0)
         rows = sorted((r.id, r.cluster) for r in out.collect())
         assert rows == [(1, 1), (2, 1), (3, 1), (5, 5), (6, 5), (9, 9)]
         # plan truncated: the result reads from checkpointed RDDs, not the
@@ -194,8 +196,39 @@ def test_connected_components_local_checkpoint_without_dir(spark):
 
     assert spark.sparkContext.getCheckpointDir() is None
     edges = spark.createDataFrame([(1, 2), (3, 4), (4, 1)], "id_a long, id_b long")
-    rows = sorted((r.id, r.cluster) for r in connected_components(edges).collect())
+    rows = sorted(
+        (r.id, r.cluster)
+        for r in connected_components(edges, driver_threshold=0).collect()
+    )
     assert rows == [(1, 1), (2, 1), (3, 1), (4, 1)]
+
+
+def test_connected_components_paths_agree(spark):
+    """The adaptive driver fast path and the distributed loop must label
+    identically (component-min ids) — checked on a chain, a star, a
+    self-loop, and disjoint pairs."""
+    from buildlog_consultant_spark.ops.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (10, 13), (20, 20), (31, 30)],
+        "id_a long, id_b long",
+    )
+    fast = sorted(
+        (r.id, r.cluster) for r in connected_components(edges).collect()
+    )
+    dist = sorted(
+        (r.id, r.cluster)
+        for r in connected_components(edges, driver_threshold=0).collect()
+    )
+    assert fast == dist
+    assert fast[0] == (1, 1)
+
+
+def test_connected_components_empty_edges(spark):
+    from buildlog_consultant_spark.ops.dedup import connected_components
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(empty).collect() == []
 
 
 def test_simhash_kernels_edges(spark):
