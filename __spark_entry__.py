@@ -203,8 +203,21 @@ def _oracle_classify_remediation() -> str:
 # ---------------------------------------------------------------------------
 
 
+def _read_adaptive(spark: SparkSession, path: str) -> DataFrame:
+    """Read parquet, and if the scan yields fewer partitions than cores
+    (the bench-scale tables are single ~1 MB files → ONE scan partition →
+    every downstream per-row op runs on one core), repartition to the
+    default parallelism. At crawl scale the scan naturally has ≥ cores
+    splits and this adds nothing — no shuffle is introduced there."""
+    df = spark.read.parquet(path)
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return df
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _read_adaptive(spark, f"{sf_dir}/documents.parquet")
 
 
 def q_doc_stats(spark, sf_dir):
@@ -490,7 +503,7 @@ FROM events GROUP BY event_type, hour
 
 
 def q_ann_topk(spark, sf_dir):
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _read_adaptive(spark, f"{sf_dir}/embeddings.parquet")
     from pyspark.sql.window import Window
 
     scored = sim_ops.cosine_topk(emb, query_vec_id=0, k=10)
@@ -768,7 +781,7 @@ def q_embedding_clusters(spark, sf_dir):
     """Embedding near-dup clusters: capped LSH pairs -> connected
     components. Oracle: the plane-replay pair SQL executed in an embedded
     DuckDB at oracle-build time, then union-find in Python."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _read_adaptive(spark, f"{sf_dir}/embeddings.parquet")
     return sim_ops.embedding_near_dup_clusters(emb, threshold=0.45, n_planes=6)
 
 
@@ -945,7 +958,7 @@ def q_ann_topk_lsh(spark, sf_dir):
     restriction + cosine ranking in SQL."""
     from pyspark.sql.window import Window
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _read_adaptive(spark, f"{sf_dir}/embeddings.parquet")
     scored = sim_ops.ann_topk_lsh(emb, query_vec_id=0, k=10, n_planes=6)
     w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
     return scored.select(F.row_number().over(w).alias("rank"), "vec_id")
@@ -1013,7 +1026,7 @@ def q_ann_topk_ivf(spark, sf_dir):
     replay bit-exactly."""
     from pyspark.sql.window import Window
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _read_adaptive(spark, f"{sf_dir}/embeddings.parquet")
     scored = sim_ops.ivf_topk(emb, query_vec_id=0, k=10, n_pivots=16, nprobe=4)
     w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
     return scored.select(F.row_number().over(w).alias("rank"), "vec_id")
@@ -1090,7 +1103,7 @@ def q_embedding_near_dups(spark, sf_dir):
     exact cosine filter. Threshold 0.45 is boundary-safe on this data (no
     pair cosine within 5e-4 of it), so the double-precision filter agrees
     across engines."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _read_adaptive(spark, f"{sf_dir}/embeddings.parquet")
     return sim_ops.embedding_near_dups(emb, threshold=0.45, n_planes=6)
 
 
