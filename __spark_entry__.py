@@ -1341,7 +1341,7 @@ def entry(spark: SparkSession) -> DataFrame:
         F.col("doc_id").cast("string").alias("url"),
         F.col("text"),
         F.col("lang"),
-    ).unionByName(fixtures.pages_df(spark, 300).select("url", "text", "lang"))
+    ).unionByName(_fixture_pages(spark, 300).select("url", "text", "lang"))
     classified = classify_documents(pages, text_col="text", keep_cols=("url", "lang"))
     enriched = enrich_with_remediation(classified)
     return (
