@@ -52,6 +52,19 @@ def _pkg_content_key() -> str:
     return h.hexdigest()[:16]
 
 
+def _prune_stale_cache(prefix: str, keep_name: str) -> None:
+    """Drop cache entries with the same prefix but a different content key
+    (each source edit re-keys everything; without GC the cache grows one
+    zip + N parquets per edit round)."""
+    import shutil
+
+    for p in _CACHE_DIR.glob(prefix + "*"):
+        if p.name != keep_name and ".tmp" not in p.name:
+            shutil.rmtree(p, ignore_errors=True) if p.is_dir() else p.unlink(
+                missing_ok=True
+            )
+
+
 def _ensure_pkg_shipped(spark: SparkSession) -> None:
     """Ship the package zip to executors (addPyFile) so the classify UDF's
     imports resolve regardless of the harness's working directory. The zip
@@ -72,6 +85,7 @@ def _ensure_pkg_shipped(spark: SparkSession) -> None:
             for p in pkg_root.rglob("*.py"):
                 zf.write(p, p.relative_to(_REPO_DIR))
         os.replace(tmp, zpath)  # atomic: concurrent builders agree on content
+        _prune_stale_cache("blc_pkg_", zpath.name)
     spark.sparkContext.addPyFile(str(zpath))
     _shipped_sessions.add(key)
 
@@ -121,6 +135,7 @@ def _fixture_pages(spark: SparkSession, n: int) -> DataFrame:
             os.rename(tmp, path)
         except OSError:  # concurrent builder won the rename; same content
             shutil.rmtree(tmp, ignore_errors=True)
+        _prune_stale_cache(f"fixture_pages_{n}_", path.name)
     return spark.read.parquet(str(path))
 
 
@@ -1312,6 +1327,7 @@ def _media_corpus(spark: SparkSession, n: int) -> DataFrame:
             os.rename(tmp, path)
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)
+        _prune_stale_cache(f"fixture_media_{n}_", path.name)
     return spark.read.parquet(str(path))
 
 
