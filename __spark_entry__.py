@@ -1208,6 +1208,73 @@ def _oracle_simhash(sf_dir: str = None) -> str:
     )
 
 
+def q_simhash_near_dups(spark, sf_dir):
+    """SimHash near-dup pairs (hamming <= 3 via 16-bit band LSH +
+    exact popcount). Oracle: Python-golden — recompute every signature
+    with the independent tokenizer + xxh64, replay banding/cap/popcount."""
+    return dedup_ops.simhash_near_dup_pairs(_docs(spark, sf_dir))
+
+
+def _oracle_simhash_near_dups(
+    max_hamming: int = 3, max_bucket: int = 256, sf_dir: str = None
+) -> str:
+    import re
+
+    import pyarrow.parquet as pq
+
+    from buildlog_consultant_spark.ops.xxh64 import xxh64
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    tbl = pq.read_table(
+        f"{sf_dir or _oracle_sf_dir()}/documents.parquet", columns=["doc_id", "text"]
+    )
+    hash_cache: dict[str, int] = {}
+    sigs: dict[int, int] = {}  # doc_id -> unsigned 64-bit signature
+    text_sig_cache: dict[str, int] = {}
+    for doc_id, text in sorted(
+        zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()), key=lambda r: r[0]
+    ):
+        key = text or ""
+        sig = text_sig_cache.get(key)
+        if sig is None:
+            toks = ws.sub(" ", key.strip(" ")).lower().split(" ")
+            votes = [0] * 64
+            for t in toks:
+                h = hash_cache.get(t)
+                if h is None:
+                    h = hash_cache[t] = xxh64(t.encode("utf-8"))
+                for bit in range(64):
+                    votes[bit] += 1 if (h >> bit) & 1 else -1
+            sig = sum(1 << bit for bit in range(64) if votes[bit] > 0)
+            text_sig_cache[key] = sig
+        sigs[doc_id] = sig
+    buckets: dict[tuple, list] = {}
+    for i, s in sigs.items():
+        for b in range(4):
+            buckets.setdefault((b, (s >> (16 * b)) & 0xFFFF), []).append(i)
+    pairs: set = set()
+    for ids in buckets.values():
+        if len(ids) < 2 or len(ids) > max_bucket:
+            continue
+        ids.sort()
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                h = bin(sigs[ids[x]] ^ sigs[ids[y]]).count("1")
+                if h <= max_hamming:
+                    pairs.add((ids[x], ids[y], h))
+    rows = sorted(pairs)
+    if not rows:
+        return (
+            "SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b, "
+            "CAST(NULL AS INT) AS hamming WHERE 1=0"
+        )
+    vals = ",\n".join(f"({a}, {b}, {h})" for a, b, h in rows)
+    return (
+        "SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, "
+        f"CAST(hamming AS INT) AS hamming FROM (VALUES\n{vals}\n) AS t(id_a, id_b, hamming)"
+    )
+
+
 def q_simhash_md5(spark, sf_dir):
     """SimHash with md5 nibble-bit token hashing — exactly reproducible in
     DuckDB SQL (oracle generated bit-by-bit)."""
@@ -1399,6 +1466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "simhash_md5": q_simhash_md5,
+        "simhash_near_dups": q_simhash_near_dups,
         "media_meta": q_media_meta,
     }
 
@@ -1435,6 +1503,7 @@ def oracle_sql(sf_dir: str = None) -> dict[str, str]:
         "ngram_jaccard": ORACLE_NGRAM_JACCARD,
         "simhash": _oracle_simhash(sf_dir),
         "simhash_md5": ORACLE_SIMHASH_MD5,
+        "simhash_near_dups": _oracle_simhash_near_dups(sf_dir=sf_dir),
         "ann_topk_lsh": _oracle_ann_topk_lsh(),
         "ann_topk_ivf": _oracle_ann_topk_ivf(sf_dir=sf_dir),
         "embedding_near_dups": _oracle_embedding_near_dups(),

@@ -393,6 +393,66 @@ def near_dup_clusters(
     return connected_components(pairs.select("id_a", "id_b"))
 
 
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    max_bucket: int | None = 256,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance: the 64-bit signature is
+    split into four 16-bit bands; by pigeonhole, any pair within hamming
+    ``max_hamming`` ≤ 3 shares at least one band EXACTLY, so candidate
+    generation is a bucket join on (band, slice) and only candidates pay
+    the exact popcount test (bit_count(xor) — JVM-side).
+
+    Same scale shape as the MinHash family: one shuffle groups (band,
+    slice) buckets, pairs expand map-side from each bucket's array,
+    buckets over ``max_bucket`` are dropped (identical texts share all
+    four bands — run dedup_exact first for a crawl). Returns
+    (id_a, id_b, hamming) distinct."""
+    sigs = simhash64(df, id_col, text_col)
+    band_exprs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(F.col("simhash"), 16 * b)
+            .bitwiseAND(F.lit(0xFFFF))
+            .cast("int")
+            .alias("slice"),
+        )
+        for b in range(4)
+    ]
+    banded = sigs.select(
+        "id", "simhash", F.explode(F.array(*band_exprs)).alias("bk")
+    ).select("id", "simhash", F.col("bk.band").alias("band"), F.col("bk.slice").alias("slice"))
+    buckets = banded.groupBy("band", "slice").agg(
+        F.collect_list(F.struct("id", "simhash")).alias("members")
+    )
+    keep = buckets.where(F.size("members") >= 2)
+    if max_bucket is not None:
+        keep = keep.where(F.size("members") <= max_bucket)
+    members = F.array_sort(F.col("members"))  # struct sort: by id first
+    pair_array = F.flatten(
+        F.transform(
+            members,
+            lambda a: F.transform(
+                F.filter(members, lambda b: b["id"] > a["id"]),
+                lambda b: F.struct(
+                    a["id"].alias("id_a"),
+                    b["id"].alias("id_b"),
+                    F.bit_count(a["simhash"].bitwiseXOR(b["simhash"])).alias("hamming"),
+                ),
+            ),
+        )
+    )
+    return (
+        keep.select(F.explode(pair_array).alias("p"))
+        .select("p.id_a", "p.id_b", "p.hamming")
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def near_dup_dedup(
     df: DataFrame,
     id_col: str = "doc_id",

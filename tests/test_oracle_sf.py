@@ -56,6 +56,7 @@ def duck():
         "winnow_dups",
         "near_dup_dedup",
         "embedding_clusters",
+        "simhash_near_dups",
         # streaming query: plain-SQL oracle, but its file-stream staging
         # logic is sf_dir-dependent — exercise it at the second scale too
         "streaming_event_counts",

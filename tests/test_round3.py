@@ -255,6 +255,24 @@ def test_simhash_kernels_edges(spark):
     assert {r.simhash for r in simhash64(df.where("doc_id = 2")).collect()} == {h}
 
 
+def test_simhash_near_dup_pairs_planted(spark):
+    """Identical docs → hamming 0; one-word edits → small hamming; an
+    unrelated doc must not pair with anything."""
+    from buildlog_consultant_spark.ops.dedup import simhash_near_dup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # identical → hamming 0
+            (3, "completely different content about spark physical plans"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {(r.id_a, r.id_b): r.hamming for r in simhash_near_dup_pairs(df).collect()}
+    assert rows == {(1, 2): 0}
+
+
 def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
     """Winnowing's core guarantee: two documents sharing a token run of
     length >= w+k-1 (here 6) must share at least one fingerprint; docs
