@@ -286,6 +286,31 @@ SELECT quality, COUNT(*) AS n FROM scored GROUP BY quality
 """
 
 
+def q_quality_filter(spark, sf_dir):
+    """The quality-gate endpoint: docs at/above quality 55 in the Latin-
+    script langs, counted per lang (the pass a pipeline runs before
+    tokenization). Oracle: the same score formula + filter in SQL."""
+    d = text_ops.filter_quality(
+        _docs(spark, sf_dir), min_quality=55, langs=("en", "de", "fr", "es", "pt")
+    )
+    return d.groupBy("lang").agg(F.count("*").alias("n_kept"))
+
+
+ORACLE_QUALITY_FILTER = """
+WITH scored AS (
+  SELECT lang, 50
+     + LEAST(50, CAST(floor(length(text) / 20.0) AS BIGINT))
+     - LEAST(25, CAST(floor((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) ) * 100.0 / GREATEST(length(text), 1)) AS BIGINT))
+     - LEAST(25, CAST(floor((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) ) * 100.0 / GREATEST(length(text), 1)) AS BIGINT))
+     AS quality
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_kept FROM scored
+WHERE quality >= 55 AND lang IN ('en', 'de', 'fr', 'es', 'pt')
+GROUP BY lang
+"""
+
+
 def q_fingerprint_dups(spark, sf_dir):
     d = text_ops.with_fingerprint(_docs(spark, sf_dir))
     return (
@@ -1441,6 +1466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": q_doc_stats,
         "exact_dedup": q_exact_dedup,
         "quality_hist": q_quality_hist,
+        "quality_filter": q_quality_filter,
         "fingerprint_dups": q_fingerprint_dups,
         "events_by_type": q_events_by_type,
         "sessionization": q_sessionization,
@@ -1481,6 +1507,7 @@ def oracle_sql(sf_dir: str = None) -> dict[str, str]:
         "doc_stats": ORACLE_DOC_STATS,
         "exact_dedup": ORACLE_EXACT_DEDUP,
         "quality_hist": ORACLE_QUALITY_HIST,
+        "quality_filter": ORACLE_QUALITY_FILTER,
         "fingerprint_dups": ORACLE_FINGERPRINT_DUPS,
         "events_by_type": ORACLE_EVENTS_BY_TYPE,
         "sessionization": ORACLE_SESSIONIZATION,

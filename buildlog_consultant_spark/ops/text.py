@@ -114,6 +114,24 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def filter_quality(
+    df: DataFrame,
+    min_quality: int = 55,
+    langs: tuple = (),
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """The quality-gate ENDPOINT of a training-data pipeline: keep rows at
+    or above ``min_quality`` (the deterministic with_quality_score), and —
+    when ``langs`` is given — only those languages. Pure map-side filter:
+    both predicates are scan-pushable expressions, no shuffle, no Python."""
+    d = with_quality_score(df, text_col)
+    cond = F.col("quality") >= min_quality
+    if langs:
+        cond = cond & F.col(lang_col).isin(list(langs))
+    return d.where(cond)
+
+
 def with_lang_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-hit lang-ID: the language with the most stopword occurrences
     ('und' when no hits; ties resolved to the lexicographically greatest code
