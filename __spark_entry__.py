@@ -574,7 +574,7 @@ def q_minhash_near_dups(spark, sf_dir):
 ORACLE_MINHASH = r"""
 WITH norm AS (
   SELECT doc_id,
-         regexp_split_to_array(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS w
+         regexp_split_to_array(lower(regexp_replace(trim(coalesce(text, '')), '\s+', ' ', 'g')), ' ') AS w
   FROM documents
 ), sh AS (
   SELECT doc_id,
@@ -977,7 +977,7 @@ def q_ngram_jaccard(spark, sf_dir):
 ORACLE_NGRAM_JACCARD = r"""
 WITH norm AS (
   SELECT doc_id,
-         regexp_split_to_array(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS w
+         regexp_split_to_array(lower(regexp_replace(trim(coalesce(text, '')), '\s+', ' ', 'g')), ' ') AS w
   FROM documents WHERE doc_id IN (0, 1)
 ), sh AS (
   SELECT doc_id,
@@ -1107,6 +1107,8 @@ def _oracle_ann_topk_ivf(
 
     def cell_of(v):
         vn = norm(v)
+        if vn == 0.0:
+            return -1  # sentinel cell, never probed (matches the kernel)
         best = max(
             ((dot(v, pv) / (vn * pnorms[i]), -i) for i, (_, pv) in enumerate(pivots))
         )
@@ -1235,8 +1237,11 @@ def _oracle_simhash(sf_dir: str = None) -> str:
 
 def q_simhash_near_dups(spark, sf_dir):
     """SimHash near-dup pairs (hamming <= 3 via 16-bit band LSH +
-    exact popcount). Oracle: Python-golden — recompute every signature
-    with the independent tokenizer + xxh64, replay banding/cap/popcount."""
+    exact popcount; exact-duplicate groups collapsed to their min-id
+    representative before banding — API/semantics parity with the MinHash
+    family). Oracle: Python-golden — replay the exact-dedup pre-pass, then
+    recompute every surviving signature with the independent tokenizer +
+    xxh64 and replay banding/cap/popcount."""
     return dedup_ops.simhash_near_dup_pairs(_docs(spark, sf_dir))
 
 
@@ -1255,24 +1260,22 @@ def _oracle_simhash_near_dups(
     )
     hash_cache: dict[str, int] = {}
     sigs: dict[int, int] = {}  # doc_id -> unsigned 64-bit signature
-    text_sig_cache: dict[str, int] = {}
+    seen_texts: set = set()  # raw text (None ≠ ''), replaying dedup_exact
     for doc_id, text in sorted(
         zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()), key=lambda r: r[0]
     ):
-        key = text or ""
-        sig = text_sig_cache.get(key)
-        if sig is None:
-            toks = ws.sub(" ", key.strip(" ")).lower().split(" ")
-            votes = [0] * 64
-            for t in toks:
-                h = hash_cache.get(t)
-                if h is None:
-                    h = hash_cache[t] = xxh64(t.encode("utf-8"))
-                for bit in range(64):
-                    votes[bit] += 1 if (h >> bit) & 1 else -1
-            sig = sum(1 << bit for bit in range(64) if votes[bit] > 0)
-            text_sig_cache[key] = sig
-        sigs[doc_id] = sig
+        if text in seen_texts:  # exact-dedup: min-id representative wins
+            continue
+        seen_texts.add(text)
+        toks = ws.sub(" ", (text or "").strip(" ")).lower().split(" ")
+        votes = [0] * 64
+        for t in toks:
+            h = hash_cache.get(t)
+            if h is None:
+                h = hash_cache[t] = xxh64(t.encode("utf-8"))
+            for bit in range(64):
+                votes[bit] += 1 if (h >> bit) & 1 else -1
+        sigs[doc_id] = sum(1 << bit for bit in range(64) if votes[bit] > 0)
     buckets: dict[tuple, list] = {}
     for i, s in sigs.items():
         for b in range(4):
@@ -1310,7 +1313,7 @@ def q_simhash_md5(spark, sf_dir):
 ORACLE_SIMHASH_MD5 = r"""
 WITH norm AS (
   SELECT doc_id,
-         list_transform(regexp_split_to_array(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' '), t -> md5(t)) AS hs
+         list_transform(regexp_split_to_array(lower(regexp_replace(trim(coalesce(text, '')), '\s+', ' ', 'g')), ' '), t -> md5(t)) AS hs
   FROM documents WHERE doc_id < 200
 )
 SELECT doc_id AS id,

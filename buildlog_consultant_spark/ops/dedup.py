@@ -20,8 +20,90 @@ both on by default; web crawls make both cases common.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# last Observation per label — introspected by tests; the daemon logger
+# below is the production consumer
+_dropped_observations: dict = {}
+_obs_counter = itertools.count()
+
+
+def _observe_dropped(
+    grouped: DataFrame, max_bucket: int, label: str, arr_col: str = "ids"
+) -> DataFrame:
+    """Count over-cap buckets as an OBSERVED METRIC folded into the same
+    pass (Dataset.observe — an accumulator on the existing plan, zero extra
+    jobs/shuffles; the pre-round-4 implementation ran a second count() job
+    over the full bucket lineage, which is why log_dropped defaulted off).
+    A daemon thread logs a warning when the first action on the returned
+    frame completes with a non-zero drop count."""
+    import logging
+    import threading
+
+    from pyspark.sql import Observation
+
+    obs = Observation(f"{label}_dropped_{next(_obs_counter)}")
+    observed = grouped.observe(
+        obs,
+        F.sum((F.size(arr_col) > max_bucket).cast("long")).alias("n_dropped"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+    _dropped_observations[label] = obs
+
+    def _log() -> None:
+        try:
+            got = _observation_metrics(obs)  # blocks until an action runs
+            if got.get("n_dropped"):
+                logging.getLogger(__name__).warning(
+                    "%s: dropped %d of %d buckets larger than %d members",
+                    label,
+                    got["n_dropped"],
+                    got.get("n_buckets"),
+                    max_bucket,
+                )
+            elif not got:
+                logging.getLogger(__name__).debug(
+                    "%s: dropped-bucket metric lost to the AQE listener race "
+                    "— see _observation_metrics", label,
+                )
+        except Exception:  # session teardown etc. — never crash the driver
+            logging.getLogger(__name__).debug(
+                "%s: dropped-bucket metric unavailable", label, exc_info=True
+            )
+
+    threading.Thread(target=_log, daemon=True, name=f"{label}-dropped-log").start()
+    return observed
+
+
+def _observation_metrics(obs) -> dict:
+    """Observed (n_dropped, n_buckets) metrics, best-effort.
+
+    Two upstream Spark quirks handled here (both reproduced on Spark
+    4.1.2, pinned in tests/test_round4.py):
+
+    - The JVM metrics row sometimes arrives WITHOUT a schema on multi-
+      stage plans, and Observation.get's toPyRow helper asserts
+      GenericRowWithSchema; positional access through py4j needs no schema
+      and we own the metric order.
+    - Under AQE (adaptive.enabled, the default) the Observation listener
+      races the adaptive re-plan on multi-shuffle pipelines and can latch
+      an EMPTY row — the same plan reliably delivers metrics with AQE off.
+      An empty dict is returned in that case; the async logger degrades to
+      a debug line rather than losing the main result. The query itself is
+      unaffected — only the side metric is racy, which is why log_dropped
+      can default on at zero cost (no extra job either way).
+    """
+    try:
+        got = obs.get
+        return got if got else {}
+    except Exception:
+        jrow = obs._jo.getRow()
+        if jrow.length() < 2:
+            return {}
+        return {"n_dropped": jrow.get(0), "n_buckets": jrow.get(1)}
 
 
 def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -40,8 +122,14 @@ def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 
 def _shingles(text_col: str, k: int = 3):
-    """Word k-shingles of the whitespace-normalized, lowercased text."""
-    norm = F.split(F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")), " ")
+    """Word k-shingles of the whitespace-normalized, lowercased text.
+    NULL text is coalesced to '' (→ the single empty shingle), matching the
+    Python-golden oracles' ``text or ''`` — without this, NULL propagates
+    into NULL band signatures, which DuckDB/Python replays can't join on."""
+    norm = F.split(
+        F.lower(F.regexp_replace(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", " ")),
+        " ",
+    )
     n = F.size(norm)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     return F.transform(
@@ -111,7 +199,7 @@ def _pairs_from_sigs(
     sigs: DataFrame,
     min_shared_bands: int,
     max_bucket: int | None = None,
-    log_dropped: bool = False,
+    log_dropped: bool = True,
 ) -> DataFrame:
     """Candidate pairs from (id, band, sig) rows, single-pass.
 
@@ -119,18 +207,14 @@ def _pairs_from_sigs(
     pair generation is then map-side array math — no self-join, so the
     shingle/hash lineage is computed exactly once and the per-bucket pair
     count is bounded by max_bucket² by construction. Buckets larger than
-    max_bucket are dropped here (they defeat banding — see module doc)."""
+    max_bucket are dropped here (they defeat banding — see module doc);
+    ``log_dropped`` (default-ON) counts them as an observed metric in the
+    same pass — no extra job — and warns asynchronously."""
     buckets = sigs.groupBy("band", "sig").agg(F.collect_list("id").alias("ids"))
     keep = buckets.where(F.size("ids") >= 2)
     if max_bucket is not None:
         if log_dropped:
-            import logging
-
-            n_over = keep.where(F.size("ids") > max_bucket).count()
-            if n_over:
-                logging.getLogger(__name__).warning(
-                    "minhash: dropping %d buckets larger than %d", n_over, max_bucket
-                )
+            keep = _observe_dropped(keep, max_bucket, "minhash")
         keep = keep.where(F.size("ids") <= max_bucket)
     ids = F.array_sort(F.col("ids"))
     pair_array = F.flatten(
@@ -159,7 +243,7 @@ def minhash_near_dup_pairs_xx(
     min_shared_bands: int = 2,
     dedup_exact_first: bool = True,
     max_bucket: int | None = 256,
-    log_dropped: bool = False,
+    log_dropped: bool = True,
 ) -> DataFrame:
     """minhash_near_dup_pairs with the xxhash64 signature family — the
     throughput path for crawl-scale corpora (same banding/cap/dedup
@@ -178,7 +262,7 @@ def minhash_near_dup_pairs(
     min_shared_bands: int = 2,
     dedup_exact_first: bool = True,
     max_bucket: int | None = 256,
-    log_dropped: bool = False,
+    log_dropped: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs: ids sharing ≥ min_shared_bands band
     signatures. Bucket join on (band, sig) — the LSH trick keeps the
@@ -188,8 +272,8 @@ def minhash_near_dup_pairs(
     O(m²) pairs in one bucket), so by default (a) exact-duplicate groups are
     collapsed to their min-id representative before banding (report those
     via exact_dup_groups instead) and (b) buckets larger than ``max_bucket``
-    are dropped — with ``log_dropped=True`` an extra cheap aggregation pass
-    counts and warns about what was skipped."""
+    are dropped — ``log_dropped`` (default-ON) counts what was skipped as an
+    observed metric in the same pass and warns asynchronously."""
     src = dedup_exact(df, id_col, text_col) if dedup_exact_first else df
     sigs = minhash_signatures(src, id_col, text_col, bands, k)
     return _pairs_from_sigs(sigs, min_shared_bands, max_bucket, log_dropped)
@@ -270,13 +354,17 @@ def connected_components(
     and their neighbors, until a fixpoint.
 
     Adaptive small-graph fast path (same spirit as AQE's runtime broadcast
-    decision): when the checkpointed edge list has ≤ ``driver_threshold``
-    rows, run union-find on the driver instead — 1M edges is ~16 MB and
-    ~1 s of union-find, versus O(rounds) distributed jobs each paying
-    scheduler+shuffle overhead. The labels are identical (component-min
+    decision): a single bounded job collects up to driver_threshold+1 edges
+    via Arrow (limit + toArrow — two int64 columns, so 1M edges is ~16 MB
+    of columnar buffers on the driver, NOT Row objects); if the limit was
+    not hit, those ARE all the edges and union-find runs on the driver —
+    one job total, versus O(rounds) distributed jobs each paying
+    scheduler+shuffle overhead (the collect doubles as the size probe, so
+    no separate count() job). The labels are identical (component-min
     ids). Dedup graphs are usually far smaller than their corpora (pairs
     survive banding + caps), so this path often holds even at crawl scale;
-    pass ``driver_threshold=0`` to force the distributed loop.
+    pass ``driver_threshold=0`` to skip the probe and force the
+    distributed loop.
 
     Distributed-path scale notes: each round is two broadcast-free joins +
     one aggregation — all shuffles keyed on vertex id, O(log diameter)
@@ -295,24 +383,27 @@ def connected_components(
             F.col("id_b").cast("long").alias("id_b"),
         )
     )
-    if edges.count() <= driver_threshold:
-        parent: dict = {}
+    if driver_threshold > 0:
+        probe = edges.limit(driver_threshold + 1).toArrow()
+        if probe.num_rows <= driver_threshold:
+            parent: dict = {}
 
-        def find(x):
-            while parent[x] != x:
-                parent[x] = parent[parent[x]]
-                x = parent[x]
-            return x
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
 
-        for r in edges.collect():
-            a, b = r[0], r[1]
-            parent.setdefault(a, a)
-            parent.setdefault(b, b)
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                parent[max(ra, rb)] = min(ra, rb)
-        rows = [(x, find(x)) for x in sorted(parent)]
-        return spark.createDataFrame(rows, "id long, cluster long")
+            for a, b in zip(
+                probe.column("id_a").to_pylist(), probe.column("id_b").to_pylist()
+            ):
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            rows = [(x, find(x)) for x in sorted(parent)]
+            return spark.createDataFrame(rows, "id long, cluster long")
     labels = _truncate_lineage(
         edges.select(F.col("id_a").alias("id"))
         .union(edges.select(F.col("id_b").alias("id")))
@@ -388,7 +479,7 @@ def near_dup_clusters(
     exact_dup_groups on the representative id, or pass
     ``dedup_exact_first=False`` (at the cost of O(m²) pairs per
     m-duplicate group). Buckets over ``max_bucket`` are likewise dropped
-    (pass ``log_dropped=True`` to count what was skipped)."""
+    (counted and warned about via the default-on observed-metric logging)."""
     pairs = minhash_near_dup_pairs_xx(df, id_col, text_col, **minhash_kwargs)
     return connected_components(pairs.select("id_a", "id_b"))
 
@@ -399,6 +490,8 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     max_bucket: int | None = 256,
+    dedup_exact_first: bool = True,
+    log_dropped: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance: the 64-bit signature is
     split into four 16-bit bands; by pigeonhole, any pair within hamming
@@ -406,12 +499,17 @@ def simhash_near_dup_pairs(
     generation is a bucket join on (band, slice) and only candidates pay
     the exact popcount test (bit_count(xor) — JVM-side).
 
-    Same scale shape as the MinHash family: one shuffle groups (band,
-    slice) buckets, pairs expand map-side from each bucket's array,
-    buckets over ``max_bucket`` are dropped (identical texts share all
-    four bands — run dedup_exact first for a crawl). Returns
-    (id_a, id_b, hamming) distinct."""
-    sigs = simhash64(df, id_col, text_col)
+    Same scale shape AND semantics as the MinHash family: one shuffle
+    groups (band, slice) buckets, pairs expand map-side from each bucket's
+    array; identical texts share all FOUR bands, so ``dedup_exact_first``
+    (default-ON, API parity with minhash_near_dup_pairs) collapses exact-
+    duplicate groups to their min-id representative before banding —
+    without it a crawl's duplicate clusters land in one bucket and are
+    silently dropped by ``max_bucket``. ``log_dropped`` (default-ON)
+    counts dropped buckets as an observed metric in the same pass and
+    warns asynchronously. Returns (id_a, id_b, hamming) distinct."""
+    src = dedup_exact(df, id_col, text_col) if dedup_exact_first else df
+    sigs = simhash64(src, id_col, text_col)
     band_exprs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -430,6 +528,8 @@ def simhash_near_dup_pairs(
     )
     keep = buckets.where(F.size("members") >= 2)
     if max_bucket is not None:
+        if log_dropped:
+            keep = _observe_dropped(keep, max_bucket, "simhash", arr_col="members")
         keep = keep.where(F.size("members") <= max_bucket)
     members = F.array_sort(F.col("members"))  # struct sort: by id first
     pair_array = F.flatten(
@@ -465,13 +565,27 @@ def near_dup_dedup(
     This is the pass a training-data pipeline actually runs before
     tokenization; near_dup_clusters is its diagnostic view.
 
-    Scale shape: exact dedup is one hash shuffle; clustering is the capped
-    LSH + CC pipeline; the final drop is a left-anti join keyed on id."""
-    clusters = near_dup_clusters(df, id_col, text_col, **minhash_kwargs)
+    Scale shape: exact dedup runs EXACTLY ONCE — the representative-id list
+    (one long column, far smaller than the corpus) is computed up front and
+    lineage-truncated, then reused both as the LSH pipeline's input (which
+    therefore runs with dedup_exact_first=False) and as the final frame the
+    near-dup drop anti-joins against. Pre-round-4 this op paid the md5
+    scan + groupBy + semi-join twice (once inside near_dup_clusters, once
+    for the returned frame) — a whole extra corpus pass at 100 TB.
+    Clustering is the capped LSH + CC pipeline; the final drop is a
+    left-anti join keyed on id. ``dedup_exact_first`` in minhash_kwargs is
+    ignored (forced False — the input is already deduped here)."""
+    minhash_kwargs["dedup_exact_first"] = False
+    reps = _truncate_lineage(
+        exact_dup_groups(df, id_col, text_col).select("min_id")
+    )
+    deduped = df.join(reps, df[id_col] == reps["min_id"], "left_semi")
+    pairs = minhash_near_dup_pairs_xx(deduped, id_col, text_col, **minhash_kwargs)
+    clusters = connected_components(pairs.select("id_a", "id_b"))
     drop = clusters.where(F.col("id") != F.col("cluster")).select(
         F.col("id").alias(id_col)
     )
-    return dedup_exact(df, id_col, text_col).join(drop, id_col, "left_anti")
+    return deduped.join(drop, id_col, "left_anti")
 
 
 def _sig_from_bit_votes_udf():
@@ -489,6 +603,8 @@ def _sig_from_bit_votes_udf():
     def sig_from_hashes(hs):
         out = np.zeros(len(hs), dtype=np.int64)
         for i, arr in enumerate(hs):
+            if arr is None:
+                continue  # defensive: callers coalesce text to '' upstream
             a = np.asarray(arr, dtype=np.int64)
             if a.size == 0:
                 continue  # zero votes → all bits 0
@@ -517,7 +633,10 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     (exact Spark split/lower semantics, one hash per token); the 64-wide
     vote accumulation is a vectorized Arrow UDF (see
     _sig_from_bit_votes_udf for why not a HOF fold)."""
-    tokens = F.split(F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")), " ")
+    tokens = F.split(
+        F.lower(F.regexp_replace(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", " ")),
+        " ",
+    )
     base = df.select(
         F.col(id_col).alias("id"),
         F.transform(tokens, lambda t: F.xxhash64(t)).alias("hs"),
@@ -543,6 +662,8 @@ def _md5_sig_udf():
         cache: dict = {}
         jbits = np.arange(4, dtype=np.uint8)
         for i, toks in enumerate(toks_col):
+            if toks is None:
+                continue  # defensive: callers coalesce text to '' upstream
             n = len(toks)
             if n == 0:
                 continue
@@ -575,7 +696,10 @@ def simhash64_md5(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     near-dup signatures an exact cross-engine oracle. Tokenization stays
     JVM-side (exact Spark split/lower semantics); hashing + bit votes run
     in the vectorized Arrow UDF."""
-    tokens = F.split(F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")), " ")
+    tokens = F.split(
+        F.lower(F.regexp_replace(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", " ")),
+        " ",
+    )
     base = df.select(F.col(id_col).alias("id"), tokens.alias("toks"))
     sig = _md5_sig_udf()
     return base.select("id", sig(F.col("toks")).alias("simhash"))

@@ -1,19 +1,32 @@
 """Similarity search over the embeddings table (vec_id, embedding:
 array<float>, label).
 
-Brute-force cosine top-k is the exactness baseline (one scan, JVM-side
-F.aggregate/zip_with arithmetic, no UDF); the scale path buckets vectors with
-a random-hyperplane LSH (SimHash for vectors) so candidate generation is a
-bucket join instead of an all-pairs scan.
+Brute-force cosine top-k is the exactness baseline; the scale path buckets
+vectors with a random-hyperplane LSH (SimHash for vectors) so candidate
+generation is a bucket join instead of an all-pairs scan.
+
+Vector math runs in numpy Arrow kernels (pandas UDFs), NOT in Spark
+higher-order-function expressions: HOF folds (aggregate/zip_with) never
+enter whole-stage codegen — they run interpreted, ~60× slower than the
+same arithmetic over an Arrow batch (measured on the SimHash vote fold,
+ops/dedup.py). Bit-exactness with the off-Spark oracles is preserved by
+folding LEFT-TO-RIGHT: np.cumsum along the vector axis is a sequential
+accumulation, so every dot/norm rounds identically to the reference
+Python loop ``acc = 0.0; for x in prod: acc = acc + x`` and to Spark's
+F.aggregate fold (property-pinned in tests/test_round4.py). The HOF
+forms are kept as _dot/_norm/_hyperplane_buckets_hof for those parity
+tests.
 """
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
 def _dot(a, b):
+    """Interpreted HOF dot — reference fold for bit-exactness tests only."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -22,9 +35,67 @@ def _dot(a, b):
 
 
 def _norm(a):
+    """Interpreted HOF norm — reference fold for bit-exactness tests only."""
     return F.sqrt(
         F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
     )
+
+
+def _ltr_sum(m: np.ndarray) -> np.ndarray:
+    """Left-to-right IEEE-double fold along the last axis, starting from
+    0.0 — identical rounding to the HOF/Python reference fold (cumsum is a
+    sequential scan; the explicit 0.0+first replicates the fold's initial
+    accumulator, which canonicalizes -0.0)."""
+    if m.shape[-1] == 0:
+        return np.zeros(m.shape[:-1])
+    m = m.astype(np.float64, copy=True)
+    m[..., 0] = 0.0 + m[..., 0]
+    return np.cumsum(m, axis=-1)[..., -1]
+
+
+_KERNEL_CHUNK = 4096  # rows per 3-D kernel call: bounds (chunk×planes×dim)
+
+
+def _rows_matrix(vals: list) -> np.ndarray:
+    """Stack same-length vector rows into an (n, dim) float64 matrix."""
+    return np.stack([np.asarray(v, dtype=np.float64) for v in vals])
+
+
+def _cosine_pairs_udf():
+    """Vectorized Arrow UDF: (array<double>, array<double>) → cosine,
+    bit-exact with _dot(a,b)/(_norm(a)*_norm(b)). NULL on either side →
+    NULL, and length-mismatched pairs → NULL (zip_with pads the shorter
+    array with nulls, which nulls the HOF fold) — the reference fold's
+    null semantics exactly. Same-length groups are batched per length so
+    mixed-dim corpora still vectorize."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def cos(va, vb):
+        a_list, b_list = va.tolist(), vb.tolist()
+        n = len(a_list)
+        vals = np.full(n, np.nan)
+        nulls = np.ones(n, dtype=bool)
+        by_len: dict[int, list[int]] = {}
+        for i, (a, b) in enumerate(zip(a_list, b_list)):
+            if a is not None and b is not None and len(a) == len(b):
+                by_len.setdefault(len(a), []).append(i)
+        for idx in by_len.values():
+            ma = _rows_matrix([a_list[i] for i in idx])
+            mb = _rows_matrix([b_list[i] for i in idx])
+            dots = _ltr_sum(ma * mb)
+            na = np.sqrt(_ltr_sum(ma * ma))
+            nb = np.sqrt(_ltr_sum(mb * mb))
+            vals[idx] = dots / (na * nb)
+            nulls[idx] = False
+        if nulls.any():
+            return pd.Series(
+                [None if m else float(v) for m, v in zip(nulls, vals)], dtype=object
+            )
+        return pd.Series(vals)
+
+    cos.__annotations__ = {"va": pd.Series, "vb": pd.Series, "return": pd.Series}
+    return pandas_udf(cos, "double")
 
 
 def cosine_topk(
@@ -36,21 +107,17 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k by cosine similarity to the query vector (excluded from
     results). Single scan + broadcast of the 1-row query + top-k via
-    orderBy/limit (Spark plans TakeOrderedAndProject — no full sort)."""
+    orderBy/limit (Spark plans TakeOrderedAndProject — no full sort); the
+    cosine itself is one Arrow-batch numpy kernel per task."""
     q = df.where(F.col(id_col) == query_vec_id).select(
         F.col(vec_col).cast("array<double>").alias("qv")
     )
     v = F.col(vec_col).cast("array<double>")
+    cos = _cosine_pairs_udf()
     scored = (
         df.where(F.col(id_col) != query_vec_id)
         .crossJoin(F.broadcast(q))
-        .select(
-            F.col(id_col),
-            (
-                _dot(v, F.col("qv"))
-                / (_norm(v) * _norm(F.col("qv")))
-            ).alias("cosine"),
-        )
+        .select(F.col(id_col), cos(v, F.col("qv")).alias("cosine"))
     )
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
@@ -66,6 +133,39 @@ def plane_component(b: int, i: int, seed: int = 42) -> float:
     return (x / 0x80000000) - 1.0
 
 
+def plane_matrix(n_planes: int, dim: int, seed: int = 42) -> np.ndarray:
+    """The (n_planes, dim) hyperplane matrix as float64 — rebuilt from
+    plane_component on every executor (a few KB; no broadcast needed)."""
+    return np.array(
+        [[plane_component(b, i, seed) for i in range(dim)] for b in range(n_planes)]
+    )
+
+
+def _bucket_udf(n_planes: int, dim: int, seed: int):
+    """Vectorized Arrow UDF: embedding array<double> → LSH bucket (long).
+    Bit b = sign(v · h_b), folded left-to-right — bit-exact with the HOF
+    reference (_hyperplane_buckets_hof). NULL/odd-length vectors get
+    bucket 0, matching the HOF's when(null > 0)→otherwise(0) bits."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def bucket(vs):
+        vlist = vs.tolist()
+        planes = plane_matrix(n_planes, dim, seed)
+        weights = np.int64(1) << np.arange(n_planes, dtype=np.int64)
+        out = np.zeros(len(vlist), dtype=np.int64)
+        idx = [i for i, v in enumerate(vlist) if v is not None and len(v) == dim]
+        for lo in range(0, len(idx), _KERNEL_CHUNK):
+            chunk = idx[lo : lo + _KERNEL_CHUNK]
+            m = _rows_matrix([vlist[i] for i in chunk])
+            dots = _ltr_sum(m[:, None, :] * planes[None, :, :])
+            out[chunk] = ((dots > 0).astype(np.int64) * weights).sum(axis=1)
+        return pd.Series(out)
+
+    bucket.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    return pandas_udf(bucket, "long")
+
+
 def hyperplane_buckets(
     df: DataFrame,
     n_planes: int = 12,
@@ -76,9 +176,24 @@ def hyperplane_buckets(
 ) -> DataFrame:
     """Random-hyperplane LSH bucket id per vector: bit b = sign(v · h_b) with
     h_b derived deterministically from plane_component(b, i) — reproducible on
-    any executor without shipping plane matrices."""
+    any executor without shipping plane matrices. One numpy matmul-shaped
+    kernel per Arrow batch (see module doc for the codegen rationale)."""
     v = F.col(vec_col).cast("array<double>")
+    bucket = _bucket_udf(n_planes, dim, seed)
+    return df.select(F.col(id_col), bucket(v).alias("bucket"))
 
+
+def _hyperplane_buckets_hof(
+    df: DataFrame,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Interpreted HOF form of hyperplane_buckets — kept ONLY as the
+    bit-exactness reference for tests (never on the query path)."""
+    v = F.col(vec_col).cast("array<double>")
     bucket = F.lit(0).cast("long")
     for b in range(n_planes):
         plane = F.array(*[F.lit(plane_component(b, i, seed)) for i in range(dim)])
@@ -150,6 +265,38 @@ def ann_topk_lsh(
     return cosine_topk(restricted, query_vec_id, k, id_col, vec_col)
 
 
+def _cell_udf(pivmat: np.ndarray, pnorms: np.ndarray):
+    """Vectorized Arrow UDF: embedding → IVF cell = argmax-cosine pivot
+    index (ties → lowest index, numpy argmax's first-max rule — identical
+    to the (cosine, -index) lexicographic max of the reference replay).
+    Zero-norm vectors get sentinel cell -1 (never probed) in BOTH this
+    kernel and the Python oracle; NULL/odd-length vectors likewise."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    dim = pivmat.shape[1]
+
+    def cell(vs):
+        vlist = vs.tolist()
+        out = np.full(len(vlist), -1, dtype=np.int32)
+        idx = [i for i, v in enumerate(vlist) if v is not None and len(v) == dim]
+        for lo in range(0, len(idx), _KERNEL_CHUNK):
+            chunk = idx[lo : lo + _KERNEL_CHUNK]
+            m = _rows_matrix([vlist[i] for i in chunk])
+            dots = _ltr_sum(m[:, None, :] * pivmat[None, :, :])
+            vnorm = np.sqrt(_ltr_sum(m * m))
+            ok = vnorm > 0.0
+            cells = np.full(len(chunk), -1, dtype=np.int32)
+            if ok.any():
+                cos = dots[ok] / (vnorm[ok, None] * pnorms[None, :])
+                cells[ok] = np.argmax(cos, axis=1).astype(np.int32)
+            out[chunk] = cells
+        return pd.Series(out)
+
+    cell.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    return pandas_udf(cell, "int")
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec_id: int,
@@ -159,32 +306,56 @@ def ivf_topk(
     max_cell: int | None = 1024,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pivot_ids: list[int] | None = None,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index — the coarse-
     quantizer alternative to hyperplane LSH.
 
-    Pivot selection is deterministic (the ``n_pivots`` lowest-id vectors),
-    so the whole index is replayable off-Spark bit-exactly: every distance
-    is a left-to-right double fold, identical in Spark's F.aggregate, in
-    DuckDB list_sum, and in a plain Python loop. Each vector joins the cell
-    of its highest-cosine pivot (ties → lowest pivot index); the query
-    probes its ``nprobe`` nearest cells; only those cells get the exact
-    scorer, capped at ``max_cell`` lowest ids per cell (mirroring the LSH
-    family's bucket caps).
+    Pivot selection is pluggable: the default (``pivot_ids=None``) takes the
+    ``n_pivots`` lowest-id vectors — deterministic, so the whole index is
+    replayable off-Spark bit-exactly (at crawl scale lowest-id ≈ an
+    arbitrary sample of the shard order). Pass ``pivot_ids`` for a sampled
+    or trained pivot set (e.g. deterministic_pivot_ids for a hash-spread
+    sample with better cell balance); the oracle replays any explicit list
+    the same way. Every distance is a left-to-right double fold, identical
+    in the numpy kernel (cumsum scan), in a plain Python loop, and in
+    DuckDB list_sum. Each vector joins the cell of its highest-cosine pivot
+    (ties → lowest pivot index); zero-norm vectors get sentinel cell -1
+    (never probed — documented oracle-aligned semantics); the query probes
+    its ``nprobe`` nearest cells; only those cells get the exact scorer,
+    capped at ``max_cell`` lowest ids per cell (mirroring the LSH family's
+    bucket caps).
 
     Scale shape: the pivot table is a driver-side collect of n_pivots rows
-    (bounded, documented); assignment is a per-row JVM expression (n_pivots
-    dot products — no shuffle); candidate selection is a filter on the cell
-    id, which also makes cell a natural write-partition key for repeated
-    queries (partition pruning replaces the filter scan). Expected scan
-    fraction ≈ nprobe / n_pivots; pick n_pivots ≈ sqrt(N) for the classic
-    IVF balance at crawl scale."""
-    piv_rows = (
-        df.orderBy(id_col)
-        .limit(n_pivots)
-        .select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
-        .collect()
-    )
+    (bounded, documented); assignment is one numpy kernel per Arrow batch
+    (n_pivots dot products/row — no shuffle); candidate selection is a
+    filter on the cell id, which also makes cell a natural write-partition
+    key for repeated queries (partition pruning replaces the filter scan).
+    Expected scan fraction ≈ nprobe / n_pivots; pick n_pivots ≈ sqrt(N) for
+    the classic IVF balance at crawl scale.
+
+    Raises ValueError when ``query_vec_id`` is absent, the query vector has
+    zero norm, any pivot has zero norm, or a requested pivot id is missing."""
+    vd = F.col(vec_col).cast("array<double>")
+    if pivot_ids is None:
+        piv_rows = (
+            df.orderBy(id_col)
+            .limit(n_pivots)
+            .select(id_col, vd.alias("v"))
+            .collect()
+        )
+    else:
+        n_pivots = len(pivot_ids)
+        got = {
+            r[0]: r[1]
+            for r in df.where(F.col(id_col).isin(list(pivot_ids)))
+            .select(id_col, vd.alias("v"))
+            .collect()
+        }
+        missing = [p for p in pivot_ids if p not in got]
+        if missing:
+            raise ValueError(f"ivf_topk: pivot ids not in the table: {missing}")
+        piv_rows = [(p, got[p]) for p in pivot_ids]
     pivots = [(r[0], list(r[1])) for r in piv_rows]
 
     def py_dot(a, b):
@@ -196,26 +367,25 @@ def ivf_topk(
     import math
 
     piv_norms = [math.sqrt(py_dot(v, v)) for _, v in pivots]
+    if any(n == 0.0 for n in piv_norms):
+        bad = [pid for (pid, _), n in zip(pivots, piv_norms) if n == 0.0]
+        raise ValueError(f"ivf_topk: zero-norm pivot vectors: {bad}")
 
-    v = F.col(vec_col).cast("array<double>")
-    vnorm = _norm(v)
-    # struct max: (cosine, -index) — lexicographic array_max gives the
-    # highest cosine, ties broken toward the LOWEST pivot index
-    piv_entries = []
-    for i, (_pid, pv) in enumerate(pivots):
-        pcos = _dot(v, F.array(*[F.lit(x) for x in pv])) / (vnorm * F.lit(piv_norms[i]))
-        piv_entries.append(F.struct(pcos.alias("c"), F.lit(-i).alias("ni")))
-    cands_struct = F.array(*piv_entries)
-    cell = (-F.array_max(cands_struct)["ni"]).alias("cell")
-    assigned = df.select(F.col(id_col), cell)
+    pivmat = np.array([v for _, v in pivots], dtype=np.float64)
+    cell = _cell_udf(pivmat, np.array(piv_norms, dtype=np.float64))
+    assigned = df.select(F.col(id_col), cell(vd).alias("cell"))
 
     # query-side probe selection in plain Python — same IEEE doubles, same
-    # fold order, so it agrees bit-exactly with the JVM assignment
-    qv = [
-        float(x)
-        for x in df.where(F.col(id_col) == query_vec_id).select(v.alias("q")).head()[0]
-    ]
+    # fold order, so it agrees bit-exactly with the kernel's assignment
+    qrow = df.where(F.col(id_col) == query_vec_id).select(vd.alias("q")).head()
+    if qrow is None or qrow[0] is None:
+        raise ValueError(
+            f"ivf_topk: query_vec_id {query_vec_id} not found in {id_col}"
+        )
+    qv = [float(x) for x in qrow[0]]
     qnorm = math.sqrt(py_dot(qv, qv))
+    if qnorm == 0.0:
+        raise ValueError("ivf_topk: query vector has zero norm — cosine undefined")
     qcos = [
         (py_dot(qv, pv) / (qnorm * piv_norms[i]), -i)
         for i, (_, pv) in enumerate(pivots)
@@ -240,6 +410,22 @@ def ivf_topk(
     return cosine_topk(restricted, query_vec_id, k, id_col, vec_col)
 
 
+def deterministic_pivot_ids(
+    df: DataFrame, n_pivots: int, id_col: str = "vec_id"
+) -> list[int]:
+    """A hash-spread deterministic pivot sample: the n_pivots ids with the
+    lowest md5(id) — engine-portable (same rows on any cluster/partitioning)
+    and, unlike lowest-id, uncorrelated with insertion order, so cells stay
+    balanced when ids encode crawl time. One TakeOrderedAndProject scan."""
+    rows = (
+        df.select(F.col(id_col), F.md5(F.col(id_col).cast("string")).alias("h"))
+        .orderBy("h", id_col)
+        .limit(n_pivots)
+        .collect()
+    )
+    return [r[0] for r in rows]
+
+
 def embedding_near_dups(
     df: DataFrame,
     threshold: float = 0.45,
@@ -249,7 +435,7 @@ def embedding_near_dups(
     dim: int = 64,
     probe_hamming: int = 1,
     max_bucket: int | None = 256,
-    log_dropped: bool = False,
+    log_dropped: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs at corpus scale.
 
@@ -258,33 +444,28 @@ def embedding_near_dups(
     ``probe_hamming`` neighbors (multi-probe); probes join the grouped
     bucket membership and pairs are emitted MAP-SIDE from each bucket's id
     array (no row-level self-join). Only candidates get the exact cosine
-    test (>= threshold).
+    test (>= threshold) — one numpy kernel per Arrow batch of pairs.
 
     Buckets larger than ``max_bucket`` are dropped entirely (default-on,
     mirroring minhash_near_dup_pairs): candidate volume is O(Σ m_bucket²),
     so one hot bucket — near-identical boilerplate pages, zero vectors —
     otherwise turns the join quadratic at crawl scale. With the cap,
     candidates are bounded by (n_planes+1) × max_bucket per vector by
-    construction. ``log_dropped=True`` counts and warns about dropped
-    buckets (costs one extra pass over the bucket aggregation).
+    construction. ``log_dropped`` (default-ON) counts dropped buckets as an
+    observed metric folded into the SAME pass — zero extra jobs — and warns
+    asynchronously when the count is non-zero (see dedup._observe_dropped).
 
     Scale sizing: expected bucket population is N / 2**n_planes — pick
     n_planes ≈ log2(N / target_bucket). The default 6 (64 buckets) is sized
     for the ~10^3-vector test corpus; a 10^12-vector crawl needs n_planes ≈
     30–40, keeping n_planes ≲ dim for the bits to stay discriminative."""
+    from .dedup import _observe_dropped
+
     buckets = hyperplane_buckets(df, n_planes, id_col, vec_col, dim)
     grouped = buckets.groupBy("bucket").agg(F.collect_list(id_col).alias("ids"))
     if max_bucket is not None:
         if log_dropped:
-            import logging
-
-            n_over = grouped.where(F.size("ids") > max_bucket).count()
-            if n_over:
-                logging.getLogger(__name__).warning(
-                    "embedding_near_dups: dropping %d buckets larger than %d",
-                    n_over,
-                    max_bucket,
-                )
+            grouped = _observe_dropped(grouped, max_bucket, "embedding_near_dups")
         grouped = grouped.where(F.size("ids") <= max_bucket)
     # per-id rows rebuilt from surviving buckets only: a vector in an
     # oversized bucket neither probes nor is probed
@@ -313,11 +494,11 @@ def embedding_near_dups(
     v = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
     va = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
     vb = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
-    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    cos = _cosine_pairs_udf()
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .where(cos >= threshold)
+        .where(cos(F.col("va"), F.col("vb")) >= threshold)
         .select("id_a", "id_b")
     )
 

@@ -256,20 +256,26 @@ def test_simhash_kernels_edges(spark):
 
 
 def test_simhash_near_dup_pairs_planted(spark):
-    """Identical docs → hamming 0; one-word edits → small hamming; an
-    unrelated doc must not pair with anything."""
+    """Identical docs: collapsed by the default exact-dedup pre-pass (round
+    4 — API parity with the MinHash family), paired at hamming 0 only when
+    the pre-pass is explicitly disabled; an unrelated doc never pairs."""
     from buildlog_consultant_spark.ops.dedup import simhash_near_dup_pairs
 
     base = "the quick brown fox jumps over the lazy dog " * 8
     df = spark.createDataFrame(
         [
             (1, base),
-            (2, base),  # identical → hamming 0
+            (2, base),  # identical → exact dup, not a near-dup pair
             (3, "completely different content about spark physical plans"),
         ],
         "doc_id long, text string",
     )
     rows = {(r.id_a, r.id_b): r.hamming for r in simhash_near_dup_pairs(df).collect()}
+    assert rows == {}, "exact dups must be collapsed before banding by default"
+    rows = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_dup_pairs(df, dedup_exact_first=False).collect()
+    }
     assert rows == {(1, 2): 0}
 
 

@@ -1,0 +1,312 @@
+"""Round-4 regression tests.
+
+Covers the VERDICT r3 "next round" items and ADVICE r3 findings:
+
+- Embedding-family vector math vectorized into numpy Arrow kernels while
+  staying BIT-EXACT with the interpreted HOF reference folds (np.cumsum is
+  a sequential left-to-right scan, so every dot/norm rounds identically).
+- ivf_topk guards (missing query id, zero norms), pluggable pivots.
+- NULL-text alignment across simhash/winnow/minhash (coalesce to '').
+- simhash_near_dup_pairs API parity (dedup_exact_first, log_dropped).
+- near_dup_dedup single exact-dedup pass.
+- log_dropped as a same-pass observed metric (no eager job at construction,
+  deterministic metrics with AQE off — the AQE listener race is upstream).
+- connected_components driver fast path via bounded Arrow collect.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pyspark.sql import SparkSession
+
+    yield (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# cumsum fold bit-exactness (the foundation of the vectorization)
+# ---------------------------------------------------------------------------
+
+
+def test_ltr_sum_matches_python_fold():
+    from buildlog_consultant_spark.ops.similarity import _ltr_sum
+
+    rng = np.random.RandomState(7)
+    # wide dynamic range to provoke rounding differences if the fold order
+    # ever deviated from strict left-to-right
+    m = rng.randn(64, 96) * np.logspace(-12, 12, 96)
+    got = _ltr_sum(m)
+    for r in range(m.shape[0]):
+        acc = 0.0
+        for x in m[r]:
+            acc = acc + x
+        assert got[r] == acc  # bitwise, not approx
+    assert _ltr_sum(np.empty((3, 0))).tolist() == [0.0, 0.0, 0.0]
+
+
+def test_vectorized_buckets_match_hof(spark):
+    import buildlog_consultant_spark.ops.similarity as sim
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    new = {r[0]: r[1] for r in sim.hyperplane_buckets(emb, n_planes=8).collect()}
+    old = {r[0]: r[1] for r in sim._hyperplane_buckets_hof(emb, n_planes=8).collect()}
+    assert new == old
+
+
+def test_vectorized_cosine_matches_hof(spark):
+    import buildlog_consultant_spark.ops.similarity as sim
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    v = F.col("embedding").cast("array<double>")
+    q = emb.where(F.col("vec_id") == 3).select(v.alias("qv"))
+    joined = emb.where(F.col("vec_id") != 3).crossJoin(F.broadcast(q))
+    cos = sim._cosine_pairs_udf()
+    new = {r[0]: r[1] for r in joined.select("vec_id", cos(v, F.col("qv"))).collect()}
+    hof = sim._dot(v, F.col("qv")) / (sim._norm(v) * sim._norm(F.col("qv")))
+    old = {r[0]: r[1] for r in joined.select("vec_id", hof).collect()}
+    assert new == old  # bitwise equality on every cosine
+
+
+def test_cosine_udf_null_semantics(spark):
+    import buildlog_consultant_spark.ops.similarity as sim
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0], [3.0, 4.0]),
+            (2, None, [3.0, 4.0]),
+            (3, [1.0, 2.0], None),
+            (4, [1.0, 2.0, 5.0], [3.0, 4.0]),  # length mismatch → NULL
+        ],
+        "id long, a array<double>, b array<double>",
+    )
+    cos = sim._cosine_pairs_udf()
+    rows = {r[0]: r[1] for r in df.select("id", cos("a", "b")).collect()}
+    assert rows[1] is not None
+    assert rows[2] is None and rows[3] is None and rows[4] is None
+
+
+# ---------------------------------------------------------------------------
+# IVF guards + pluggable pivots
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_missing_query_raises(spark):
+    import buildlog_consultant_spark.ops.similarity as sim
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    with pytest.raises(ValueError, match="not found"):
+        sim.ivf_topk(emb, query_vec_id=10**12)
+
+
+def test_ivf_zero_norm_guards(spark):
+    import buildlog_consultant_spark.ops.similarity as sim
+
+    dim = 4
+    rows = [(0, [0.0] * dim), (1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0]),
+            (3, [1.0, 1.0, 0.0, 0.0]), (4, [0.5, 0.2, 0.1, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # zero-norm QUERY → clear error (pivots chosen away from vec 0)
+    with pytest.raises(ValueError, match="zero norm"):
+        sim.ivf_topk(df, query_vec_id=0, pivot_ids=[1, 2])
+    # zero-norm PIVOT (lowest-id default picks vec 0) → clear error
+    with pytest.raises(ValueError, match="zero-norm pivot"):
+        sim.ivf_topk(df, query_vec_id=1, n_pivots=2)
+    # zero-norm non-pivot row lands in sentinel cell -1 (never probed) and
+    # the query still works end-to-end
+    got = sim.ivf_topk(
+        df, query_vec_id=1, nprobe=2, pivot_ids=[1, 2]
+    ).collect()
+    assert all(r["vec_id"] != 0 for r in got)
+
+
+def test_ivf_pluggable_pivots(spark):
+    import buildlog_consultant_spark.ops.similarity as sim
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    pids = sim.deterministic_pivot_ids(emb, 8)
+    assert len(pids) == 8 and len(set(pids)) == 8
+    # same session, same ids → deterministic
+    assert pids == sim.deterministic_pivot_ids(emb, 8)
+    got = sim.ivf_topk(emb, query_vec_id=0, k=5, nprobe=3, pivot_ids=pids).collect()
+    assert len(got) == 5
+    with pytest.raises(ValueError, match="pivot ids not in the table"):
+        sim.ivf_topk(emb, query_vec_id=0, pivot_ids=[10**12])
+
+
+# ---------------------------------------------------------------------------
+# NULL-text alignment (ADVICE r3 medium)
+# ---------------------------------------------------------------------------
+
+
+def test_null_text_coalesces_to_empty(spark):
+    from buildlog_consultant_spark.ops.dedup import (
+        simhash64,
+        simhash64_md5,
+        winnow_fingerprints,
+    )
+
+    df = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "real content here")], "doc_id long, text string"
+    )
+    for fn in (simhash64, simhash64_md5):
+        sigs = {r["id"]: r["simhash"] for r in fn(df).collect()}
+        assert sigs[0] == sigs[1], "NULL text must hash like '' (oracle parity)"
+        assert sigs[0] is not None
+    fps = {}
+    for r in winnow_fingerprints(df).collect():
+        fps.setdefault(r["id"], set()).add(r["fp"])
+    assert fps[0] == fps[1] and None not in fps[0]
+
+
+# ---------------------------------------------------------------------------
+# simhash pair parity + single-pass near_dup_dedup
+# ---------------------------------------------------------------------------
+
+
+def test_simhash_pairs_dedup_first_protects_cap(spark):
+    """m identical docs share all four bands; without the pre-pass they
+    blow past max_bucket and true duplicate pairs are silently dropped —
+    with it, the representative still pairs with its near-duplicate."""
+    from buildlog_consultant_spark.ops.dedup import simhash_near_dup_pairs
+
+    # replacing token w2 of w0..w79 with 'changed' gives hamming 1
+    # (verified against the off-Spark xxh64 oracle)
+    words = [f"w{i}" for i in range(80)]
+    base = " ".join(words)
+    near = " ".join(words[:2] + ["changed"] + words[3:])
+    rows = [(i, base) for i in range(10)] + [(100, near)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b)
+        for r in simhash_near_dup_pairs(df, max_bucket=4).collect()
+    }
+    assert got == {(0, 100)}, "rep (min id 0) must survive the cap and pair"
+    # without the pre-pass the 10-dup bucket exceeds max_bucket=4 → dropped
+    got_off = {
+        (r.id_a, r.id_b)
+        for r in simhash_near_dup_pairs(
+            df, max_bucket=4, dedup_exact_first=False
+        ).collect()
+    }
+    assert got_off == set()
+
+
+def test_near_dup_dedup_single_exact_pass(spark, monkeypatch):
+    import buildlog_consultant_spark.ops.dedup as dd
+
+    calls = []
+    orig = dd.exact_dup_groups
+
+    def counting(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(dd, "exact_dup_groups", counting)
+    df = spark.createDataFrame(
+        [(i, f"unique doc {i} with words") for i in range(6)]
+        + [(10, "dup text"), (11, "dup text")],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in dd.near_dup_dedup(df).collect())
+    assert len(calls) == 1, "exact dedup must run exactly once (VERDICT r3 #2)"
+    assert 10 in kept and 11 not in kept  # exact dup dropped, rep kept
+    # dedup_exact_first in kwargs is forced off (input already deduped)
+    calls.clear()
+    dd.near_dup_dedup(df, dedup_exact_first=True).collect()
+    assert len(calls) == 1
+
+
+# ---------------------------------------------------------------------------
+# log_dropped: same-pass observed metric, defaults on
+# ---------------------------------------------------------------------------
+
+
+def test_log_dropped_no_job_at_construction(spark):
+    """Round 3 ran an eager count() job over the full bucket lineage at
+    DataFrame-construction time; round 4 folds the metric into the query
+    itself — constructing the frame must schedule ZERO jobs."""
+    import buildlog_consultant_spark.ops.dedup as dd
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i % 3} words and words") for i in range(12)],
+        "doc_id long, text string",
+    )
+    df.count()  # materialize input lineage bookkeeping first
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or [])
+    frame = dd.minhash_near_dup_pairs_xx(df, max_bucket=2, log_dropped=True)
+    after = set(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "log_dropped must not run an eager job"
+    frame.collect()
+
+
+def test_log_dropped_metrics_and_warning(spark, caplog):
+    """With AQE off the observed metric is deterministic (the AQE listener
+    race is a Spark 4.1.2 quirk — see _observation_metrics); the async
+    logger warns about the dropped buckets."""
+    import logging
+    import time
+
+    import buildlog_consultant_spark.ops.dedup as dd
+
+    df = spark.createDataFrame(
+        [(i, "the very same text") for i in range(8)]
+        + [(100, "other text one"), (101, "other text one!")],
+        "doc_id long, text string",
+    )
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        with caplog.at_level(logging.WARNING, logger="buildlog_consultant_spark.ops.dedup"):
+            pairs = dd.minhash_near_dup_pairs_xx(
+                df, max_bucket=2, dedup_exact_first=False
+            )
+            pairs.collect()
+            got = dd._observation_metrics(dd._dropped_observations["minhash"])
+            assert got["n_dropped"] and got["n_dropped"] >= 1
+            deadline = time.time() + 10
+            while time.time() < deadline and not any(
+                "dropped" in r.message for r in caplog.records
+            ):
+                time.sleep(0.1)
+        assert any("dropped" in r.message for r in caplog.records)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+
+
+# ---------------------------------------------------------------------------
+# connected components driver fast path (Arrow probe collect)
+# ---------------------------------------------------------------------------
+
+
+def test_cc_driver_path_matches_distributed(spark):
+    from buildlog_consultant_spark.ops.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)],
+        "id_a long, id_b long",
+    )
+    fast = sorted(tuple(r) for r in connected_components(edges).collect())
+    dist = sorted(
+        tuple(r) for r in connected_components(edges, driver_threshold=0).collect()
+    )
+    assert fast == dist
+    assert fast == [
+        (1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20), (21, 20), (22, 20),
+    ]
+    # threshold exactly at the edge count still takes the fast path; one
+    # below falls through to the distributed loop — results identical
+    at = sorted(tuple(r) for r in connected_components(edges, driver_threshold=6).collect())
+    below = sorted(tuple(r) for r in connected_components(edges, driver_threshold=5).collect())
+    assert at == below == fast
