@@ -465,15 +465,21 @@ def pages_df(spark, n: int, partitions: Optional[int] = None, pad_scale: int = 1
 
 
 def make_media(i: int) -> tuple[dict, dict]:
-    """Deterministic media row i: alternating real BMP / WAV bytes, plus one
-    'unknown' blob in every 8. Returns (row, golden) where golden carries
-    the BY-CONSTRUCTION expectations (stats computed from the generating
-    arrays, independently of the decoders in ops/multimodal.py)."""
+    """Deterministic media row i: real BMP / WAV / PNG bytes and a
+    header-valid JPEG, plus one 'unknown' blob in every 8 (i%8: even→BMP,
+    1→WAV, 3→JPEG, 5→PNG, 7→unknown). Returns (row, golden) where golden
+    carries the BY-CONSTRUCTION expectations (stats computed from the
+    generating arrays, independently of the decoders in ops/multimodal.py)."""
     import math
 
     import numpy as np
 
-    from .ops.multimodal import encode_bmp, encode_wav
+    from .ops.multimodal import (
+        encode_bmp,
+        encode_jpeg_header,
+        encode_png,
+        encode_wav,
+    )
 
     url = f"media://{i:06d}"
     kind = i % 8
@@ -481,6 +487,33 @@ def make_media(i: int) -> tuple[dict, dict]:
         data = (b"\x89OPAQUE" + bytes([(i * 37 + j) % 256 for j in range(64)]))
         golden = {"url": url, "media_type": "unknown"}
         return {"url": url, "media": data}, golden
+    if kind == 3:
+        # header-level JPEG: real SOF dimensions, no scan data
+        w, h = 160 + (i % 9) * 8, 120 + (i % 5) * 6
+        golden = {"url": url, "media_type": "image/jpeg", "width": w, "height": h}
+        return {"url": url, "media": encode_jpeg_header(w, h, seed=i)}, golden
+    if kind == 5:
+        # full 8-bit RGB PNG: dims + exact pixel means (like the BMP rows)
+        w, h = 7 + (i % 6), 5 + (i % 4)
+        yy, xx = np.mgrid[0:h, 0:w]
+        px = np.stack(
+            [
+                (xx * 13 + 5 * i) % 256,
+                (yy * 3 + i) % 256,
+                (xx * yy + 7 * i) % 256,
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+        golden = {
+            "url": url,
+            "media_type": "image/png",
+            "width": w,
+            "height": h,
+            "mean_r_milli": int(px[:, :, 0].astype(np.int64).sum() * 1000 // (w * h)),
+            "mean_g_milli": int(px[:, :, 1].astype(np.int64).sum() * 1000 // (w * h)),
+            "mean_b_milli": int(px[:, :, 2].astype(np.int64).sum() * 1000 // (w * h)),
+        }
+        return {"url": url, "media": encode_png(px)}, golden
     if i % 2 == 0:
         w, h = 8 + (i % 5), 6 + (i % 3)
         yy, xx = np.mgrid[0:h, 0:w]

@@ -286,6 +286,119 @@ def test_log_dropped_metrics_and_warning(spark, caplog):
 
 
 # ---------------------------------------------------------------------------
+# multimodal: real PNG decode (stdlib zlib) + header-level JPEG dims
+# ---------------------------------------------------------------------------
+
+
+def test_png_roundtrip_and_filters():
+    import struct
+    import zlib
+
+    from buildlog_consultant_spark.ops.multimodal import (
+        PNG_SIG,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(3)
+    px = rng.randint(0, 256, size=(9, 7, 3)).astype(np.uint8)
+    meta = decode_png(encode_png(px))
+    n = 9 * 7
+    assert meta == {
+        "width": 7,
+        "height": 9,
+        "mean_r_milli": int(px[:, :, 0].astype(np.int64).sum() * 1000 // n),
+        "mean_g_milli": int(px[:, :, 1].astype(np.int64).sum() * 1000 // n),
+        "mean_b_milli": int(px[:, :, 2].astype(np.int64).sum() * 1000 // n),
+    }
+
+    # hand-build a PNG exercising every filter type (0..4) — one per row —
+    # by forward-filtering the reference pixels per the spec
+    w, h, bpp = 5, 5, 3
+    ref = rng.randint(0, 256, size=(h, w * bpp)).astype(np.int32)
+    lines = []
+    for y in range(h):
+        f = y % 5
+        prev = ref[y - 1] if y else np.zeros(w * bpp, np.int32)
+        row = bytearray([f])
+        for x in range(w * bpp):
+            a = ref[y][x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            row.append((int(ref[y][x]) - pred) & 0xFF)
+        lines.append(bytes(row))
+
+    def chunk(typ, body):
+        return (
+            struct.pack(">I", len(body)) + typ + body
+            + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+        )
+
+    data = (
+        PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+    got = decode_png(data)
+    exp = ref.reshape(h, w, bpp).astype(np.int64)
+    assert got["mean_r_milli"] == int(exp[:, :, 0].sum() * 1000 // (w * h))
+    assert got["mean_b_milli"] == int(exp[:, :, 2].sum() * 1000 // (w * h))
+
+    # non-RGB color type → header-level dims only
+    gray = (
+        PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 11, 4, 8, 0, 0, 0, 0))
+        + chunk(b"IEND", b"")
+    )
+    assert decode_png(gray) == {"width": 11, "height": 4}
+    assert decode_png(b"not a png") is None
+
+
+def test_jpeg_header_dims():
+    from buildlog_consultant_spark.ops.multimodal import (
+        decode_jpeg_header,
+        encode_jpeg_header,
+    )
+
+    assert decode_jpeg_header(encode_jpeg_header(640, 480, seed=5)) == {
+        "width": 640,
+        "height": 480,
+    }
+    assert decode_jpeg_header(b"\xff\xd8\xff\xd9") is None  # no SOF
+    assert decode_jpeg_header(b"GIF89a") is None
+    # truncated segment length must not crash
+    assert decode_jpeg_header(b"\xff\xd8\xff\xc0\x00") is None
+
+
+def test_media_corpus_mix_via_spark(spark):
+    from buildlog_consultant_spark import fixtures
+    from buildlog_consultant_spark.ops.multimodal import extract_media_meta
+
+    media = fixtures.media_df(spark, 16, partitions=2)
+    rows = {r.url: r for r in extract_media_meta(media, binary_col="media").collect()}
+    for i in range(16):
+        _, golden = fixtures.make_media(i)
+        r = rows[golden["url"]]
+        assert r.media_type == golden["media_type"]
+        if golden["media_type"] in ("image/png", "image/jpeg"):
+            assert (r.width, r.height) == (golden["width"], golden["height"])
+            assert r.fake_width is None  # real metadata, not the stub
+
+
+# ---------------------------------------------------------------------------
 # connected components driver fast path (Arrow probe collect)
 # ---------------------------------------------------------------------------
 

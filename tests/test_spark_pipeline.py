@@ -371,22 +371,25 @@ def test_multimodal_plumbing(spark):
 
 
 def test_multimodal_real_decoders(spark):
-    """BMP and WAV are decoded for real (header parse + numpy stats); the
-    golden expectations come from the generating arrays, not the decoders."""
+    """BMP/WAV/PNG are decoded for real (header parse + numpy stats, PNG
+    via stdlib zlib), JPEG at header level (SOF dims); the golden
+    expectations come from the generating arrays, not the decoders."""
     from buildlog_consultant_spark.ops.multimodal import extract_media_meta
 
     media = fixtures.media_df(spark, 32, partitions=2)
     got = {r.url: r.asDict() for r in extract_media_meta(media, binary_col="media").collect()}
     assert len(got) == 32
-    n_bmp = n_wav = 0
+    counts: dict = {}
     for i in range(32):
         _, golden = fixtures.make_media(i)
         row = got[golden["url"]]
         for k, v in golden.items():
             assert row[k] == v, (i, k, row[k], v)
-        n_bmp += golden["media_type"] == "image/bmp"
-        n_wav += golden["media_type"] == "audio/wav"
-    assert n_bmp >= 10 and n_wav >= 10
+        counts[golden["media_type"]] = counts.get(golden["media_type"], 0) + 1
+    assert counts == {
+        "image/bmp": 16, "audio/wav": 4, "image/jpeg": 4, "image/png": 4,
+        "unknown": 4,
+    }
 
 
 def test_bmp_wav_roundtrip_unit():
