@@ -218,15 +218,60 @@ def _oracle_classify_remediation() -> str:
 # ---------------------------------------------------------------------------
 
 
+def _parse_byte_conf(s: str, default: int) -> int:
+    try:
+        s = s.strip().lower()
+        for suf, m in (
+            ("kb", 1024), ("mb", 1024**2), ("gb", 1024**3),
+            ("k", 1024), ("m", 1024**2), ("g", 1024**3), ("b", 1),
+        ):
+            if s.endswith(suf):
+                return int(float(s[: -len(suf)])) * m
+        return int(s)
+    except Exception:
+        return default
+
+
 def _read_adaptive(spark: SparkSession, path: str) -> DataFrame:
-    """Read parquet, and if the scan yields fewer partitions than cores
-    (the bench-scale tables are single ~1 MB files → ONE scan partition →
-    every downstream per-row op runs on one core), repartition to the
-    default parallelism. At crawl scale the scan naturally has ≥ cores
-    splits and this adds nothing — no shuffle is introduced there."""
+    """Read parquet, and if the scan would yield fewer partitions than
+    cores (the bench-scale tables are single ~1 MB files → ONE scan
+    partition → every downstream per-row op runs on one core), repartition
+    to the default parallelism. At crawl scale the scan naturally has ≥
+    cores splits and this adds nothing — no shuffle is introduced there.
+
+    The split count is ESTIMATED from file sizes with Spark's own
+    FilePartition.maxSplitBytes formula instead of df.rdd.getNumPartitions()
+    — the .rdd conversion built (and planned) the whole RDD lineage once
+    per query (VERDICT r3 "next" #8). Non-local URIs fall back to the
+    file count."""
+    import math
+    import os
+    from urllib.parse import urlparse
+
     df = spark.read.parquet(path)
     par = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
+    files = df.inputFiles()
+    if len(files) >= par:
+        return df
+    mpb = _parse_byte_conf(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"), 128 * 1024**2
+    )
+    open_cost = _parse_byte_conf(
+        spark.conf.get("spark.sql.files.openCostInBytes", "4m"), 4 * 1024**2
+    )
+    try:
+        sizes = []
+        for f in files:
+            u = urlparse(f)
+            if u.scheme not in ("", "file"):
+                raise OSError(f"non-local file {f}")
+            sizes.append(os.path.getsize(u.path))
+        total = sum(sizes) + open_cost * len(files)
+        max_split = min(mpb, max(open_cost, total // max(par, 1) + 1))
+        est_parts = math.ceil(total / max_split) if total else 1
+    except OSError:
+        est_parts = len(files)
+    if est_parts < par:
         df = df.repartition(par)
     return df
 
@@ -490,6 +535,29 @@ FROM events GROUP BY event_type, hour
 """
 
 
+def _stage_stream_dir(sf_dir: str, table: str) -> Path:
+    """File-stream sources need a DIRECTORY; the testdata tables are single
+    parquet files — stage a one-symlink dir per source file. Keyed on a
+    hash of the FULL resolved source path (two sf_dirs sharing a basename
+    must not collide) and repaired when the symlink is stale or broken
+    (ADVICE r3: Path.exists() is False for a broken link, so the old
+    if-not-exists guard crashed on os.symlink with FileExistsError)."""
+    import hashlib
+    import os
+
+    src = os.path.abspath(f"{sf_dir.rstrip('/')}/{table}.parquet")
+    key = hashlib.md5(src.encode()).hexdigest()[:12]
+    stage = _CACHE_DIR / f"stream_{table}_{key}"
+    stage.mkdir(parents=True, exist_ok=True)
+    link = stage / f"{table}.parquet"
+    if link.is_symlink() or link.exists():
+        if not (link.is_symlink() and os.path.realpath(link) == os.path.realpath(src)):
+            link.unlink()
+    if not link.is_symlink():
+        os.symlink(src, link)
+    return stage
+
+
 def q_streaming_event_counts(spark, sf_dir):
     """Tumbling-window per-type counts computed BY THE STREAMING ENGINE:
     file-stream over the events parquet directory, watermarked windowed
@@ -498,16 +566,9 @@ def q_streaming_event_counts(spark, sf_dir):
     plan. On bounded input the final table equals the batch aggregation, so
     the streaming path gets a full rows+schema+hash oracle (VERDICT r2
     "next" #6)."""
-    import os
     import uuid
 
-    # the file-stream source requires a DIRECTORY; the testdata tables are
-    # single parquet files — stage a symlink dir once per sf
-    stage = _CACHE_DIR / f"stream_events_{Path(sf_dir.rstrip('/')).name}"
-    stage.mkdir(parents=True, exist_ok=True)
-    link = stage / "events.parquet"
-    if not link.exists():
-        os.symlink(f"{sf_dir.rstrip('/')}/events.parquet", link)
+    stage = _stage_stream_dir(sf_dir, "events")
     sch = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     agg = (
         spark.readStream.schema(sch)
@@ -539,6 +600,93 @@ ORACLE_STREAMING_EVENT_COUNTS = """
 SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
        COUNT(*) AS n
 FROM events GROUP BY event_type, hour
+"""
+
+
+def _stage_two_batch_events(sf_dir: str) -> Path:
+    """Stage the events table as TWO parquet files with distinct mtimes so
+    the file-stream source (maxFilesPerTrigger=1, mtime-ordered) replays
+    them as two deterministic micro-batches: batch 0 = event_id % 7 == 0,
+    batch 1 = the rest. Cached per resolved sf_dir path."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    src = os.path.abspath(f"{sf_dir.rstrip('/')}/events.parquet")
+    key = hashlib.md5(src.encode()).hexdigest()[:12]
+    stage = _CACHE_DIR / f"stream_events2b_{key}"
+    done = stage / "_done"
+    if not done.exists():
+        import shutil
+
+        tmp = Path(str(stage) + f".tmp{os.getpid()}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        tmp.mkdir(parents=True)
+        pdf = pq.read_table(src).to_pandas()
+        b0 = pdf[pdf["event_id"] % 7 == 0]
+        b1 = pdf[pdf["event_id"] % 7 != 0]
+        import pyarrow as pa
+
+        pq.write_table(pa.Table.from_pandas(b0, preserve_index=False), tmp / "batch0.parquet")
+        pq.write_table(pa.Table.from_pandas(b1, preserve_index=False), tmp / "batch1.parquet")
+        now = int(__import__("time").time())
+        os.utime(tmp / "batch0.parquet", (now - 120, now - 120))
+        os.utime(tmp / "batch1.parquet", (now - 60, now - 60))
+        (tmp / "_done").touch()
+        try:
+            os.rename(tmp, stage)
+        except OSError:  # concurrent builder won; same deterministic content
+            shutil.rmtree(tmp, ignore_errors=True)
+    return stage
+
+
+def q_streaming_first_seen(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState) under
+    the driver's full rows+schema+hash gate (VERDICT r3 "next" #6): per
+    event_type, emit min(event_id) over the FIRST micro-batch in which the
+    type appears — streaming first-seen dedup with a deterministic
+    min-emission. The stream is the events table staged as two
+    mtime-ordered files, one per trigger, so batch membership (and hence
+    the output) is exactly replayable by the SQL oracle."""
+    import tempfile
+    import uuid
+
+    from buildlog_consultant_spark.streaming.pipeline import streaming_first_seen_min
+
+    stage = _stage_two_batch_events(sf_dir)
+    sch = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(stage))
+    )
+    out = streaming_first_seen_min(stream, "event_type", "event_id")
+    name = f"blc_first_seen_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="blc_fs_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+ORACLE_STREAMING_FIRST_SEEN = """
+WITH b AS (
+  SELECT event_type, event_id,
+         CASE WHEN event_id % 7 = 0 THEN 0 ELSE 1 END AS batch
+  FROM events
+), fb AS (
+  SELECT event_type, MIN(batch) AS mb FROM b GROUP BY event_type
+)
+SELECT b.event_type, MIN(b.event_id) AS first_event_id
+FROM b JOIN fb ON b.event_type = fb.event_type AND b.batch = fb.mb
+GROUP BY b.event_type
 """
 
 
@@ -1478,6 +1626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping": q_q3_shipping,
         "events_tumbling": q_events_tumbling,
         "streaming_event_counts": q_streaming_event_counts,
+        "streaming_first_seen": q_streaming_first_seen,
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -1519,6 +1668,7 @@ def oracle_sql(sf_dir: str = None) -> dict[str, str]:
         "q3_shipping": ORACLE_Q3,
         "events_tumbling": ORACLE_EVENTS_TUMBLING,
         "streaming_event_counts": ORACLE_STREAMING_EVENT_COUNTS,
+        "streaming_first_seen": ORACLE_STREAMING_FIRST_SEEN,
         "ann_topk": ORACLE_ANN_TOPK,
         "minhash_near_dups": ORACLE_MINHASH,
         "minhash_near_dups_xx": _oracle_minhash_xx(sf_dir),

@@ -73,6 +73,50 @@ def streaming_first_seen(classified: DataFrame) -> DataFrame:
     )
 
 
+def streaming_first_seen_min(
+    stream: DataFrame, key_col: str, val_col: str
+) -> DataFrame:
+    """Generalized first-seen stateful operator with a DETERMINISTIC
+    emission: per key, emit (key, min(val)) over the FIRST micro-batch in
+    which the key appears; later batches emit nothing (state = one bool
+    per key, bounded by key cardinality, no watermark needed).
+
+    min() makes the output independent of partition/arrival order within
+    the batch, so with a deterministic file staging (one file per trigger,
+    mtime-ordered) the whole stream result is replayable by a plain SQL
+    oracle — this is the variant the driver gate checks; streaming_first_seen
+    (row-order first, urls) remains the pytest-covered original."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_col = f"first_{val_col}"
+
+    def first_seen(key, pdfs, state: GroupState):
+        if state.exists:
+            return iter(())
+        m = None
+        for pdf in pdfs:
+            if len(pdf):
+                v = pdf[val_col].min()
+                m = v if m is None else min(m, v)
+        if m is None:
+            return iter(())
+        state.update((True,))
+        return iter([pd.DataFrame({key_col: [key[0]], out_col: [m]})])
+
+    return (
+        stream.where(F.col(key_col).isNotNull())
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            first_seen,
+            outputStructType=f"{key_col} string, {out_col} long",
+            stateStructType="seen boolean",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def streaming_kind_counts(
     classified: DataFrame,
     window: str = "10 minutes",

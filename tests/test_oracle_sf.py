@@ -57,9 +57,11 @@ def duck():
         "near_dup_dedup",
         "embedding_clusters",
         "simhash_near_dups",
-        # streaming query: plain-SQL oracle, but its file-stream staging
-        # logic is sf_dir-dependent — exercise it at the second scale too
+        # streaming queries: plain-SQL oracles, but their file-stream
+        # staging logic is sf_dir-dependent — exercise it at the second
+        # scale too
         "streaming_event_counts",
+        "streaming_first_seen",
     ],
 )
 def test_golden_oracle_follows_sf_dir(spark, duck, name):

@@ -399,6 +399,105 @@ def test_media_corpus_mix_via_spark(spark):
 
 
 # ---------------------------------------------------------------------------
+# streaming first-seen (driver-gated stateful operator) + staging fixes
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_first_seen_min_cross_batch(spark, tmp_path):
+    """A key appearing ONLY in the second micro-batch must be emitted from
+    that batch; keys seen in batch 0 must not re-emit in batch 1."""
+    import os
+    import time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from buildlog_consultant_spark.streaming.pipeline import streaming_first_seen_min
+
+    stage = tmp_path / "stream"
+    stage.mkdir()
+    b0 = pd.DataFrame({"event_type": ["a", "a", "b"], "event_id": [7, 3, 9]})
+    b1 = pd.DataFrame({"event_type": ["a", "rare"], "event_id": [1, 5]})
+    pq.write_table(pa.Table.from_pandas(b0), stage / "batch0.parquet")
+    pq.write_table(pa.Table.from_pandas(b1), stage / "batch1.parquet")
+    now = int(time.time())
+    os.utime(stage / "batch0.parquet", (now - 120, now - 120))
+    os.utime(stage / "batch1.parquet", (now - 60, now - 60))
+
+    stream = (
+        spark.readStream.schema("event_type string, event_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage))
+    )
+    out = streaming_first_seen_min(stream, "event_type", "event_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_first_seen_cross")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.event_type, r.first_event_id)
+        for r in spark.table("t_first_seen_cross").collect()
+    }
+    # a: min of batch 0 only (3, NOT the later 1); rare: first seen batch 1
+    assert got == {("a", 3), ("b", 9), ("rare", 5)}
+
+
+def test_stage_stream_dir_repairs_stale_symlink(tmp_path, monkeypatch):
+    import os
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+
+    monkeypatch.setattr(entry, "_CACHE_DIR", tmp_path / "cache")
+    sf = tmp_path / "sfA"
+    sf.mkdir()
+    (sf / "events.parquet").write_bytes(b"x")
+    stage = entry._stage_stream_dir(str(sf), "events")
+    link = stage / "events.parquet"
+    assert link.is_symlink() and link.read_bytes() == b"x"
+    # idempotent
+    assert entry._stage_stream_dir(str(sf), "events") == stage
+    # BROKEN link (target removed) must be repaired, not crash
+    (sf / "events.parquet").unlink()
+    (sf / "events.parquet").write_bytes(b"y")
+    os.unlink(link)
+    os.symlink(tmp_path / "gone.parquet", link)  # dangling
+    stage2 = entry._stage_stream_dir(str(sf), "events")
+    assert (stage2 / "events.parquet").read_bytes() == b"y"
+    # two sf_dirs sharing a BASENAME get distinct stages
+    other = tmp_path / "elsewhere" / "sfA"
+    other.mkdir(parents=True)
+    (other / "events.parquet").write_bytes(b"z")
+    stage3 = entry._stage_stream_dir(str(other), "events")
+    assert stage3 != stage2
+    assert (stage3 / "events.parquet").read_bytes() == b"z"
+
+
+def test_read_adaptive_no_rdd_and_repartitions(spark):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+
+    par = spark.sparkContext.defaultParallelism
+    df = entry._read_adaptive(spark, f"{SF_DIR}/documents.parquet")
+    # single ~small file → must repartition up to the default parallelism
+    assert df.rdd.getNumPartitions() == par
+    # byte-conf parser
+    assert entry._parse_byte_conf("128m", 0) == 128 * 1024**2
+    assert entry._parse_byte_conf("134217728b", 0) == 134217728
+    assert entry._parse_byte_conf("4194304", 0) == 4194304
+    assert entry._parse_byte_conf("garbage", 77) == 77
+
+
+# ---------------------------------------------------------------------------
 # connected components driver fast path (Arrow probe collect)
 # ---------------------------------------------------------------------------
 
