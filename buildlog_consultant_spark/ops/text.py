@@ -157,6 +157,167 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", F.substring(F.md5(norm), 1, 16))
 
 
+def with_repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals, all-integer for exact
+    oracle parity: word and word-bigram duplication counts per document
+    (a high duplicate-bigram fraction is the classic boilerplate /
+    keyword-stuffing signal used by web-text quality filters).
+
+    Adds: n_words, n_distinct_words, n_bigrams, n_distinct_bigrams,
+    dup_word_pct, dup_bigram_pct (floor of 100×duplicated/total — floor is
+    portable across engines, CAST rounds half-even in DuckDB).
+
+    Scale shape: everything is per-row map-side (split / array_distinct /
+    a size-bounded transform over the words array) — no shuffle, no
+    Python; prunes to the text column at scan."""
+    t = F.trim(F.col(text_col))
+    words = F.split(F.lower(F.regexp_replace(t, r"\s+", " ")), " ")
+    words_col = F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        words
+    )
+    d = df.withColumn("_w", words_col)
+    n_words = F.size("_w")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_words - 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.element_at(F.col("_w"), i),
+                              F.element_at(F.col("_w"), i + 1)),
+    )
+    bigrams = F.when(n_words < 2, F.array().cast("array<string>")).otherwise(bigrams)
+    d = d.withColumn("_bg", bigrams)
+    n_bigrams = F.size("_bg")
+    out = (
+        d.withColumn("n_words", n_words.cast("long"))
+        .withColumn("n_distinct_words", F.size(F.array_distinct("_w")).cast("long"))
+        .withColumn("n_bigrams", n_bigrams.cast("long"))
+        .withColumn(
+            "n_distinct_bigrams", F.size(F.array_distinct("_bg")).cast("long")
+        )
+        .drop("_w", "_bg")
+    )
+    return out.withColumn(
+        "dup_word_pct",
+        F.floor(
+            (F.col("n_words") - F.col("n_distinct_words"))
+            * 100
+            / F.greatest(F.col("n_words"), F.lit(1))
+        ),
+    ).withColumn(
+        "dup_bigram_pct",
+        F.floor(
+            (F.col("n_bigrams") - F.col("n_distinct_bigrams"))
+            * 100
+            / F.greatest(F.col("n_bigrams"), F.lit(1))
+        ),
+    )
+
+
+def filter_repetitive(
+    df: DataFrame,
+    max_dup_word_pct: int = 60,
+    max_dup_bigram_pct: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """The repetition-gate ENDPOINT: drop documents whose duplicate-word or
+    duplicate-bigram percentage exceeds the thresholds (Gopher drops docs
+    with high duplicate n-gram character fractions; this is the integer
+    word-level analogue). Map-side filter on with_repetition_signals —
+    no shuffle."""
+    d = with_repetition_signals(df, text_col)
+    return d.where(
+        (F.col("dup_word_pct") <= max_dup_word_pct)
+        & (F.col("dup_bigram_pct") <= max_dup_bigram_pct)
+    )
+
+
+def word_ngrams(
+    df: DataFrame, n: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, gram) rows: all word ``n``-grams of the lowercased whitespace-
+    normalized text, DISTINCT per document. explode is a flat map — no
+    shuffle; the distinct is per-row map-side (array_distinct before the
+    explode), so downstream joins see each (doc, gram) once."""
+    t = F.trim(F.col(text_col))
+    words = F.split(F.lower(F.regexp_replace(t, r"\s+", " ")), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+    grams = F.when(F.size(words) < n, F.array().cast("array<string>")).otherwise(
+        grams
+    )
+    return df.select(
+        F.col(id_col), F.explode(F.array_distinct(grams)).alias("gram")
+    )
+
+
+def contamination_hits(
+    df: DataFrame,
+    benchmark_threshold_hex: str = "10000000",
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Benchmark-contamination check: which training documents share a word
+    ``n``-gram with the held-out benchmark set? (The decontamination pass
+    every LLM data pipeline runs — e.g. drop any training doc sharing a
+    13-gram with an eval set; 8 here because the test corpus has short
+    docs.)
+
+    The benchmark set is the deterministic_sample of the corpus itself
+    (md5(id) < threshold — engine-portable row selection), standing in for
+    an external eval set. Returns (doc_id, lang, n_shared_grams) for
+    non-benchmark docs with ≥1 shared n-gram.
+
+    Scale shape: benchmark grams are DISTINCT n-grams of a tiny sample —
+    broadcast to every executor (F.broadcast), so the contamination check
+    is a map-side broadcast semi-join on the exploded grams + one hash agg
+    keyed on doc_id. No shuffle of the corpus' grams."""
+    bench_ids = deterministic_sample(df, benchmark_threshold_hex, id_col).select(
+        id_col
+    )
+    bench_grams = (
+        word_ngrams(df.join(bench_ids, id_col, "left_semi"), n, text_col, id_col)
+        .select("gram")
+        .distinct()
+    )
+    train = df.join(bench_ids, id_col, "left_anti")
+    train_grams = word_ngrams(train, n, text_col, id_col)
+    hits = (
+        train_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared_grams"))
+    )
+    return hits.join(
+        df.select(id_col, F.col(lang_col).alias("lang")), id_col
+    ).select(id_col, "lang", "n_shared_grams")
+
+
+# PII patterns restricted to constructs Java regex and RE2 (DuckDB)
+# evaluate identically: no lookaround, ASCII classes, explicit quantifiers
+PII_EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_PATTERN = r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction pass: replace emails and phone numbers with typed
+    placeholder tokens and count what was redacted. Adds ``n_emails``,
+    ``n_phones`` (long) and ``{text_col}_scrubbed``. Pure JVM regexp —
+    map-side, no shuffle, whole-stage codegen; the patterns are RE2-safe
+    so the DuckDB oracle replays them byte-identically."""
+    t = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(t, PII_EMAIL_PATTERN, "<EMAIL>"),
+        PII_PHONE_PATTERN,
+        "<PHONE>",
+    )
+    return (
+        df.withColumn("n_emails", F.regexp_count(t, F.lit(PII_EMAIL_PATTERN)))
+        .withColumn("n_phones", F.regexp_count(t, F.lit(PII_PHONE_PATTERN)))
+        .withColumn(f"{text_col}_scrubbed", scrubbed)
+    )
+
+
 def doc_stats(df: DataFrame) -> DataFrame:
     """Per-lang corpus stats — all-integer outputs for exact oracle parity."""
     d = with_token_count(df)

@@ -1,0 +1,165 @@
+"""Round-4 new-operator tests: repetition signals, contamination check,
+PII scrub, and the as-of join (ops/asof.py)."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from buildlog_consultant_spark.ops import text as text_ops
+from buildlog_consultant_spark.ops.asof import asof_join
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pyspark.sql import SparkSession
+
+    yield (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+
+
+# ---------------------------------------------------------------------------
+# repetition signals
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_signals_counts(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b a b a"),       # 5 words, 2 distinct;
+                                                    # bigrams: ab ba ab ba → 2 distinct
+            Row(doc_id=2, text="x y z"),            # all unique
+            Row(doc_id=3, text="solo"),             # 1 word → no bigrams
+            Row(doc_id=4, text="   "),              # whitespace-only → 0 words
+        ]
+    )
+    got = {
+        r["doc_id"]: r
+        for r in text_ops.with_repetition_signals(df).collect()
+    }
+    assert got[1]["n_words"] == 5 and got[1]["n_distinct_words"] == 2
+    assert got[1]["n_bigrams"] == 4 and got[1]["n_distinct_bigrams"] == 2
+    assert got[1]["dup_word_pct"] == 60 and got[1]["dup_bigram_pct"] == 50
+    assert got[2]["dup_word_pct"] == 0 and got[2]["n_bigrams"] == 2
+    assert got[3]["n_bigrams"] == 0 and got[3]["dup_bigram_pct"] == 0
+    assert got[4]["n_words"] == 0 and got[4]["dup_word_pct"] == 0
+
+
+def test_filter_repetitive_drops_boilerplate(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="spam spam spam spam spam spam"),
+            Row(doc_id=2, text="a perfectly normal sentence with variety"),
+        ]
+    )
+    kept = text_ops.filter_repetitive(df).select("doc_id").collect()
+    assert [r[0] for r in kept] == [2]
+
+
+# ---------------------------------------------------------------------------
+# contamination
+# ---------------------------------------------------------------------------
+
+
+def test_contamination_finds_planted_overlap(spark):
+    # doc 60 is in the benchmark sample (md5('60') starts '07...'); doc 17
+    # is not (md5('17') starts '70...') — planted to share an 8-gram
+    bench_text = "one two three four five six seven eight nine"
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=60, text=bench_text, lang="en"),
+            Row(doc_id=17, text="zz " + bench_text, lang="en"),
+            Row(doc_id=18, text="alpha beta gamma delta", lang="de"),
+        ]
+    )
+    got = text_ops.contamination_hits(df, n=8).collect()
+    assert len(got) == 1
+    row = got[0]
+    # doc 17's 10 words yield 3 8-grams, of which both of doc 60's grams
+    # ("one..eight" and "two..nine") appear
+    assert row["doc_id"] == 17 and row["lang"] == "en"
+    assert row["n_shared_grams"] == 2
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=f"w{i} x y z a b c d e", lang="en") for i in range(40)]
+    )
+    plan = text_ops.contamination_hits(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+# ---------------------------------------------------------------------------
+# PII scrub
+# ---------------------------------------------------------------------------
+
+
+def test_scrub_pii(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="mail a.b+c@ex-ample.org and 555-123-4567 now"),
+            Row(doc_id=2, text="no pii here 12-34"),
+            Row(doc_id=3, text="two a@b.co b@c.io mails"),
+        ]
+    )
+    got = {r["doc_id"]: r for r in text_ops.scrub_pii(df).collect()}
+    assert got[1]["n_emails"] == 1 and got[1]["n_phones"] == 1
+    assert got[1]["text_scrubbed"] == "mail <EMAIL> and <PHONE> now"
+    assert got[2]["n_emails"] == 0 and got[2]["n_phones"] == 0
+    assert got[2]["text_scrubbed"] == "no pii here 12-34"
+    assert got[3]["n_emails"] == 2
+    assert got[3]["text_scrubbed"] == "two <EMAIL> <EMAIL> mails"
+
+
+# ---------------------------------------------------------------------------
+# as-of join
+# ---------------------------------------------------------------------------
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [Row(event_id=i, user_id=u, ts=ts) for i, u, ts in rows]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_asof_join_basic_and_no_match(spark):
+    left = _events(
+        spark,
+        [(100, 1, "2024-01-01 10:00:00"), (101, 1, "2024-01-01 12:00:00"),
+         (102, 2, "2024-01-01 09:00:00")],
+    )
+    right = _events(
+        spark,
+        [(1, 1, "2024-01-01 09:30:00"), (2, 1, "2024-01-01 11:00:00"),
+         (3, 2, "2024-01-01 09:30:00")],  # AFTER user 2's purchase
+    )
+    got = {r["event_id"]: r for r in asof_join(left, right, on="user_id").collect()}
+    assert got[100]["asof_event_id"] == 1 and got[100]["asof_gap_sec"] == 1800
+    assert got[101]["asof_event_id"] == 2 and got[101]["asof_gap_sec"] == 3600
+    assert got[102]["asof_event_id"] is None and got[102]["asof_gap_sec"] is None
+
+
+def test_asof_join_equal_ts_matches_and_tie_dedup(spark):
+    # equal ts: the right row matches (ts >= semantics); two right rows at
+    # the same (user, ts): greatest event_id wins deterministically
+    left = _events(spark, [(100, 1, "2024-01-01 10:00:00")])
+    right = _events(
+        spark,
+        [(1, 1, "2024-01-01 10:00:00"), (2, 1, "2024-01-01 10:00:00")],
+    )
+    got = asof_join(left, right, on="user_id").collect()
+    assert got[0]["asof_event_id"] == 2 and got[0]["asof_gap_sec"] == 0
+
+
+def test_asof_join_single_shuffle_no_cartesian(spark):
+    left = _events(spark, [(100, 1, "2024-01-01 10:00:00")])
+    right = _events(spark, [(1, 1, "2024-01-01 09:00:00")])
+    plan = (
+        asof_join(left, right, on="user_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
