@@ -19,10 +19,10 @@ half the corpus).
 Tie semantics match DuckDB ``ASOF JOIN ... ON l.k = r.k AND l.ts >= r.ts``:
 a right row with ts equal to the left row's ts DOES match (the right side
 sorts first at equal ts); among right rows sharing (key, ts) the one with
-the greatest id wins deterministically in both engines (the right side is
-deduplicated per (key, ts) before the union — DuckDB's ASOF leaves the
-choice among exact-tie right rows unspecified, so the dedup is what makes
-the operator bit-replayable).
+the greatest id wins deterministically — the window sort ends on the right
+id, so the running ``last()`` lands on the max-id row with NO extra dedup
+pass (DuckDB's ASOF leaves the choice among exact-tie right rows
+unspecified, so the oracle dedupes explicitly to the same winner).
 """
 
 from __future__ import annotations
@@ -47,14 +47,7 @@ def asof_join(
     precedes. ``right_payload`` names extra right columns to carry, each
     surfaced as ``asof_<name>``."""
     payload = [right_id, *right_payload]
-
-    # deterministic dedup of exact-tie right rows: greatest right_id wins
-    w_tie = Window.partitionBy(on, ts_col).orderBy(F.desc(right_id))
-    r = (
-        right.withColumn("_rn", F.row_number().over(w_tie))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    r = right
 
     l_tagged = left.select(
         F.col(on),
@@ -73,10 +66,18 @@ def asof_join(
     unioned = l_tagged.unionByName(r_tagged)
 
     # right rows (_side 0) sort before left rows at equal ts, so an
-    # equal-ts right row is visible to the left row's running last()
+    # equal-ts right row is visible to the left row's running last();
+    # the trailing right-id key makes last() land deterministically on
+    # the greatest right id among exact-(key, ts) ties — no dedup pass,
+    # so the whole operator costs exactly one exchange
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col(ts_col).asc(), F.col("_side").asc(), F.col("_lid").asc())
+        .orderBy(
+            F.col(ts_col).asc(),
+            F.col("_side").asc(),
+            F.col("_lid").asc(),
+            F.col(f"_r_{right_id}").asc(),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(

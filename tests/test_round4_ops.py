@@ -157,9 +157,15 @@ def test_asof_join_equal_ts_matches_and_tie_dedup(spark):
 def test_asof_join_single_shuffle_no_cartesian(spark):
     left = _events(spark, [(100, 1, "2024-01-01 10:00:00")])
     right = _events(spark, [(1, 1, "2024-01-01 09:00:00")])
-    plan = (
-        asof_join(left, right, on="user_id")
-        ._jdf.queryExecution().executedPlan().toString()
-    )
+    df = asof_join(left, right, on="user_id")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # the whole operator costs exactly ONE exchange (the union keyed on
+    # the join key); the tie-dedup rides the same window sort
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange") - final.count("AQEShuffleRead") <= 2  # Exchange + its ShuffleQueryStage line
+    import re
+
+    assert len(re.findall(r"\bExchange hashpartitioning", final)) == 1
