@@ -189,7 +189,13 @@ def main():
         # block — round-3 blocked runs measured the same job at 0.78 and
         # 1.07 depending on which config caught the slow window. Alternating
         # 4N/N per round exposes both configs to the same noise process.
-        n_runs = int(os.environ.get("BLC_BENCH_SCALE_RUNS", "3"))
+        # 4 rounds (was 3): a round-4 invocation caught all three 4N draws
+        # inside one multi-minute steal wave (best 4N 30.0 s vs the 21-29 s
+        # band of seven surrounding invocations) and read 0.747; a fourth
+        # symmetric round costs ~2 min and gives min-of-N one more chance
+        # of a clean draw. Still fixed-count and symmetric - no early exit,
+        # no per-config asymmetry (the ADVICE-r2 bias stays dead).
+        n_runs = int(os.environ.get("BLC_BENCH_SCALE_RUNS", "4"))
         times_4n, times_n = [], []
         for i in range(n_runs):
             times_4n += measure(f"local[{SCALE_4N}]", f"4n{i}", 1)
