@@ -690,6 +690,73 @@ GROUP BY b.event_type
 """
 
 
+def q_streaming_stream_join(spark, sf_dir):
+    """Watermarked stream-stream interval join computed BY THE STREAMING
+    ENGINE: purchases paired with the same user's clicks from the
+    preceding hour (streaming/pipeline.py::streaming_interval_join — the
+    canonical Structured Streaming stream-stream join with bounded state
+    eviction). Two independent file-stream sources over the staged events
+    dir, append-mode memory sink, trigger(availableNow); on bounded input
+    the drained result equals the batch interval join, so the stream-
+    stream join path gets a full rows+schema+hash oracle."""
+    import uuid
+
+    from buildlog_consultant_spark.streaming.pipeline import (
+        streaming_interval_join,
+    )
+
+    stage = _stage_stream_dir(sf_dir, "events")
+    sch = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def side(event_type, id_alias, ts_alias):
+        return (
+            spark.readStream.schema(sch)
+            .parquet(str(stage))
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .where(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(id_alias),
+                "user_id",
+                F.col("ts").alias(ts_alias),
+            )
+        )
+
+    joined = streaming_interval_join(
+        side("purchase", "purchase_id", "p_ts"),
+        side("click", "click_id", "c_ts"),
+        on="user_id",
+        left_ts="p_ts",
+        right_ts="c_ts",
+    )
+    name = f"blc_ssjoin_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        (
+            F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")
+        ).alias("gap_sec"),
+    )
+
+
+ORACLE_STREAMING_STREAM_JOIN = """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+       CAST(floor(epoch(p.ts)) - floor(epoch(c.ts)) AS BIGINT) AS gap_sec
+FROM events p JOIN events c
+  ON p.event_type = 'purchase' AND c.event_type = 'click'
+ AND p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+"""
+
+
 def q_ann_topk(spark, sf_dir):
     emb = _read_adaptive(spark, f"{sf_dir}/embeddings.parquet")
     from pyspark.sql.window import Window
@@ -1791,6 +1858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_tumbling": q_events_tumbling,
         "streaming_event_counts": q_streaming_event_counts,
         "streaming_first_seen": q_streaming_first_seen,
+        "streaming_stream_join": q_streaming_stream_join,
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -1837,6 +1905,7 @@ def oracle_sql(sf_dir: str = None) -> dict[str, str]:
         "events_tumbling": ORACLE_EVENTS_TUMBLING,
         "streaming_event_counts": ORACLE_STREAMING_EVENT_COUNTS,
         "streaming_first_seen": ORACLE_STREAMING_FIRST_SEEN,
+        "streaming_stream_join": ORACLE_STREAMING_STREAM_JOIN,
         "ann_topk": ORACLE_ANN_TOPK,
         "minhash_near_dups": ORACLE_MINHASH,
         "minhash_near_dups_xx": _oracle_minhash_xx(sf_dir),

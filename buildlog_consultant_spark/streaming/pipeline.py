@@ -117,6 +117,45 @@ def streaming_first_seen_min(
     )
 
 
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    lookback: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream INNER interval join: pair each left row
+    with the right rows sharing ``on`` whose timestamp falls in
+    [left.ts - lookback, left.ts] — e.g. purchases joined to the clicks of
+    the preceding hour.
+
+    Both sides carry an event-time watermark and the join condition bounds
+    the time skew, which is exactly what the streaming engine needs to
+    EVICT buffered state: a right row is dropped from the join buffer once
+    the left watermark passes right.ts + lookback, so state is bounded by
+    (arrival rate × (lookback + watermark delay)) per key — this is the
+    standard Structured Streaming stream-stream join contract, not a
+    custom operator. On bounded, time-ordered input drained with
+    trigger(availableNow) the append-mode result equals the batch interval
+    join (the driver oracle).
+
+    Column contract: ``left``/``right`` must already be projected to
+    disjoint column names apart from ``on`` (the right side's key column
+    is renamed internally for the join and dropped after)."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark).withColumnRenamed(
+        on, f"_r_{on}"
+    )
+    cond = (
+        (F.col(on) == F.col(f"_r_{on}"))
+        & (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {lookback}"))
+        & (F.col(right_ts) <= F.col(left_ts))
+    )
+    return lw.join(rw, cond, "inner").drop(f"_r_{on}")
+
+
 def streaming_kind_counts(
     classified: DataFrame,
     window: str = "10 minutes",

@@ -62,6 +62,7 @@ def duck():
         # scale too
         "streaming_event_counts",
         "streaming_first_seen",
+        "streaming_stream_join",
     ],
 )
 def test_golden_oracle_follows_sf_dir(spark, duck, name):

@@ -115,6 +115,88 @@ def test_scrub_pii(spark):
 
 
 # ---------------------------------------------------------------------------
+# stream-stream interval join
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_interval_join_cross_batch_state(spark, tmp_path):
+    """A click arriving in micro-batch 0 must still match a purchase
+    arriving in micro-batch 1 (the join buffers right-side state across
+    triggers until the watermark evicts it)."""
+    import os
+    import time
+    import uuid
+
+    from buildlog_consultant_spark.streaming.pipeline import streaming_interval_join
+
+    sch = "event_id long, user_id long, ts timestamp, event_type string"
+    b0 = spark.createDataFrame(
+        [
+            (1, 7, "2024-01-01 10:00:00", "click"),
+            (2, 7, "2024-01-01 10:20:00", "purchase"),  # in-batch pair (1200s)
+            (3, 7, "2024-01-01 10:30:00", "click"),
+        ],
+        "event_id long, user_id long, ts string, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    b1 = spark.createDataFrame(
+        [(4, 7, "2024-01-01 11:00:00", "purchase")],  # matches click 3 (1800s)
+        "event_id long, user_id long, ts string, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    stage = tmp_path / "stream"
+    stage.mkdir()
+    b0.coalesce(1).write.parquet(str(stage / "b0"))
+    b1.coalesce(1).write.parquet(str(stage / "b1"))
+    # flatten to time-ordered files in one dir (file stream reads a dir)
+    files = []
+    for sub in ("b0", "b1"):
+        (src,) = [p for p in (stage / sub).iterdir() if p.suffix == ".parquet"]
+        dst = stage / f"{sub}.parquet"
+        src.rename(dst)
+        files.append(dst)
+    now = int(time.time())
+    os.utime(files[0], (now - 120, now - 120))
+    os.utime(files[1], (now - 60, now - 60))
+
+    def side(event_type, id_alias, ts_alias):
+        return (
+            spark.readStream.schema(sch)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(str(stage))
+            .where(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(id_alias),
+                "user_id",
+                F.col("ts").alias(ts_alias),
+            )
+        )
+
+    joined = streaming_interval_join(
+        side("purchase", "purchase_id", "p_ts"),
+        side("click", "click_id", "c_ts"),
+        on="user_id",
+        left_ts="p_ts",
+        right_ts="c_ts",
+    )
+    name = f"t_ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["purchase_id"], r["click_id"]) for r in spark.table(name).collect()
+    )
+    # purchase 2 matches click 1 (in-batch); purchase 4 (batch 1) matches
+    # clicks 1 and 3 — click 3 only via state buffered from batch 0
+    assert got == [(2, 1), (4, 1), (4, 3)]
+
+
+# ---------------------------------------------------------------------------
 # as-of join
 # ---------------------------------------------------------------------------
 
