@@ -1676,6 +1676,35 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+def q_tfidf_keywords(spark, sf_dir):
+    """Per-doc top-3 keywords by integer TF-IDF (milli-ratio idf — ln()
+    is not bit-portable across engines, integer arithmetic is; same
+    monotone ranking). Oracle: identical tokenizer + arithmetic in SQL."""
+    return text_ops.tfidf_topk(_docs(spark, sf_dir), k=3)
+
+
+ORACLE_TFIDF_KEYWORDS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(lower(regexp_replace(trim(text, ' '),
+                '[ \t\n\x0b\f\r]+', ' ', 'g')), ' ')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(tf.tf * CAST(floor(1000 * (SELECT COUNT(*) FROM documents) / dfreq.df) AS BIGINT) AS BIGINT) AS score
+  FROM tf JOIN dfreq USING (term)
+)
+SELECT doc_id, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS INT) AS rank,
+       term, score
+FROM scored
+QUALIFY rank <= 3
+"""
+
+
 def q_repetition_signals(spark, sf_dir):
     """Gopher-style repetition quality signals aggregated per lang: word /
     word-bigram duplication totals plus the count of docs the repetition
@@ -1879,6 +1908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "media_meta": q_media_meta,
         "repetition_signals": q_repetition_signals,
+        "tfidf_keywords": q_tfidf_keywords,
         "contamination": q_contamination,
         "pii_scrub": q_pii_scrub,
         "asof_join": q_asof_join,
@@ -1926,6 +1956,7 @@ def oracle_sql(sf_dir: str = None) -> dict[str, str]:
         "embedding_near_dups": _oracle_embedding_near_dups(),
         "media_meta": _oracle_media_meta(),
         "repetition_signals": ORACLE_REPETITION_SIGNALS,
+        "tfidf_keywords": ORACLE_TFIDF_KEYWORDS,
         "contamination": ORACLE_CONTAMINATION,
         "pii_scrub": ORACLE_PII_SCRUB,
         "asof_join": ORACLE_ASOF_JOIN,

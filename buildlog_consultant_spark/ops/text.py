@@ -318,6 +318,51 @@ def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def tfidf_topk(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-k keywords by an integer TF-IDF variant:
+    score = tf × floor(1000 × N / df) — the idf is the plain inverse
+    document frequency as a milli-ratio rather than its logarithm, because
+    ln() is not guaranteed bit-identical across engines (libm differences)
+    while integer arithmetic is; the RANKING this produces is the same
+    monotone-in-(tf, 1/df) ordering tf-idf gives. Ties break (score desc,
+    term asc) for cross-engine determinism. Returns (id, rank, term,
+    score).
+
+    Scale shape: one explode (flat map) → (doc, term, tf) partial+final
+    hash agg keyed on (doc, term); the document-frequency table is a
+    second agg keyed on term (vocab-sized, shuffle carries vocab not
+    tokens); the stats join back is keyed on term (broadcast when the
+    vocab fits, shuffle otherwise — Catalyst/AQE decides from sizes); the
+    final per-doc top-k is a window over each doc's distinct terms."""
+    from pyspark.sql import Window
+
+    toks = F.split(
+        F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")), " "
+    )
+    terms = df.select(F.col(id_col), F.explode(toks).alias("term"))
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    n_docs = df.count()
+    dfreq = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    scored = tf.join(dfreq, "term").select(
+        F.col(id_col),
+        "term",
+        (F.col("tf") * F.floor(F.lit(1000) * n_docs / F.col("df"))).alias(
+            "score"
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, F.col("rank").cast("int").alias("rank"), "term", "score")
+    )
+
+
 def doc_stats(df: DataFrame) -> DataFrame:
     """Per-lang corpus stats — all-integer outputs for exact oracle parity."""
     d = with_token_count(df)

@@ -114,6 +114,27 @@ def test_scrub_pii(spark):
     assert got[3]["text_scrubbed"] == "two <EMAIL> <EMAIL> mails"
 
 
+def test_tfidf_topk_ranking(spark):
+    # "rare" appears twice in doc 1 only (tf=2, df=1 → score 2*3000);
+    # "common" is in all three docs (idf ratio 1 → score 1000·tf)
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="rare rare common alpha"),
+            Row(doc_id=2, text="common beta"),
+            Row(doc_id=3, text="common gamma"),
+        ]
+    )
+    got = text_ops.tfidf_topk(df, k=2).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["term"], r["score"]))
+    assert by_doc[1][0] == (1, "rare", 6000)
+    assert by_doc[1][1] == (2, "alpha", 3000)
+    # doc 2: beta (df=1, 3000) outranks common (df=3, 1000)
+    assert by_doc[2][0] == (1, "beta", 3000)
+    assert by_doc[2][1] == (2, "common", 1000)
+
+
 # ---------------------------------------------------------------------------
 # stream-stream interval join
 # ---------------------------------------------------------------------------
