@@ -169,7 +169,12 @@ def with_repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     Scale shape: everything is per-row map-side (split / array_distinct /
     a size-bounded transform over the words array) — no shuffle, no
-    Python; prunes to the text column at scan."""
+    Python; prunes to the text column at scan. The bigram transform is an
+    interpreted HOF, but that is the scale-right trade here: the
+    explode→agg alternative shuffles every corpus bigram, while this stays
+    a linear per-row map (≈ doc length); if the interpreted constant ever
+    dominates a profile, the same loop drops into a numpy Arrow kernel the
+    way the simhash votes did (ops/dedup.py)."""
     t = F.trim(F.col(text_col))
     words = F.split(F.lower(F.regexp_replace(t, r"\s+", " ")), " ")
     words_col = F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
@@ -346,14 +351,21 @@ def tfidf_topk(
     )
     terms = df.select(F.col(id_col), F.explode(toks).alias("term"))
     tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    n_docs = df.count()
+    # corpus size as a broadcast 1-row frame, not df.count(): keeps the
+    # operator lazy (no driver action at plan-build time) and folds the
+    # count into the same job as the scoring pass
+    n_docs = F.broadcast(df.agg(F.count("*").alias("_n")))
     dfreq = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
-    scored = tf.join(dfreq, "term").select(
-        F.col(id_col),
-        "term",
-        (F.col("tf") * F.floor(F.lit(1000) * n_docs / F.col("df"))).alias(
-            "score"
-        ),
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(n_docs)
+        .select(
+            F.col(id_col),
+            "term",
+            (
+                F.col("tf") * F.floor(F.lit(1000) * F.col("_n") / F.col("df"))
+            ).alias("score"),
+        )
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
     return (

@@ -114,6 +114,37 @@ def test_scrub_pii(spark):
     assert got[3]["text_scrubbed"] == "two <EMAIL> <EMAIL> mails"
 
 
+def test_bucketed_join_elides_shuffle(spark):
+    """Pre-bucketed tables co-locate the join: both sides bucketed by the
+    join key into the same bucket count join with NO Exchange — the
+    strategy SURVEY §2b names for repeated big-big joins at crawl scale
+    (bucket once at write time, every later join skips its shuffle)."""
+    spark.sql("DROP TABLE IF EXISTS t_bucket_a")
+    spark.sql("DROP TABLE IF EXISTS t_bucket_b")
+    a = spark.range(1000).withColumnRenamed("id", "k").withColumn(
+        "va", F.col("k") * 2
+    )
+    b = spark.range(1000).withColumnRenamed("id", "k").withColumn(
+        "vb", F.col("k") + 1
+    )
+    a.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("t_bucket_a")
+    b.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("t_bucket_b")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the big-big (sort-merge) path: broadcast would trivially
+        # skip the shuffle for this small fixture
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("t_bucket_a").join(spark.table("t_bucket_b"), "k")
+        assert j.count() == 1000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_bucket_a")
+        spark.sql("DROP TABLE IF EXISTS t_bucket_b")
+
+
 def test_tfidf_topk_ranking(spark):
     # "rare" appears twice in doc 1 only (tf=2, df=1 → score 2*3000);
     # "common" is in all three docs (idf ratio 1 → score 1000·tf)
