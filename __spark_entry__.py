@@ -558,6 +558,29 @@ def _stage_stream_dir(sf_dir: str, table: str) -> Path:
     return stage
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _stream_state_partitions(spark, n: int = 8):
+    """Pin spark.sql.shuffle.partitions for the duration of a streaming
+    query start/drain. For STREAMING queries this conf sizes the state
+    store (one store instance per partition per stateful operator, fixed
+    for the checkpoint's lifetime) — and per-store fixed overhead
+    dominates when stores outnumber the data: the stream-stream join over
+    the 10k-event test corpus runs 10.9 s with the batch default of 32
+    state partitions and 3.7 s with 8 (measured, min-of-2 warm). On a real
+    cluster you size this to stream volume at first start, exactly like
+    choosing shuffle parallelism; restoring the old value immediately
+    after keeps every batch query on the session default."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def q_streaming_event_counts(spark, sf_dir):
     """Tumbling-window per-type counts computed BY THE STREAMING ENGINE:
     file-stream over the events parquet directory, watermarked windowed
@@ -581,14 +604,15 @@ def q_streaming_event_counts(spark, sf_dir):
         .agg(F.count("*").alias("n"))
     )
     name = f"blc_stream_counts_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select(
         F.col("event_type"),
         F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
@@ -664,15 +688,16 @@ def q_streaming_first_seen(spark, sf_dir):
     )
     out = streaming_first_seen_min(stream, "event_type", "event_id")
     name = f"blc_first_seen_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="blc_fs_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_partitions(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="blc_fs_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -729,14 +754,15 @@ def q_streaming_stream_join(spark, sf_dir):
         right_ts="c_ts",
     )
     name = f"blc_ssjoin_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_partitions(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select(
         "purchase_id",
         "click_id",

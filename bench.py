@@ -95,14 +95,23 @@ def timed_pipeline(spark, pages_path: str, out_dir: str, use_gate: bool = True) 
     }
 
 
-def run_queries(spark, sf_dir: str) -> dict:
+def run_queries(spark, sf_dir: str, reps: int = 2) -> dict:
+    """min-of-reps per query: a single draw is hostage to the VM's
+    multi-minute steal waves (one recorded run read minhash_xx at 20 s vs
+    its 2.9-3.9 s warm band); two draws cost ~1 min total at sf0.1 and the
+    min is the honest estimator for a fixed workload (noise only ever
+    slows a run down). Symmetric across queries - no adaptive resampling."""
     import __spark_entry__ as entry_mod
 
     out = {}
     for name, fn in entry_mod.queries().items():
-        t0 = time.time()
-        fn(spark, sf_dir).collect()
-        out[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(reps):
+            t0 = time.time()
+            fn(spark, sf_dir).collect()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        out[name] = round(best, 3)
     return out
 
 
