@@ -268,7 +268,14 @@ def _read_adaptive(spark: SparkSession, path: str) -> DataFrame:
             sizes.append(os.path.getsize(u.path))
         total = sum(sizes) + open_cost * len(files)
         max_split = min(mpb, max(open_cost, total // max(par, 1) + 1))
-        est_parts = math.ceil(total / max_split) if total else 1
+        # the packing estimate ceil(total/max_split) alone overcounts:
+        # open-cost padding inflates `total`, but a FILE never yields more
+        # partitions than its own splits (one 0.57 MB file is ONE scan
+        # partition however much open cost is added) — so cap by the real
+        # split count or a small single file at low parallelism would
+        # skip the repartition this function exists to apply
+        n_splits = sum(math.ceil(max(sz, 1) / max_split) for sz in sizes)
+        est_parts = min(math.ceil(total / max_split), n_splits) if total else 1
     except OSError:
         est_parts = len(files)
     if est_parts < par:
@@ -638,7 +645,13 @@ def _stage_two_batch_events(sf_dir: str) -> Path:
     import pyarrow.parquet as pq
 
     src = os.path.abspath(f"{sf_dir.rstrip('/')}/events.parquet")
-    key = hashlib.md5(src.encode()).hexdigest()[:12]
+    # key on (path, mtime, size) so a regenerated source file re-stages —
+    # a path-only key would silently stream stale batch copies while the
+    # SQL oracle reads the fresh table
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{src}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
     stage = _CACHE_DIR / f"stream_events2b_{key}"
     done = stage / "_done"
     if not done.exists():

@@ -47,21 +47,37 @@ def asof_join(
     precedes. ``right_payload`` names extra right columns to carry, each
     surfaced as ``asof_<name>``."""
     payload = [right_id, *right_payload]
-    r = right
 
+    # NULL-key rows never match (equality-join semantics: DuckDB ASOF's
+    # l.k = r.k is NULL-rejecting, while a window partition would group
+    # NULL keys together); NULL-key left rows are kept with NULL match
+    # columns since their partition carries no right rows.
+    # The right payload travels as ONE struct so every output row's
+    # payload columns come from the SAME matched right row - per-column
+    # last(ignorenulls) would skip a matched row's NULL payload value and
+    # smear in an older row's.
+    struct_type = (
+        "struct<"
+        + ", ".join(
+            f"{c}: {right.schema[c].dataType.simpleString()}" for c in payload
+        )
+        + f", ts: {right.schema[ts_col].dataType.simpleString()}>"
+    )
     l_tagged = left.select(
         F.col(on),
         F.col(ts_col),
         F.lit(1).alias("_side"),
         F.col(left_id).alias("_lid"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in payload],
+        F.lit(None).cast(struct_type).alias("_r"),
     )
-    r_tagged = r.select(
+    r_tagged = right.where(F.col(on).isNotNull()).select(
         F.col(on),
         F.col(ts_col),
         F.lit(0).alias("_side"),
         F.lit(None).cast(left.schema[left_id].dataType).alias("_lid"),
-        *[F.col(c).alias(f"_r_{c}") for c in payload],
+        F.struct(
+            *[F.col(c) for c in payload], F.col(ts_col).alias("ts")
+        ).alias("_r"),
     )
     unioned = l_tagged.unionByName(r_tagged)
 
@@ -76,27 +92,21 @@ def asof_join(
             F.col(ts_col).asc(),
             F.col("_side").asc(),
             F.col("_lid").asc(),
-            F.col(f"_r_{right_id}").asc(),
+            F.col(f"_r.{right_id}").asc(),
         )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
         "*",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
-            for c in payload
-        ],
-        F.last(
-            F.when(F.col("_side") == 0, F.col(ts_col)), ignorenulls=True
-        ).over(w).alias("_asof_ts"),
+        F.last("_r", ignorenulls=True).over(w).alias("_m"),
     )
     matched = carried.where(F.col("_side") == 1).select(
         F.col("_lid").alias(left_id),
         F.col(on),
-        *[F.col(f"asof_{c}") for c in payload],
+        *[F.col(f"_m.{c}").alias(f"asof_{c}") for c in payload],
         (
             F.unix_timestamp(F.col(ts_col).cast("timestamp"))
-            - F.unix_timestamp(F.col("_asof_ts").cast("timestamp"))
+            - F.unix_timestamp(F.col("_m.ts").cast("timestamp"))
         ).alias("asof_gap_sec"),
     )
     # rejoin the remaining left columns by left_id only if callers need

@@ -239,11 +239,28 @@ def decode_png(data: bytes) -> Optional[dict]:
     if width is None or width <= 0 or height <= 0:
         return None
     out = {"width": int(width), "height": int(height)}
-    if bitdepth == 8 and colortype == 2 and interlace == 0 and idat:
+    # pixel decode is bounded by the DECLARED dimensions, never by what
+    # the stream inflates to: a crafted IHDR (50000×50000) or an IDAT
+    # zlib bomb on crawl data must not OOM the executor — dims above the
+    # cap keep header-level metadata only, and the inflate is told the
+    # exact expected byte count (decompress's max_length) so a bomb stops
+    # at the declared size instead of expanding to gigabytes
+    _MAX_DECODE_PIXELS = 16 * 1024 * 1024  # 48 MB of RGB + filter bytes
+    if (
+        bitdepth == 8
+        and colortype == 2
+        and interlace == 0
+        and idat
+        and width * height <= _MAX_DECODE_PIXELS
+    ):
         import zlib
 
+        expected = height * (width * 3 + 1)
         try:
-            raw = zlib.decompress(idat)
+            d = zlib.decompressobj()
+            raw = d.decompress(idat, expected)
+            if d.unconsumed_tail or len(raw) < expected:
+                return out  # stream longer or shorter than IHDR declares
         except zlib.error:
             return out
         px = _png_defilter(raw, width, height)

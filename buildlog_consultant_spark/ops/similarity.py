@@ -76,11 +76,13 @@ def _rows_matrix(vals: list) -> np.ndarray:
 
 def _cosine_pairs_udf():
     """Vectorized Arrow UDF: (array<double>, array<double>) → cosine,
-    bit-exact with _dot(a,b)/(_norm(a)*_norm(b)). NULL on either side →
-    NULL, and length-mismatched pairs → NULL (zip_with pads the shorter
-    array with nulls, which nulls the HOF fold) — the reference fold's
-    null semantics exactly. Same-length groups are batched per length so
-    mixed-dim corpora still vectorize."""
+    bit-exact with _dot(a,b)/(_norm(a)*_norm(b)) on every defined input.
+    NULL on either side → NULL, and length-mismatched pairs → NULL
+    (zip_with pads the shorter array with nulls, which nulls the HOF
+    fold) — the reference fold's null semantics exactly. Zero-norm
+    vectors → NULL (see the inline note: the ANSI HOF would throw).
+    Same-length groups are batched per length so mixed-dim corpora still
+    vectorize."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -99,8 +101,18 @@ def _cosine_pairs_udf():
             dots = _ltr_sum(ma * mb)
             na = np.sqrt(_ltr_sum(ma * ma))
             nb = np.sqrt(_ltr_sum(mb * mb))
-            vals[idx] = dots / (na * nb)
-            nulls[idx] = False
+            denom = na * nb
+            ok = denom != 0.0
+            # zero-norm vectors → NULL (the try_divide contract), never
+            # NaN and never an error: NaN compares greater than any
+            # double (it would PASS >= threshold filters and sort FIRST
+            # in top-k), and Spark 4's default ANSI mode makes the raw
+            # HOF division THROW divideByZeroError — one zero vector in
+            # a crawl must not kill the job (pinned in test_round4_ops)
+            res = np.full(len(idx), np.nan)
+            np.divide(dots, denom, out=res, where=ok)
+            vals[idx] = res
+            nulls[idx] = ~ok
         if nulls.any():
             return pd.Series(
                 [None if m else float(v) for m, v in zip(nulls, vals)], dtype=object
@@ -162,10 +174,14 @@ def _bucket_udf(n_planes: int, dim: int, seed: int):
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    # built once per UDF construction and shipped in the closure (a few
+    # KB) — rebuilding inside the body would re-run the n_planes×dim
+    # interpreted plane_component loop on every Arrow batch
+    planes = plane_matrix(n_planes, dim, seed)
+    weights = np.int64(1) << np.arange(n_planes, dtype=np.int64)
+
     def bucket(vs):
         vlist = vs.values
-        planes = plane_matrix(n_planes, dim, seed)
-        weights = np.int64(1) << np.arange(n_planes, dtype=np.int64)
         out = np.zeros(len(vlist), dtype=np.int64)
         idx = [i for i, v in enumerate(vlist) if v is not None and len(v) == dim]
         step = _kernel_chunk(n_planes * dim)

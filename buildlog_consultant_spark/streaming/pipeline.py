@@ -90,6 +90,11 @@ def streaming_first_seen_min(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_col = f"first_{val_col}"
+    # output schema derived from the stream's actual column types — a
+    # hardcoded "string, long" would corrupt or reject non-string keys /
+    # non-long values despite the operator being the generalized variant
+    key_t = stream.schema[key_col].dataType.simpleString()
+    val_t = stream.schema[val_col].dataType.simpleString()
 
     def first_seen(key, pdfs, state: GroupState):
         if state.exists:
@@ -109,7 +114,7 @@ def streaming_first_seen_min(
         .groupBy(key_col)
         .applyInPandasWithState(
             first_seen,
-            outputStructType=f"{key_col} string, {out_col} long",
+            outputStructType=f"{key_col} {key_t}, {out_col} {val_t}",
             stateStructType="seen boolean",
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,

@@ -114,6 +114,86 @@ def test_scrub_pii(spark):
     assert got[3]["text_scrubbed"] == "two <EMAIL> <EMAIL> mails"
 
 
+def test_decode_png_bounded_against_crafted_headers():
+    """A crafted IHDR (huge declared dims) or an IDAT zlib bomb must cost
+    header-level work only — never an unbounded allocate/inflate."""
+    import struct
+    import zlib
+
+    from buildlog_consultant_spark.ops.multimodal import PNG_SIG, decode_png
+
+    def chunk(typ, body):
+        return (
+            struct.pack(">I", len(body))
+            + typ
+            + body
+            + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+        )
+
+    # 50000×50000 declared: decode must return dims only, instantly
+    ihdr = struct.pack(">IIBBBBB", 50000, 50000, 8, 2, 0, 0, 0)
+    bomb_payload = zlib.compress(b"\x00" * 10_000_000)  # ~10 KB compressed
+    png = (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", bomb_payload)
+        + chunk(b"IEND", b"")
+    )
+    out = decode_png(png)
+    assert out == {"width": 50000, "height": 50000}
+
+    # small declared dims with an over-inflating IDAT: inflate stops at
+    # the declared byte count and the pixel stats are refused
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    png = (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", bomb_payload)
+        + chunk(b"IEND", b"")
+    )
+    out = decode_png(png)
+    assert out == {"width": 4, "height": 4}
+
+
+def test_cosine_kernel_zero_norm_is_null(spark):
+    """Zero-norm vectors must yield NULL from the cosine kernel — never
+    NaN (NaN compares greater than any double, so it would PASS >=
+    threshold filters and sort FIRST in top-k) and never an error: under
+    Spark 4's default ANSI mode the raw HOF division THROWS
+    divideByZeroError, which would kill a whole crawl job on one zero
+    vector. The kernel's NULL is the deliberate operator contract
+    (equivalent to try_divide); HOF parity holds on all non-zero-norm
+    inputs."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    from buildlog_consultant_spark.ops.similarity import (
+        _cosine_pairs_udf,
+        _dot,
+        _norm,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.0, 0.0], [1.0, 2.0]),
+            (2, [1.0, 1.0], [1.0, 2.0]),
+        ],
+        "id long, va array<double>, vb array<double>",
+    )
+    cos = _cosine_pairs_udf()
+    kernel = {
+        r["id"]: r["c"] for r in df.select("id", cos("va", "vb").alias("c")).collect()
+    }
+    assert kernel[1] is None
+    hof_expr = _dot(F.col("va"), F.col("vb")) / (
+        _norm(F.col("va")) * _norm(F.col("vb"))
+    )
+    with _pytest.raises((Py4JJavaError, Exception)):
+        df.select(hof_expr.alias("c")).collect()  # ANSI: divide-by-zero throws
+    hof2 = df.where("id = 2").select(hof_expr.alias("c")).collect()[0]["c"]
+    assert kernel[2] == hof2
+
+
 def test_bucketed_join_elides_shuffle(spark):
     """Pre-bucketed tables co-locate the join: both sides bucketed by the
     join key into the same bucket count join with NO Exchange — the
@@ -286,6 +366,38 @@ def test_asof_join_equal_ts_matches_and_tie_dedup(spark):
     )
     got = asof_join(left, right, on="user_id").collect()
     assert got[0]["asof_event_id"] == 2 and got[0]["asof_gap_sec"] == 0
+
+
+def test_asof_join_null_payload_not_smeared(spark):
+    # matched right row carries a NULL payload value: the output must keep
+    # that NULL, not smear in an older right row's non-null value
+    left = _events(spark, [(100, 1, "2024-01-01 12:00:00")])
+    right = spark.createDataFrame(
+        [
+            Row(event_id=1, user_id=1, ts="2024-01-01 09:00:00", props="x"),
+            Row(event_id=2, user_id=1, ts="2024-01-01 11:00:00", props=None),
+        ]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = asof_join(
+        left, right, on="user_id", right_payload=("props",)
+    ).collect()
+    assert got[0]["asof_event_id"] == 2
+    assert got[0]["asof_props"] is None
+
+
+def test_asof_join_null_keys_never_match(spark):
+    sch = "event_id long, user_id long, ts string"
+    left = spark.createDataFrame(
+        [(100, None, "2024-01-01 12:00:00")], sch
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, None, "2024-01-01 09:00:00")], sch
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = asof_join(left, right, on="user_id").collect()
+    # equality-join semantics: NULL keys never match; the left row
+    # survives with NULL match columns
+    assert len(got) == 1
+    assert got[0]["asof_event_id"] is None and got[0]["asof_gap_sec"] is None
 
 
 def test_asof_join_single_shuffle_no_cartesian(spark):
