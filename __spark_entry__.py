@@ -796,6 +796,47 @@ FROM events p JOIN events c
 """
 
 
+def q_streaming_dedup(spark, sf_dir):
+    """Streaming exact dedup of the documents table BY THE STREAMING
+    ENGINE: file stream → dropDuplicates on (lang, md5(text)) → append
+    memory sink, then a batch per-lang count over the drained survivors.
+    Which physical row survives a within-batch tie is engine-internal, so
+    the query only emits the deterministic projection — the count per
+    lang of kept rows, whose key includes lang — which equals the batch
+    COUNT(DISTINCT md5(text)) per lang."""
+    import uuid
+
+    from buildlog_consultant_spark.streaming.pipeline import streaming_dedup
+
+    stage = _stage_stream_dir(sf_dir, "documents")
+    sch = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(sch)
+        .parquet(str(stage))
+        .withColumn("text_md5", F.md5("text"))
+    )
+    kept = streaming_dedup(stream, ("lang", "text_md5"))
+    name = f"blc_sdedup_{uuid.uuid4().hex[:8]}"
+    with _stream_state_partitions(spark):
+        q = (
+            kept.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name).groupBy("lang").agg(
+        F.count("*").alias("n_distinct_texts")
+    )
+
+
+ORACLE_STREAMING_DEDUP = """
+SELECT lang, COUNT(DISTINCT md5(text)) AS n_distinct_texts
+FROM documents GROUP BY lang
+"""
+
+
 def q_ann_topk(spark, sf_dir):
     emb = _read_adaptive(spark, f"{sf_dir}/embeddings.parquet")
     from pyspark.sql.window import Window
@@ -1927,6 +1968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_event_counts": q_streaming_event_counts,
         "streaming_first_seen": q_streaming_first_seen,
         "streaming_stream_join": q_streaming_stream_join,
+        "streaming_dedup": q_streaming_dedup,
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -1975,6 +2017,7 @@ def oracle_sql(sf_dir: str = None) -> dict[str, str]:
         "streaming_event_counts": ORACLE_STREAMING_EVENT_COUNTS,
         "streaming_first_seen": ORACLE_STREAMING_FIRST_SEEN,
         "streaming_stream_join": ORACLE_STREAMING_STREAM_JOIN,
+        "streaming_dedup": ORACLE_STREAMING_DEDUP,
         "ann_topk": ORACLE_ANN_TOPK,
         "minhash_near_dups": ORACLE_MINHASH,
         "minhash_near_dups_xx": _oracle_minhash_xx(sf_dir),

@@ -161,6 +161,26 @@ def streaming_interval_join(
     return lw.join(rw, cond, "inner").drop(f"_r_{on}")
 
 
+def streaming_dedup(
+    stream: DataFrame, key_cols: tuple, watermark_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first-arriving row per key across
+    micro-batches (Structured Streaming's dropDuplicates — state = one
+    entry per distinct key). With ``watermark_col`` set, the watermark
+    bounds state: keys older than the delay are evicted, the
+    dedup-within-allowed-lateness contract a crawl ingest uses
+    (``dropDuplicatesWithinWatermark`` semantics via the event-time
+    column in the key). Without it, state grows with distinct keys —
+    right for bounded drains and keyed-by-content-hash corpora where the
+    distinct count IS the output size."""
+    d = stream
+    if watermark_col is not None:
+        d = d.withWatermark(watermark_col, watermark)
+        return d.dropDuplicatesWithinWatermark(list(key_cols))
+    return d.dropDuplicates(list(key_cols))
+
+
 def streaming_kind_counts(
     classified: DataFrame,
     window: str = "10 minutes",

@@ -63,6 +63,7 @@ def duck():
         "streaming_event_counts",
         "streaming_first_seen",
         "streaming_stream_join",
+        "streaming_dedup",
     ],
 )
 def test_golden_oracle_follows_sf_dir(spark, duck, name):

@@ -328,6 +328,54 @@ def test_streaming_interval_join_cross_batch_state(spark, tmp_path):
     assert got == [(2, 1), (4, 1), (4, 3)]
 
 
+def test_streaming_dedup_cross_batch_state(spark, tmp_path):
+    """A key seen in micro-batch 0 must be suppressed when it reappears in
+    micro-batch 1 — dropDuplicates state persists across triggers."""
+    import os
+    import time
+    import uuid
+
+    from buildlog_consultant_spark.streaming.pipeline import streaming_dedup
+
+    sch = "id long, k string"
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], sch)
+    b1 = spark.createDataFrame([(3, "a"), (4, "c")], sch)  # "a" is a dup
+    stage = tmp_path / "stream"
+    stage.mkdir()
+    b0.coalesce(1).write.parquet(str(stage / "b0"))
+    b1.coalesce(1).write.parquet(str(stage / "b1"))
+    files = []
+    for sub in ("b0", "b1"):
+        (src,) = [p for p in (stage / sub).iterdir() if p.suffix == ".parquet"]
+        dst = stage / f"{sub}.parquet"
+        src.rename(dst)
+        files.append(dst)
+    now = int(time.time())
+    os.utime(files[0], (now - 120, now - 120))
+    os.utime(files[1], (now - 60, now - 60))
+
+    stream = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(stage))
+    )
+    kept = streaming_dedup(stream, ("k",))
+    name = f"t_sdd_{uuid.uuid4().hex[:8]}"
+    q = (
+        kept.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted((r["id"], r["k"]) for r in spark.table(name).collect())
+    # batch-0 rows kept; batch-1's "a" suppressed by cross-batch state
+    assert got == [(1, "a"), (2, "b"), (4, "c")]
+
+
 # ---------------------------------------------------------------------------
 # as-of join
 # ---------------------------------------------------------------------------
