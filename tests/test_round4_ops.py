@@ -114,6 +114,21 @@ def test_scrub_pii(spark):
     assert got[3]["text_scrubbed"] == "two <EMAIL> <EMAIL> mails"
 
 
+def test_read_adaptive_repartitions_small_single_file(spark, tmp_path):
+    """A single small parquet file is ONE scan partition however much
+    open-cost padding the size estimate adds — _read_adaptive must still
+    repartition it up to the session parallelism (the round-4 estimate
+    capped by real split count; the padded packing formula alone skipped
+    this at low parallelism)."""
+    import __spark_entry__ as entry
+
+    p = str(tmp_path / "small.parquet")
+    spark.range(1000).coalesce(1).write.parquet(p)
+    df = entry._read_adaptive(spark, p)
+    par = spark.sparkContext.defaultParallelism
+    assert df.rdd.getNumPartitions() >= min(par, 2)
+
+
 def test_decode_png_bounded_against_crafted_headers():
     """A crafted IHDR (huge declared dims) or an IDAT zlib bomb must cost
     header-level work only — never an unbounded allocate/inflate."""
