@@ -1785,6 +1785,70 @@ QUALIFY rank <= 3
 """
 
 
+def q_quality_quantiles(spark, sf_dir):
+    """Per-lang quality p25/p50/p75/p95 as exact nearest-rank order
+    statistics (approx_percentile sketches differ across engines;
+    discrete ranks are bit-portable)."""
+    return text_ops.quality_quantiles(_docs(spark, sf_dir))
+
+
+ORACLE_QUALITY_QUANTILES = """
+WITH scored AS (
+  SELECT lang, doc_id, 50
+     + LEAST(50, CAST(floor(length(text) / 20.0) AS BIGINT))
+     - LEAST(25, CAST(floor((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) ) * 100.0 / GREATEST(length(text), 1)) AS BIGINT))
+     - LEAST(25, CAST(floor((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) ) * 100.0 / GREATEST(length(text), 1)) AS BIGINT))
+     AS quality
+  FROM documents
+), ranked AS (
+  SELECT lang, quality,
+         row_number() OVER (PARTITION BY lang ORDER BY quality, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM scored
+)
+SELECT lang, CAST(p AS INT) AS p, quality
+FROM ranked, (VALUES (25), (50), (75), (95)) t(p)
+WHERE rn = (p * n + 99) // 100
+"""
+
+
+def q_ann_topk_int8(spark, sf_dir):
+    """Quantized first-pass ANN: int8-range scalar quantization (per-
+    vector max-abs scale) + exact INTEGER dot-product top-k — the 4×-
+    compressed scorer of a crawl-scale vector store. Integer scores are
+    hash-stable by construction; oracle replays the quantization
+    (floor((x*127.0)/max_abs), exact double ops) and the dot in SQL."""
+    emb = _read_adaptive(spark, f"{sf_dir}/embeddings.parquet")
+    return sim_ops.ann_topk_int8(emb, query_vec_id=0, k=10)
+
+
+ORACLE_ANN_TOPK_INT8 = """
+WITH vd AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), qc AS (
+  SELECT vec_id,
+         CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0
+              THEN list_transform(v, x -> 0)
+              ELSE list_transform(v, x -> CAST(floor((x * 127.0) /
+                   list_max(list_transform(v, y -> abs(y)))) AS INT))
+         END AS codes
+  FROM vd
+), qq AS (
+  SELECT codes AS qcodes FROM qc WHERE vec_id = 0
+), scored AS (
+  SELECT qc.vec_id,
+         CAST(list_sum(list_transform(range(1, 65),
+              i -> CAST(qc.codes[i] AS BIGINT) * qq.qcodes[i])) AS BIGINT) AS qdot
+  FROM qc, qq WHERE qc.vec_id <> 0
+)
+SELECT CAST(row_number() OVER (ORDER BY qdot DESC, vec_id ASC) AS INT) AS rank,
+       vec_id, qdot
+FROM scored
+QUALIFY rank <= 10
+"""
+
+
 def q_repetition_signals(spark, sf_dir):
     """Gopher-style repetition quality signals aggregated per lang: word /
     word-bigram duplication totals plus the count of docs the repetition
@@ -1990,6 +2054,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta": q_media_meta,
         "repetition_signals": q_repetition_signals,
         "tfidf_keywords": q_tfidf_keywords,
+        "ann_topk_int8": q_ann_topk_int8,
+        "quality_quantiles": q_quality_quantiles,
         "contamination": q_contamination,
         "pii_scrub": q_pii_scrub,
         "asof_join": q_asof_join,
@@ -2039,6 +2105,8 @@ def oracle_sql(sf_dir: str = None) -> dict[str, str]:
         "media_meta": _oracle_media_meta(),
         "repetition_signals": ORACLE_REPETITION_SIGNALS,
         "tfidf_keywords": ORACLE_TFIDF_KEYWORDS,
+        "ann_topk_int8": ORACLE_ANN_TOPK_INT8,
+        "quality_quantiles": ORACLE_QUALITY_QUANTILES,
         "contamination": ORACLE_CONTAMINATION,
         "pii_scrub": ORACLE_PII_SCRUB,
         "asof_join": ORACLE_ASOF_JOIN,

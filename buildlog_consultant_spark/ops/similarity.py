@@ -457,6 +457,97 @@ def deterministic_pivot_ids(
     return [r[0] for r in rows]
 
 
+def _quantize_udf(dim: int):
+    """Vectorized Arrow UDF: embedding array<double> → int8-style codes
+    (array<int>, values in [-127, 127]) with per-vector max-abs scaling:
+    q_i = floor((v_i * 127.0) / max_abs). All-zero vectors quantize to
+    all-zero codes (no divide). Every step is an exact double op (abs,
+    max, one multiply, one divide, floor) so an off-Spark oracle replays
+    the codes bit-identically."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def quant(vs):
+        vals = vs.values
+        out = []
+        for v in vals:
+            if v is None or len(v) != dim:
+                out.append(None)
+                continue
+            a = np.asarray(v, dtype=np.float64)
+            m = np.abs(a).max() if len(a) else 0.0
+            if m == 0.0:
+                out.append(np.zeros(len(a), dtype=np.int32))
+            else:
+                out.append(np.floor((a * 127.0) / m).astype(np.int32))
+        return pd.Series(out)
+
+    quant.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    return pandas_udf(quant, "array<int>")
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Scalar (int8-range) quantization of the embedding column — the
+    standard 4× memory/IO compression for a crawl-scale vector store
+    (float32 → int8 codes + an implicit per-vector scale). Returns
+    (id, qcodes: array<int>). Map-side kernel, no shuffle; deterministic
+    and engine-replayable (see _quantize_udf)."""
+    v = F.col(vec_col).cast("array<double>")
+    q = _quantize_udf(dim)
+    return df.select(F.col(id_col), q(v).alias("qcodes"))
+
+
+def ann_topk_int8(
+    df: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k by INTEGER dot product over int8-quantized codes
+    — the cheap first-pass scorer of a quantized vector store (exact
+    integer arithmetic: no float summation-order concerns at all, so the
+    score itself is hash-stable and the oracle is plain SQL). Returns
+    (rank, vec_id, qdot); ties rank by lowest id. At crawl scale the
+    quantized scan reads a quarter of the bytes and the integer dot
+    vectorizes; re-rank the top candidates with the exact float cosine
+    when recall matters (cosine_topk over the survivors)."""
+    from pyspark.sql import Window
+
+    codes = quantize_embeddings(df, id_col, vec_col, dim)
+    qrow = codes.where(F.col(id_col) == query_vec_id).select(
+        F.col("qcodes").alias("qq")
+    )
+    # integer zip-dot: element products summed as longs — exact, so a HOF
+    # fold is fine here (no rounding to match; and the arrays are int)
+    qdot = F.aggregate(
+        F.zip_with(
+            F.col("qcodes"),
+            F.col("qq"),
+            lambda a, b: (a.cast("long") * b.cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        codes.where(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(qrow))
+        .select(F.col(id_col), qdot.alias("qdot"))
+    )
+    w = Window.orderBy(F.desc("qdot"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col("rank").cast("int").alias("rank"), id_col, "qdot")
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     threshold: float = 0.45,

@@ -375,6 +375,43 @@ def tfidf_topk(
     )
 
 
+def quality_quantiles(
+    df: DataFrame, ps: tuple = (25, 50, 75, 95), text_col: str = "text"
+) -> DataFrame:
+    """Per-lang quality-score quantiles as EXACT order statistics
+    (nearest-rank: the value at rank ceil(p·n/100) under (quality, doc_id)
+    order) — approx_percentile sketches differ across engines, discrete
+    ranks are bit-portable, and the value at a rank is tie-order-
+    independent. Returns (lang, p, quality).
+
+    Scale shape: one shuffle keyed on lang for the rank window (same key
+    as the aggregate a stats pass already does); the quantile filter is a
+    map-side predicate over the ranked rows."""
+    from pyspark.sql import Window
+
+    d = with_quality_score(df, text_col)
+    w = Window.partitionBy("lang").orderBy("quality", "doc_id")
+    wn = Window.partitionBy("lang")
+    ranked = d.select(
+        "lang",
+        "quality",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    return (
+        ranked.select(
+            "lang",
+            "quality",
+            "rn",
+            "n",
+            F.explode(F.array(*[F.lit(p) for p in ps])).alias("p"),
+        )
+        # nearest-rank index ceil(p*n/100) in pure integer arithmetic
+        .where(F.col("rn") == F.floor((F.col("p") * F.col("n") + 99) / 100))
+        .select("lang", F.col("p").cast("int").alias("p"), "quality")
+    )
+
+
 def doc_stats(df: DataFrame) -> DataFrame:
     """Per-lang corpus stats — all-integer outputs for exact oracle parity."""
     d = with_token_count(df)

@@ -170,6 +170,57 @@ def test_decode_png_bounded_against_crafted_headers():
     assert out == {"width": 4, "height": 4}
 
 
+def test_quantize_embeddings_codes(spark):
+    from buildlog_consultant_spark.ops.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, -0.5, 0.25, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),  # zero vector → zero codes
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["vec_id"]: list(r["qcodes"]) for r in
+           quantize_embeddings(df, dim=4).collect()}
+    # scale = 1.0 → floor(x*127): [127, -64 (floor(-63.5)), 31, 0]
+    assert got[1] == [127, -64, 31, 0]
+    assert got[2] == [0, 0, 0, 0]
+
+
+def test_ann_topk_int8_ranking(spark):
+    from buildlog_consultant_spark.ops.similarity import ann_topk_int8
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),     # query
+            (1, [1.0, 0.0]),     # identical direction → top
+            (2, [0.0, 1.0]),     # orthogonal
+            (3, [-1.0, 0.0]),    # opposite
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = [(r["rank"], r["vec_id"], r["qdot"]) for r in
+           ann_topk_int8(df, query_vec_id=0, k=3, dim=2).collect()]
+    assert got == [(1, 1, 127 * 127), (2, 2, 0), (3, 3, -127 * 127)]
+
+
+def test_quality_quantiles_nearest_rank(spark):
+    # 4 docs, one lang: qualities sorted give the exact nearest-rank picks
+    docs = spark.createDataFrame(
+        [(i, t, "en") for i, t in enumerate([
+            "short", "a bit longer text here ok", "x" * 400, "y" * 2000,
+        ])],
+        "doc_id long, text string, lang string",
+    )
+    got = {r["p"]: r["quality"] for r in
+           text_ops.quality_quantiles(docs).collect()}
+    qs = sorted(
+        r["quality"] for r in text_ops.with_quality_score(docs).collect()
+    )
+    # n=4: rank(25)=1, rank(50)=2, rank(75)=3, rank(95)=4
+    assert got == {25: qs[0], 50: qs[1], 75: qs[2], 95: qs[3]}
+
+
 def test_cosine_kernel_zero_norm_is_null(spark):
     """Zero-norm vectors must yield NULL from the cosine kernel — never
     NaN (NaN compares greater than any double, so it would PASS >=
