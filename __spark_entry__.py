@@ -1936,6 +1936,46 @@ GROUP BY eg.doc_id, eg.lang
 """
 
 
+def q_decontaminate(spark, sf_dir):
+    """The decontamination endpoint: per-lang counts of the corpus AFTER
+    dropping docs sharing an 8-gram with the benchmark sample (benchmark
+    docs themselves kept — they are the eval set, not training data)."""
+    kept = text_ops.decontaminate(_docs(spark, sf_dir))
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+ORACLE_DECONTAMINATE = r"""
+WITH w AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text, ' ')) = 0 THEN []::VARCHAR[]
+              ELSE string_split(lower(regexp_replace(trim(text, ' '),
+                   '[ \t\n\x0b\f\r]+', ' ', 'g')), ' ') END AS ws
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) < 8 THEN []::VARCHAR[]
+              ELSE list_distinct(list_transform(range(1, len(ws) - 6),
+                   i -> array_to_string(ws[i:i+7], ' '))) END AS gs
+  FROM w
+), eg AS (
+  SELECT doc_id, unnest(gs) AS gram FROM grams
+), bench AS (
+  SELECT DISTINCT gram FROM eg
+  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '10000000'
+), dropped AS (
+  SELECT DISTINCT eg.doc_id FROM eg JOIN bench USING (gram)
+  WHERE substring(md5(CAST(eg.doc_id AS VARCHAR)), 1, 8) >= '10000000'
+)
+SELECT d.lang, COUNT(*) AS n_kept, CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+GROUP BY d.lang
+"""
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII redaction audit. The corpus carries no PII by construction, so
     the query PLANTS a deterministic email + phone per doc (same
@@ -2056,6 +2096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords": q_tfidf_keywords,
         "ann_topk_int8": q_ann_topk_int8,
         "quality_quantiles": q_quality_quantiles,
+        "decontaminate": q_decontaminate,
         "contamination": q_contamination,
         "pii_scrub": q_pii_scrub,
         "asof_join": q_asof_join,
@@ -2107,6 +2148,7 @@ def oracle_sql(sf_dir: str = None) -> dict[str, str]:
         "tfidf_keywords": ORACLE_TFIDF_KEYWORDS,
         "ann_topk_int8": ORACLE_ANN_TOPK_INT8,
         "quality_quantiles": ORACLE_QUALITY_QUANTILES,
+        "decontaminate": ORACLE_DECONTAMINATE,
         "contamination": ORACLE_CONTAMINATION,
         "pii_scrub": ORACLE_PII_SCRUB,
         "asof_join": ORACLE_ASOF_JOIN,

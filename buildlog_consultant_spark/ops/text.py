@@ -298,6 +298,28 @@ def contamination_hits(
     ).select(id_col, "lang", "n_shared_grams")
 
 
+def decontaminate(
+    df: DataFrame,
+    benchmark_threshold_hex: str = "10000000",
+    n: int = 8,
+    min_shared_grams: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """The decontamination ENDPOINT: drop every training document sharing
+    at least ``min_shared_grams`` word n-grams with the benchmark set
+    (contamination_hits is the audit; this is the removal a pipeline
+    actually ships). Benchmark docs themselves are kept — they are the
+    eval set stand-in, not training data to filter. One broadcast
+    semi-join + one anti-join keyed on id; the corpus is scanned once for
+    gram generation and once for the final projection."""
+    hits = contamination_hits(
+        df, benchmark_threshold_hex, n, text_col, id_col, lang_col
+    ).where(F.col("n_shared_grams") >= min_shared_grams)
+    return df.join(hits.select(id_col), id_col, "left_anti")
+
+
 # PII patterns restricted to constructs Java regex and RE2 (DuckDB)
 # evaluate identically: no lookaround, ASCII classes, explicit quantifiers
 PII_EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

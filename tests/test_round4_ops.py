@@ -84,6 +84,21 @@ def test_contamination_finds_planted_overlap(spark):
     assert row["n_shared_grams"] == 2
 
 
+def test_decontaminate_drops_only_contaminated(spark):
+    bench_text = "one two three four five six seven eight nine"
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=60, text=bench_text, lang="en"),       # benchmark: kept
+            Row(doc_id=17, text="zz " + bench_text, lang="en"),  # contaminated
+            Row(doc_id=18, text="alpha beta gamma delta", lang="de"),  # clean
+        ]
+    )
+    kept = sorted(
+        r["doc_id"] for r in text_ops.decontaminate(df, n=8).collect()
+    )
+    assert kept == [18, 60]
+
+
 def test_contamination_broadcasts_benchmark(spark):
     df = spark.createDataFrame(
         [Row(doc_id=i, text=f"w{i} x y z a b c d e", lang="en") for i in range(40)]
