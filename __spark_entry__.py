@@ -1849,6 +1849,109 @@ QUALIFY rank <= 10
 """
 
 
+def q_ann_topk_int8_rerank(spark, sf_dir):
+    """Quantized ANN with exact re-rank — the production shape of a
+    quantized vector store: the int8 integer-dot first pass keeps
+    rerank_factor×k candidates reading quarter-width codes, then ONLY
+    those survivors get the exact float cosine and the final top-k order.
+    Oracle replays the quantized pass in SQL (exact integer arithmetic)
+    and re-ranks survivors with list_cosine_similarity — rank output
+    only; ranks are hash-stable across engines, raw cosine doubles are
+    not."""
+    emb = _read_adaptive(spark, f"{sf_dir}/embeddings.parquet")
+    return sim_ops.ann_topk_int8_rerank(emb, query_vec_id=0, k=10, rerank_factor=4)
+
+
+ORACLE_ANN_TOPK_INT8_RERANK = """
+WITH vd AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), qc AS (
+  SELECT vec_id,
+         CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0
+              THEN list_transform(v, x -> 0)
+              ELSE list_transform(v, x -> CAST(floor((x * 127.0) /
+                   list_max(list_transform(v, y -> abs(y)))) AS INT))
+         END AS codes
+  FROM vd
+), qq AS (
+  SELECT codes AS qcodes FROM qc WHERE vec_id = 0
+), scored AS (
+  SELECT qc.vec_id,
+         CAST(list_sum(list_transform(range(1, 65),
+              i -> CAST(qc.codes[i] AS BIGINT) * qq.qcodes[i])) AS BIGINT) AS qdot
+  FROM qc, qq WHERE qc.vec_id <> 0
+), surv AS (
+  SELECT vec_id FROM scored ORDER BY qdot DESC, vec_id ASC LIMIT 40
+), q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+cos AS (
+  SELECT e.vec_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                CAST(q.embedding AS DOUBLE[])) AS cosine
+  FROM embeddings e JOIN surv s ON e.vec_id = s.vec_id, q
+)
+SELECT CAST(row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank, vec_id
+FROM cos ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
+
+def q_pipeline_lineage(spark, sf_dir):
+    """Resume/lineage driver oracle for the sharded single-scan pipeline
+    (spark/pipeline.py::run_pipeline): a SIMULATED PARTIAL FAILURE —
+    invocation 1 processes only the first wave (max_waves=1, 2 of 4
+    url-hash shards) and "crashes"; invocation 2 resumes from the
+    committed lineage and completes the remaining shards. The exposed
+    lineage table must then hold EXACTLY one row per shard (a broken
+    resume re-appends duplicates) with counts replayable by construction:
+    shard = pmod(xxhash64(url), 4) — ops/xxh64.py replays Spark's
+    xxhash64 bit-exactly — and matched counts come from the fixture
+    goldens."""
+    import shutil
+    import tempfile
+
+    from buildlog_consultant_spark.spark.pipeline import run_pipeline
+
+    _ensure_pkg_shipped(spark)
+    pages = _fixture_pages(spark, FIXN)
+    out_dir = tempfile.mkdtemp(prefix="blc_lineage_")
+    try:
+        run_pipeline(
+            spark, pages, out_dir, n_shards=4, shards_per_wave=2, max_waves=1
+        )
+        run_pipeline(spark, pages, out_dir, n_shards=4, shards_per_wave=2)
+        rows = (
+            spark.read.parquet(f"{out_dir}/_lineage")
+            .select("shard", "input_count", "matched_count")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    # the lineage table is bounded metadata (n_shards rows, NOT data) —
+    # rebuilt as a local frame so the temp sink can be deleted before the
+    # driver collects the returned DataFrame
+    return spark.createDataFrame(
+        [(r.shard, r.input_count, r.matched_count) for r in rows],
+        schema="shard int, input_count long, matched_count long",
+    )
+
+
+def _oracle_pipeline_lineage() -> str:
+    """Golden lineage by construction: replay the url-hash shard split in
+    Python (xxh64_signed == Spark xxhash64, seed 42) over the fixture
+    goldens."""
+    from buildlog_consultant_spark.ops.xxh64 import xxh64_signed
+
+    stats: dict[int, list[int]] = {s: [0, 0] for s in range(4)}
+    for i in range(FIXN):
+        page, golden = fixtures.make_doc(i)
+        s = xxh64_signed(page["url"].encode("utf-8")) % 4
+        stats[s][0] += 1
+        if golden is not None and golden.get("match_line") is not None:
+            stats[s][1] += 1
+    rows = [(s, n, m) for s, (n, m) in sorted(stats.items())]
+    return _values_oracle(rows, ["shard", "input_count", "matched_count"])
+
+
 def q_repetition_signals(spark, sf_dir):
     """Gopher-style repetition quality signals aggregated per lang: word /
     word-bigram duplication totals plus the count of docs the repetition
@@ -2100,6 +2203,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "pii_scrub": q_pii_scrub,
         "asof_join": q_asof_join,
+        "ann_topk_int8_rerank": q_ann_topk_int8_rerank,
+        "pipeline_lineage": q_pipeline_lineage,
     }
 
 
@@ -2152,4 +2257,6 @@ def oracle_sql(sf_dir: str = None) -> dict[str, str]:
         "contamination": ORACLE_CONTAMINATION,
         "pii_scrub": ORACLE_PII_SCRUB,
         "asof_join": ORACLE_ASOF_JOIN,
+        "ann_topk_int8_rerank": ORACLE_ANN_TOPK_INT8_RERANK,
+        "pipeline_lineage": _oracle_pipeline_lineage(),
     }

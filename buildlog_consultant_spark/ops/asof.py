@@ -52,6 +52,14 @@ def asof_join(
     # l.k = r.k is NULL-rejecting, while a window partition would group
     # NULL keys together); NULL-key left rows are kept with NULL match
     # columns since their partition carries no right rows.
+    # NULL-ts RIGHT rows likewise never match (DuckDB: l.ts >= NULL is
+    # never true) — without the filter they'd sort nulls-first to the
+    # start of the partition and be carried by last(ignorenulls) as a
+    # spurious match for every left row with no earlier real right row.
+    # NULL-ts LEFT rows are kept with NULL match columns: they sort
+    # nulls-first too, ahead of every (filtered, non-NULL-ts) right row,
+    # so the running last() sees nothing — same as DuckDB, where a NULL
+    # left ts satisfies no l.ts >= r.ts predicate.
     # The right payload travels as ONE struct so every output row's
     # payload columns come from the SAME matched right row - per-column
     # last(ignorenulls) would skip a matched row's NULL payload value and
@@ -70,7 +78,9 @@ def asof_join(
         F.col(left_id).alias("_lid"),
         F.lit(None).cast(struct_type).alias("_r"),
     )
-    r_tagged = right.where(F.col(on).isNotNull()).select(
+    r_tagged = right.where(
+        F.col(on).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
         F.col(on),
         F.col(ts_col),
         F.lit(0).alias("_side"),

@@ -30,6 +30,12 @@ from pyspark.sql import functions as F
 _dropped_observations: dict = {}
 _obs_counter = itertools.count()
 
+# observer threads give up after this long without an action on the
+# observed frame — a plan that is built but never executed (dump_plans-
+# style exploration) must not accumulate blocked threads for the life of
+# the driver
+_OBS_WAIT_SECS = 300.0
+
 
 def _observe_dropped(
     grouped: DataFrame, max_bucket: int, label: str, arr_col: str = "ids"
@@ -39,9 +45,13 @@ def _observe_dropped(
     jobs/shuffles; the pre-round-4 implementation ran a second count() job
     over the full bucket lineage, which is why log_dropped defaulted off).
     A daemon thread logs a warning when the first action on the returned
-    frame completes with a non-zero drop count."""
+    frame completes with a non-zero drop count; the thread POLLS with a
+    bounded deadline (_OBS_WAIT_SECS) rather than blocking forever on
+    Observation.get, so a frame that is built but never executed leaks no
+    thread."""
     import logging
     import threading
+    import time
 
     from pyspark.sql import Observation
 
@@ -54,10 +64,24 @@ def _observe_dropped(
     _dropped_observations[label] = obs
 
     def _log() -> None:
+        logger = logging.getLogger(__name__)
+        deadline = time.monotonic() + _OBS_WAIT_SECS
         try:
-            got = _observation_metrics(obs)  # blocks until an action runs
+            while True:
+                got = _observation_metrics(obs, block=False)
+                if got is not None:
+                    break
+                if time.monotonic() >= deadline:
+                    logger.debug(
+                        "%s: no action on the observed frame within %.0fs "
+                        "— dropped-bucket observer exiting",
+                        label,
+                        _OBS_WAIT_SECS,
+                    )
+                    return
+                time.sleep(0.5)
             if got.get("n_dropped"):
-                logging.getLogger(__name__).warning(
+                logger.warning(
                     "%s: dropped %d of %d buckets larger than %d members",
                     label,
                     got["n_dropped"],
@@ -65,12 +89,12 @@ def _observe_dropped(
                     max_bucket,
                 )
             elif not got:
-                logging.getLogger(__name__).debug(
+                logger.debug(
                     "%s: dropped-bucket metric lost to the AQE listener race "
                     "— see _observation_metrics", label,
                 )
         except Exception:  # session teardown etc. — never crash the driver
-            logging.getLogger(__name__).debug(
+            logger.debug(
                 "%s: dropped-bucket metric unavailable", label, exc_info=True
             )
 
@@ -78,8 +102,17 @@ def _observe_dropped(
     return observed
 
 
-def _observation_metrics(obs) -> dict:
+def _observation_metrics(obs, block: bool = True) -> dict | None:
     """Observed (n_dropped, n_buckets) metrics, best-effort.
+
+    With ``block=False`` this PROBES instead of waiting: returns None when
+    no action has completed yet (the observer thread's bounded poll), a
+    dict once the metrics row has latched. The probe is the JVM
+    Observation's public ``getRowOrEmpty`` (an Option, ~100 ms internal
+    wait) — feature-tested via getattr since the py4j handle is not a
+    stable Python API; when the method is absent on a future PySpark the
+    non-blocking probe reports "no metric" rather than risking an
+    unbounded blocking get.
 
     Two upstream Spark quirks handled here (both reproduced on Spark
     4.1.2, pinned in tests/test_round4.py):
@@ -96,14 +129,33 @@ def _observation_metrics(obs) -> dict:
       unaffected — only the side metric is racy, which is why log_dropped
       can default on at zero cost (no extra job either way).
     """
+
+    def _from_jrow(jrow) -> dict:
+        if jrow.length() < 2:
+            return {}
+        return {"n_dropped": jrow.get(0), "n_buckets": jrow.get(1)}
+
+    probe = getattr(getattr(obs, "_jo", None), "getRowOrEmpty", None)
+    if probe is not None:
+        try:
+            jopt = probe()
+            if jopt.isDefined():
+                return _from_jrow(jopt.get())
+            if not block:
+                return None
+        except Exception:
+            if not block:
+                return {}
+    elif not block:
+        # py4j handle shape changed across a PySpark upgrade — report
+        # "no metric" instead of falling through to a blocking wait
+        return {}
     try:
         got = obs.get
         return got if got else {}
     except Exception:
         jrow = obs._jo.getRow()
-        if jrow.length() < 2:
-            return {}
-        return {"n_dropped": jrow.get(0), "n_buckets": jrow.get(1)}
+        return _from_jrow(jrow)
 
 
 def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

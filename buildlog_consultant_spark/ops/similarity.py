@@ -517,34 +517,82 @@ def ann_topk_int8(
     (rank, vec_id, qdot); ties rank by lowest id. At crawl scale the
     quantized scan reads a quarter of the bytes and the integer dot
     vectorizes; re-rank the top candidates with the exact float cosine
-    when recall matters (cosine_topk over the survivors)."""
+    when recall matters (ann_topk_int8_rerank below).
+
+    Top-k is orderBy/limit (TakeOrderedAndProject: per-partition heaps,
+    k rows to the driver-side merge — NOT a global-window row_number,
+    which would sort every scored row in one task; plan-asserted in
+    tests/test_plans.py). Ranks are then attached by a window over the
+    k survivors only — that post-limit window is O(k), free.
+
+    Raises ValueError when ``query_vec_id`` is absent (parity with
+    ivf_topk; a silent empty frame hides a caller typo)."""
     from pyspark.sql import Window
 
     codes = quantize_embeddings(df, id_col, vec_col, dim)
-    qrow = codes.where(F.col(id_col) == query_vec_id).select(
-        F.col("qcodes").alias("qq")
-    )
+    qhead = codes.where(F.col(id_col) == query_vec_id).select("qcodes").head()
+    if qhead is None or qhead[0] is None:
+        raise ValueError(
+            f"ann_topk_int8: query_vec_id {query_vec_id} not found in {id_col}"
+        )
+    # inline the k-byte query code array as a literal — no crossJoin, and
+    # the codes are exact ints so the collected values are bit-identical
+    qq = F.array(*[F.lit(int(x)) for x in qhead[0]])
     # integer zip-dot: element products summed as longs — exact, so a HOF
     # fold is fine here (no rounding to match; and the arrays are int)
     qdot = F.aggregate(
         F.zip_with(
             F.col("qcodes"),
-            F.col("qq"),
+            qq,
             lambda a, b: (a.cast("long") * b.cast("long")),
         ),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    scored = (
+    topk = (
         codes.where(F.col(id_col) != query_vec_id)
-        .crossJoin(F.broadcast(qrow))
         .select(F.col(id_col), qdot.alias("qdot"))
+        .orderBy(F.desc("qdot"), F.asc(id_col))
+        .limit(k)
     )
     w = Window.orderBy(F.desc("qdot"), F.asc(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(F.col("rank").cast("int").alias("rank"), id_col, "qdot")
+    return topk.select(
+        F.row_number().over(w).cast("int").alias("rank"), id_col, "qdot"
+    )
+
+
+def ann_topk_int8_rerank(
+    df: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """The production shape of a quantized vector store: a cheap int8
+    integer-dot FIRST pass keeps ``rerank_factor × k`` candidates (reading
+    quarter-width codes, exact integer math), then ONLY those survivors
+    get the exact float cosine and the final top-k order — so the
+    expensive full-precision scorer touches O(k) rows, not the corpus.
+    Returns (rank, vec_id) ranked by exact cosine (ties → lowest id).
+
+    Both passes are TakeOrderedAndProject (per-partition heaps), and the
+    second runs over ≤ rerank_factor×k rows joined back to the vector
+    table by a broadcast-able semi join. Emits (rank, id) only — rank is
+    hash-stable across engines, raw cosine doubles are not."""
+    survivors = ann_topk_int8(
+        df, query_vec_id, rerank_factor * k, id_col, vec_col, dim
+    ).select(id_col)
+    restricted = df.join(survivors, id_col, "left_semi").unionByName(
+        df.where(F.col(id_col) == query_vec_id)
+    )
+    from pyspark.sql import Window
+
+    topk = cosine_topk(restricted, query_vec_id, k, id_col, vec_col)
+    w = Window.orderBy(F.desc("cosine"), F.asc(id_col))
+    return topk.select(
+        F.row_number().over(w).cast("int").alias("rank"), id_col
     )
 
 

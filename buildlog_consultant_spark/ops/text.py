@@ -174,8 +174,11 @@ def with_repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     explode→agg alternative shuffles every corpus bigram, while this stays
     a linear per-row map (≈ doc length); if the interpreted constant ever
     dominates a profile, the same loop drops into a numpy Arrow kernel the
-    way the simhash votes did (ops/dedup.py)."""
-    t = F.trim(F.col(text_col))
+    way the simhash votes did (ops/dedup.py). NULL text coalesces to ''
+    (dedup.py policy): zero-count signals, 0% dup — filter_repetitive
+    KEEPS NULL-text docs instead of silently dropping them on NULL
+    metrics."""
+    t = F.trim(F.coalesce(F.col(text_col), F.lit("")))
     words = F.split(F.lower(F.regexp_replace(t, r"\s+", " ")), " ")
     words_col = F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
         words
@@ -240,8 +243,11 @@ def word_ngrams(
     """(id, gram) rows: all word ``n``-grams of the lowercased whitespace-
     normalized text, DISTINCT per document. explode is a flat map — no
     shuffle; the distinct is per-row map-side (array_distinct before the
-    explode), so downstream joins see each (doc, gram) once."""
-    t = F.trim(F.col(text_col))
+    explode), so downstream joins see each (doc, gram) once. NULL text is
+    coalesced to '' (the dedup.py _shingles policy): a NULL-text doc emits
+    NO grams — without the coalesce, size(NULL) dodges the n_words<n guard
+    and a spurious '' gram leaks out."""
+    t = F.trim(F.coalesce(F.col(text_col), F.lit("")))
     words = F.split(F.lower(F.regexp_replace(t, r"\s+", " ")), " ")
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0))),
@@ -365,11 +371,18 @@ def tfidf_topk(
     second agg keyed on term (vocab-sized, shuffle carries vocab not
     tokens); the stats join back is keyed on term (broadcast when the
     vocab fits, shuffle otherwise — Catalyst/AQE decides from sizes); the
-    final per-doc top-k is a window over each doc's distinct terms."""
+    final per-doc top-k is a window over each doc's distinct terms.
+    NULL text coalesces to '' (dedup.py policy) — a NULL-text doc
+    contributes one '' term row instead of poisoning the aggregate."""
     from pyspark.sql import Window
 
     toks = F.split(
-        F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")), " "
+        F.lower(
+            F.regexp_replace(
+                F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", " "
+            )
+        ),
+        " ",
     )
     terms = df.select(F.col(id_col), F.explode(toks).alias("term"))
     tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
@@ -406,30 +419,56 @@ def quality_quantiles(
     ranks are bit-portable, and the value at a rank is tie-order-
     independent. Returns (lang, p, quality).
 
-    Scale shape: one shuffle keyed on lang for the rank window (same key
-    as the aggregate a stats pass already does); the quantile filter is a
-    map-side predicate over the ranked rows."""
+    Scale shape (two-pass, histogram-based — NO per-lang corpus sort):
+    pass 1 is a partial+final hash aggregate groupBy(lang, quality) — the
+    only shuffle that sees corpus rows, and it carries at most
+    langs × distinct-quality rows after map-side combine (quality is an
+    integer in [0, 100], so ≤ 101 rows per language REGARDLESS of corpus
+    size). Pass 2 runs the cumulative-count window and the nearest-rank
+    filter over that tiny histogram. The previous formulation ranked every
+    corpus row with row_number over a per-lang window — five languages
+    meant five tasks each sorting 20% of the corpus, the classic
+    single-task scale-killer; the histogram value at the nearest rank is
+    identical (the value at a rank is tie-order-independent). For an
+    UNBOUNDED value domain the same shape holds as long as the per-key
+    distinct-value count fits an executor (else range-partition the
+    domain first); quality's domain is bounded by construction."""
     from pyspark.sql import Window
 
     d = with_quality_score(df, text_col)
-    w = Window.partitionBy("lang").orderBy("quality", "doc_id")
-    wn = Window.partitionBy("lang")
-    ranked = d.select(
+    hist = d.groupBy("lang", "quality").agg(F.count("*").alias("cnt"))
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy("quality")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_n = Window.partitionBy("lang")
+    cum = hist.select(
         "lang",
         "quality",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(wn).alias("n"),
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_n).alias("n"),
     )
     return (
-        ranked.select(
+        cum.select(
             "lang",
             "quality",
-            "rn",
+            "cnt",
+            "cum",
             "n",
             F.explode(F.array(*[F.lit(p) for p in ps])).alias("p"),
         )
-        # nearest-rank index ceil(p*n/100) in pure integer arithmetic
-        .where(F.col("rn") == F.floor((F.col("p") * F.col("n") + 99) / 100))
+        # nearest-rank index r = ceil(p*n/100) in pure integer arithmetic;
+        # the quantile value is the histogram bin whose cumulative range
+        # [cum-cnt+1, cum] contains r
+        .where(
+            (F.col("cum") >= F.floor((F.col("p") * F.col("n") + 99) / 100))
+            & (
+                F.col("cum") - F.col("cnt")
+                < F.floor((F.col("p") * F.col("n") + 99) / 100)
+            )
+        )
         .select("lang", F.col("p").cast("int").alias("p"), "quality")
     )
 

@@ -96,6 +96,36 @@ def aggregate_counts(enriched: DataFrame, extra_keys: tuple = ()) -> DataFrame:
     )
 
 
+def choose_salt_buckets(
+    df: DataFrame,
+    kind_col: str = "problem_kind",
+    target_rows_per_task: int = 5_000_000,
+    sample_fraction: float = 0.01,
+    seed: int = 42,
+    cap: int = 256,
+) -> int:
+    """Pick the fan-out salt factor from an approximate kind histogram
+    probed on a sample (SURVEY §7 "Skew": real logs concentrate in a few
+    `missing-*` kinds; without salting the fan-out shuffle hot-spots one
+    task). The hot kind's estimated row count divided by the per-task row
+    budget gives the number of tasks the hot kind NEEDS; clamp to
+    [1, cap] so tiny corpora don't over-split files and a pathological
+    probe can't explode the shuffle. One sampled hash-agg job — at crawl
+    scale the 1% sample never leaves the scan stage's combiners."""
+    import math
+
+    row = (
+        df.sample(fraction=sample_fraction, seed=seed)
+        .groupBy(kind_col)
+        .agg(F.count("*").alias("n"))
+        .agg(F.max("n").alias("hot"))
+        .collect()
+    )
+    hot_sampled = row[0]["hot"] or 0
+    est_hot = hot_sampled / sample_fraction
+    return max(1, min(cap, math.ceil(est_hot / max(target_rows_per_task, 1))))
+
+
 def route_fanout(
     enriched: DataFrame,
     out_dir: str,
@@ -140,8 +170,9 @@ def run_pipeline(
     out_dir: str,
     n_shards: int = 1,
     resume: bool = True,
-    salt_buckets: int = 8,
+    salt_buckets: Optional[int] = 8,
     shards_per_wave: Optional[int] = None,
+    max_waves: Optional[int] = None,
 ) -> list[ShardResult]:
     """Classify → enrich → fan-out with shard lineage + resume, single-scan.
 
@@ -154,6 +185,16 @@ def run_pipeline(
     idempotently. Lineage rows (shard, input_count, matched_count, wall_ms)
     are appended to ``{out_dir}/_lineage`` after the wave's data commits; a
     resumed run skips committed shards.
+
+    ``max_waves`` bounds how many waves THIS invocation processes — the
+    budget-bounded operational shape (one cron slot / one spot-instance
+    lease processes K waves, the next invocation resumes), and the
+    partial-failure simulation tests use it to stop between waves.
+
+    ``salt_buckets=None`` probes the per-wave kind histogram
+    (choose_salt_buckets) instead of using a fixed factor — the probe runs
+    on the persisted classified wave, so it costs one sampled hash-agg
+    over cached rows.
     """
     lineage_dir = f"{out_dir}/_lineage"
     done: set[int] = set()
@@ -167,6 +208,8 @@ def run_pipeline(
 
     todo = [s for s in range(n_shards) if s not in done]
     wave_size = shards_per_wave or max(len(todo), 1)
+    if max_waves is not None:
+        todo = todo[: max_waves * wave_size]
     results = []
     for w0 in range(0, len(todo), wave_size):
         wave = todo[w0 : w0 + wave_size]
@@ -186,10 +229,15 @@ def run_pipeline(
                 .agg(F.count("*").alias("n"), F.count("match_line").alias("m"))
                 .collect()
             }
+            sb = (
+                salt_buckets
+                if salt_buckets is not None
+                else choose_salt_buckets(enriched, sample_fraction=1.0)
+            )
             route_fanout(
                 enriched,
                 f"{out_dir}/routed",
-                salt_buckets=salt_buckets,
+                salt_buckets=sb,
                 extra_partition_cols=("shard",),
                 dynamic=True,
             )

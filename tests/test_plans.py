@@ -129,3 +129,41 @@ def test_topk_uses_take_ordered(spark):
 
     plan = _plan(cosine_topk(emb, 0, k=5))
     assert "TakeOrderedAndProject" in plan, plan[:1500]
+
+
+def test_ann_topk_int8_take_ordered_not_global_window(spark):
+    """VERDICT r4 #1: the quantized first-pass top-k must be
+    TakeOrderedAndProject (per-partition heaps, k rows to the driver-side
+    merge), never a global-window row_number over every scored row — at
+    10^12 rows that single-partition sort IS the job. The only Window
+    allowed is the O(k) rank attachment sitting ABOVE the limit."""
+    from buildlog_consultant_spark.ops.similarity import ann_topk_int8
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 11) + 1.0 for j in range(64)]) for i in range(25)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = _plan(ann_topk_int8(emb, 0, k=5))
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    # the plan string prints top-down: the rank Window must appear BEFORE
+    # (above) the TakeOrderedAndProject, i.e. it consumes the k-row result
+    # of the limit, not the scored corpus
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject"), plan[:2000]
+
+
+def test_quality_quantiles_no_corpus_sort_window(spark, pages_path):
+    """VERDICT r4 #2: exact quantiles must not row_number-sort whole
+    languages in single tasks. The scale-safe shape is a partial+final
+    hash aggregate (the only operator that sees corpus rows) feeding a
+    cumulative window over the ≤101-bin per-lang histogram."""
+    from buildlog_consultant_spark.ops.text import quality_quantiles
+
+    docs = (
+        spark.read.parquet(pages_path)
+        .select(F.col("url").alias("doc_id"), "lang", "text")
+    )
+    plan = _plan(quality_quantiles(docs))
+    assert "row_number" not in plan, plan[:2000]
+    # map-side partial + final hash aggregate below the window
+    assert plan.count("HashAggregate") >= 2, plan[:2000]
+    assert plan.index("Window") < plan.index("HashAggregate"), plan[:2000]

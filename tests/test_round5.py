@@ -1,0 +1,356 @@
+"""Round-5 tests: asof NULL-ts semantics, the NULL-text coalesce policy in
+text.py, the TakeOrderedAndProject int8 top-k + exact re-rank, the
+histogram-based exact quantiles, the bounded dropped-bucket observer, and
+run_pipeline's max_waves budget knob."""
+
+import datetime
+import threading
+import time
+
+import pytest
+from pyspark.sql import Row, Window
+from pyspark.sql import functions as F
+
+from buildlog_consultant_spark.ops import dedup as dedup_ops
+from buildlog_consultant_spark.ops import similarity as sim_ops
+from buildlog_consultant_spark.ops import text as text_ops
+from buildlog_consultant_spark.ops.asof import asof_join
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pyspark.sql import SparkSession
+
+    yield (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+
+
+def _ts(minute):
+    return datetime.datetime(2026, 1, 1, 12, minute, 0)
+
+
+# ---------------------------------------------------------------------------
+# asof_join NULL-timestamp semantics (ADVICE r4, medium)
+# ---------------------------------------------------------------------------
+
+
+def test_asof_null_ts_right_row_never_matches(spark):
+    """A NULL-ts right row must never be carried as a match: DuckDB ASOF's
+    l.ts >= NULL is never true. Without the right-side ts filter the
+    NULL-ts row sorts nulls-first and last(ignorenulls) smears it onto
+    every left row with no earlier real right row."""
+    left = spark.createDataFrame(
+        [
+            Row(event_id=100, user_id=1, ts=_ts(3)),   # before any real click
+            Row(event_id=101, user_id=1, ts=_ts(6)),   # after click 2
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(event_id=1, user_id=1, ts=None),       # NULL ts — never a match
+            Row(event_id=2, user_id=1, ts=_ts(5)),
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    got = {r["event_id"]: r for r in asof_join(left, right, on="user_id").collect()}
+    assert got[100]["asof_event_id"] is None
+    assert got[100]["asof_gap_sec"] is None
+    assert got[101]["asof_event_id"] == 2
+    assert got[101]["asof_gap_sec"] == 60
+
+
+def test_asof_null_ts_left_row_kept_unmatched(spark):
+    """A NULL-ts left row is kept with NULL match columns (it satisfies no
+    l.ts >= r.ts predicate): it sorts nulls-first, ahead of every real
+    right row, so the running last() sees nothing."""
+    left = spark.createDataFrame(
+        [Row(event_id=100, user_id=1, ts=None)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame([Row(event_id=2, user_id=1, ts=_ts(1))])
+    rows = asof_join(left, right, on="user_id").collect()
+    assert len(rows) == 1
+    assert rows[0]["asof_event_id"] is None and rows[0]["asof_gap_sec"] is None
+
+
+# ---------------------------------------------------------------------------
+# NULL-text coalesce policy in text.py (ADVICE r4)
+# ---------------------------------------------------------------------------
+
+
+def test_word_ngrams_null_text_emits_no_grams(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=None), Row(doc_id=2, text="a b c d e f g h i")],
+        "doc_id long, text string",
+    )
+    got = text_ops.word_ngrams(df, n=8).collect()
+    assert all(r["doc_id"] == 2 for r in got)
+    assert len(got) == 2  # 9 words → two 8-grams
+    assert all(r["gram"] != "" for r in got)
+
+
+def test_repetition_signals_null_text_zeroed_and_kept(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=None), Row(doc_id=2, text="w w w w w w w w w w")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in text_ops.with_repetition_signals(df).collect()}
+    assert got[1]["n_words"] == 0 and got[1]["dup_word_pct"] == 0
+    assert got[1]["dup_bigram_pct"] == 0
+    # filter_repetitive must KEEP the NULL-text doc (zero metrics), not
+    # silently drop it on NULL comparisons
+    kept = {r["doc_id"] for r in text_ops.filter_repetitive(df).collect()}
+    assert kept == {1}
+
+
+def test_tfidf_null_text_coalesced(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=None), Row(doc_id=2, text="alpha beta alpha")],
+        "doc_id long, text string",
+    )
+    got = text_ops.tfidf_topk(df, k=3).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # the NULL-text doc contributes one '' term row, never a NULL term
+    assert all(r["term"] is not None for r in got)
+    assert {r["term"] for r in by_doc[1]} == {""}
+    assert {r["term"] for r in by_doc[2]} == {"alpha", "beta"}
+
+
+# ---------------------------------------------------------------------------
+# int8 ANN: top-k shape, ValueError parity, exact re-rank composition
+# ---------------------------------------------------------------------------
+
+
+def _toy_embeddings(spark, n=30, dim=64):
+    rows = [
+        (i, [float(((i * 31 + j * 7) % 13) - 6) + 0.5 for j in range(dim)])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ann_topk_int8_missing_query_raises(spark):
+    emb = _toy_embeddings(spark)
+    with pytest.raises(ValueError, match="not found"):
+        sim_ops.ann_topk_int8(emb, query_vec_id=999)
+
+
+def test_ann_topk_int8_rerank_matches_exact_when_unbounded(spark):
+    """With rerank_factor×k covering the whole corpus the re-ranked result
+    must equal the exact brute-force cosine top-k — the quantized pass is
+    then pure candidate selection and the float pass decides everything."""
+    emb = _toy_embeddings(spark, n=30)
+    exact = [
+        r["vec_id"]
+        for r in sim_ops.cosine_topk(emb, 0, k=5).collect()
+    ]
+    rer = [
+        r["vec_id"]
+        for r in sim_ops.ann_topk_int8_rerank(emb, 0, k=5, rerank_factor=10)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert rer == exact
+
+
+def test_ann_topk_int8_ranks_contiguous(spark):
+    got = sim_ops.ann_topk_int8(_toy_embeddings(spark), 0, k=5).orderBy("rank").collect()
+    assert [r["rank"] for r in got] == [1, 2, 3, 4, 5]
+    # descending integer scores, id-ascending at ties
+    qd = [r["qdot"] for r in got]
+    assert qd == sorted(qd, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# histogram-based exact quantiles
+# ---------------------------------------------------------------------------
+
+
+def test_quality_quantiles_matches_sort_based_reference(spark):
+    """The two-pass histogram formulation must reproduce the nearest-rank
+    order statistics of the (scale-unsafe) per-lang full-sort reference."""
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=i, lang=("en" if i % 3 else "de"),
+                text=("word " * ((i * 17) % 29 + 1)).strip() + ("!" * (i % 7)))
+            for i in range(200)
+        ]
+    )
+    ps = (25, 50, 75, 95)
+    d = text_ops.with_quality_score(docs)
+    w = Window.partitionBy("lang").orderBy("quality", "doc_id")
+    wn = Window.partitionBy("lang")
+    ref = (
+        d.select(
+            "lang", "quality",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(wn).alias("n"),
+        )
+        .select(
+            "lang", "quality", "rn", "n",
+            F.explode(F.array(*[F.lit(p) for p in ps])).alias("p"),
+        )
+        .where(F.col("rn") == F.floor((F.col("p") * F.col("n") + 99) / 100))
+        .select("lang", F.col("p").cast("int").alias("p"), "quality")
+    )
+    got = {
+        (r["lang"], r["p"]): r["quality"]
+        for r in text_ops.quality_quantiles(docs, ps).collect()
+    }
+    want = {(r["lang"], r["p"]): r["quality"] for r in ref.collect()}
+    assert got == want and len(got) == 8
+
+
+# ---------------------------------------------------------------------------
+# bounded dropped-bucket observer (ADVICE r4)
+# ---------------------------------------------------------------------------
+
+
+def _grouped(spark):
+    df = spark.createDataFrame(
+        [Row(k=i % 2, v=i) for i in range(10)]
+    )
+    return df.groupBy("k").agg(F.collect_list("v").alias("ids"))
+
+
+def test_observation_probe_none_before_action_then_metrics(spark):
+    observed = dedup_ops._observe_dropped(_grouped(spark), 1, "round5probe")
+    obs = dedup_ops._dropped_observations["round5probe"]
+    assert dedup_ops._observation_metrics(obs, block=False) is None
+    observed.collect()
+    got = None
+    for _ in range(100):
+        got = dedup_ops._observation_metrics(obs, block=False)
+        if got:
+            break
+        time.sleep(0.1)
+    assert got and got["n_dropped"] == 2 and got["n_buckets"] == 2
+
+
+def test_observer_thread_exits_without_action(spark, monkeypatch):
+    """A frame that is built but never executed must not leak a blocked
+    observer thread for the life of the driver (ADVICE r4): the poll loop
+    gives up after _OBS_WAIT_SECS."""
+    monkeypatch.setattr(dedup_ops, "_OBS_WAIT_SECS", 1.0)
+    dedup_ops._observe_dropped(_grouped(spark), 1, "round5orphan")
+    threads = [
+        t for t in threading.enumerate() if t.name == "round5orphan-dropped-log"
+    ]
+    assert threads
+    threads[0].join(15)
+    assert not threads[0].is_alive()
+
+
+# ---------------------------------------------------------------------------
+# skewed-corpus fan-out: salting bounds per-task rows (SURVEY §7 "Skew")
+# ---------------------------------------------------------------------------
+
+
+def _skewed_enriched(spark, n=600, hot_share=0.6):
+    """Skewed classified corpus: one kind holds ≥ hot_share of the docs —
+    the dominant-missing-* shape SURVEY §7 calls out."""
+    n_hot = int(n * hot_share)
+    rows = [
+        Row(
+            url=f"https://logs.example.org/doc/{i:06d}",
+            lang="en",
+            problem_kind=("missing-hot-dep" if i < n_hot else f"kind-{i % 7}"),
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows), n_hot
+
+
+def _hot_file_counts(spark, out):
+    rows = (
+        spark.read.parquet(out)
+        .where(F.col("sink_kind") == "missing-hot-dep")
+        .groupBy(F.input_file_name().alias("f"))
+        .count()
+        .collect()
+    )
+    return [r["count"] for r in rows]
+
+
+def test_salted_fanout_bounds_hot_kind_tasks(spark, tmp_path):
+    """With salting OFF the hot kind (60% of the corpus) lands in ONE
+    shuffle task/file — the hot-spot. With salting ON it spreads over
+    multiple tasks with a bounded per-task share. AQE is disabled for the
+    assertion: its size-based coalescer re-merges the toy-sized salted
+    partitions (at crawl scale a hot kind exceeds the 64 MB advisory
+    target and stays split — locally everything is 'small'), and the test
+    must show the raw salt spread the shuffle produces."""
+    from buildlog_consultant_spark.spark.pipeline import route_fanout
+
+    enriched, n_hot = _skewed_enriched(spark)
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        out_off = str(tmp_path / "off")
+        route_fanout(enriched, out_off, salt_buckets=1)
+        off = _hot_file_counts(spark, out_off)
+        assert len(off) == 1 and off[0] == n_hot  # the hot-spot, demonstrated
+
+        out_on = str(tmp_path / "on")
+        route_fanout(enriched, out_on, salt_buckets=8)
+        on = _hot_file_counts(spark, out_on)
+        assert sum(on) == n_hot
+        assert len(on) >= 3, on  # spread over tasks (8 salts, hash-merged ≥3)
+        assert max(on) <= n_hot * 0.5, on  # no task carries half the hot kind
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+
+
+def test_choose_salt_buckets_from_histogram_probe(spark):
+    """SURVEY §7: salt factor = ceil(hot-kind estimate / per-task row
+    budget), probed from the kind histogram; clamped to [1, cap]."""
+    from buildlog_consultant_spark.spark.pipeline import choose_salt_buckets
+
+    enriched, n_hot = _skewed_enriched(spark)  # 360 hot rows
+    assert (
+        choose_salt_buckets(
+            enriched, target_rows_per_task=100, sample_fraction=1.0
+        )
+        == 4  # ceil(360 / 100)
+    )
+    assert (
+        choose_salt_buckets(enriched, target_rows_per_task=10**9, sample_fraction=1.0)
+        == 1
+    )
+    assert (
+        choose_salt_buckets(
+            enriched, target_rows_per_task=1, sample_fraction=1.0, cap=16
+        )
+        == 16
+    )
+
+
+# ---------------------------------------------------------------------------
+# run_pipeline max_waves + resume
+# ---------------------------------------------------------------------------
+
+
+def test_run_pipeline_max_waves_then_resume(spark, tmp_path):
+    """max_waves bounds one invocation to K waves (the budget-bounded /
+    partial-failure shape); the next invocation resumes from the committed
+    lineage and the final lineage has exactly one row per shard."""
+    from buildlog_consultant_spark import fixtures
+    from buildlog_consultant_spark.spark.pipeline import run_pipeline
+
+    pages = fixtures.pages_df(spark, 40, partitions=2)
+    out = str(tmp_path / "out")
+    r1 = run_pipeline(spark, pages, out, n_shards=4, shards_per_wave=2, max_waves=1)
+    assert sorted(r.shard for r in r1) == [0, 1]
+    r2 = run_pipeline(spark, pages, out, n_shards=4, shards_per_wave=2)
+    assert sorted(r.shard for r in r2) == [2, 3]
+    lineage = spark.read.parquet(f"{out}/_lineage")
+    assert lineage.count() == 4
+    assert lineage.select("shard").distinct().count() == 4
+    assert lineage.agg(F.sum("input_count")).collect()[0][0] == 40
