@@ -465,20 +465,26 @@ def pages_df(spark, n: int, partitions: Optional[int] = None, pad_scale: int = 1
 
 
 def make_media(i: int) -> tuple[dict, dict]:
-    """Deterministic media row i: real BMP / WAV / PNG bytes and a
-    header-valid JPEG, plus one 'unknown' blob in every 8 (i%8: even→BMP,
-    1→WAV, 3→JPEG, 5→PNG, 7→unknown). Returns (row, golden) where golden
-    carries the BY-CONSTRUCTION expectations (stats computed from the
-    generating arrays, independently of the decoders in ops/multimodal.py)."""
+    """Deterministic media row i: real BMP / WAV / PNG / baseline-JPEG
+    bytes, plus one 'unknown' blob in every 8 (i%8: even→BMP, 1→WAV,
+    3→JPEG [i%16==11: header-only prefix, else full baseline scan],
+    5→PNG, 7→unknown). Returns (row, golden) where golden carries the
+    BY-CONSTRUCTION expectations (stats computed from the generating
+    arrays — for JPEG via the 1-pixel color-transform replay, since a
+    solid-color image survives the all-ones-quant DCT round-trip exactly
+    — independently of the decoders in ops/multimodal.py)."""
     import math
 
     import numpy as np
 
     from .ops.multimodal import (
         encode_bmp,
+        encode_jpeg,
         encode_jpeg_header,
         encode_png,
         encode_wav,
+        rgb_to_ycbcr,
+        ycbcr_to_rgb,
     )
 
     url = f"media://{i:06d}"
@@ -488,10 +494,31 @@ def make_media(i: int) -> tuple[dict, dict]:
         golden = {"url": url, "media_type": "unknown"}
         return {"url": url, "media": data}, golden
     if kind == 3:
-        # header-level JPEG: real SOF dimensions, no scan data
-        w, h = 160 + (i % 9) * 8, 120 + (i % 5) * 6
-        golden = {"url": url, "media_type": "image/jpeg", "width": w, "height": h}
-        return {"url": url, "media": encode_jpeg_header(w, h, seed=i)}, golden
+        if i % 16 == 11:
+            # header-level JPEG: real SOF dimensions, no scan data —
+            # exercises the decoder's header-fallback path
+            w, h = 160 + (i % 9) * 8, 120 + (i % 5) * 6
+            golden = {
+                "url": url, "media_type": "image/jpeg", "width": w, "height": h,
+            }
+            return {"url": url, "media": encode_jpeg_header(w, h, seed=i)}, golden
+        # FULL baseline JPEG: solid color, so the expected means are the
+        # JFIF color-transform round-trip of the source color (exact by
+        # construction — DC-only blocks, all-ones quantization)
+        w, h = 40 + (i % 9) * 8, 24 + (i % 5) * 6
+        color = ((i * 29) % 256, (i * 53) % 256, (i * 91) % 256)
+        px = np.full((h, w, 3), color, dtype=np.uint8)
+        rgbp = ycbcr_to_rgb(rgb_to_ycbcr(px[:1, :1]))[0, 0]
+        golden = {
+            "url": url,
+            "media_type": "image/jpeg",
+            "width": w,
+            "height": h,
+            "mean_r_milli": int(rgbp[0]) * 1000,
+            "mean_g_milli": int(rgbp[1]) * 1000,
+            "mean_b_milli": int(rgbp[2]) * 1000,
+        }
+        return {"url": url, "media": encode_jpeg(px)}, golden
     if kind == 5:
         # full 8-bit RGB PNG: dims + exact pixel means (like the BMP rows)
         w, h = 7 + (i % 6), 5 + (i % 4)

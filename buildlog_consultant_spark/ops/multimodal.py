@@ -8,11 +8,14 @@ Real decoders, no external libraries needed:
 - PNG (8-bit RGB) — FULL decode with stdlib ``zlib``: chunk walk, IDAT
   inflate, all five scanline de-filters, numpy pixel stats; other PNG
   color types still yield real IHDR width/height (header-level);
-- JPEG — header-level: SOFn marker walk gives real width/height (a full
-  entropy decode needs a DCT pipeline; out of scope without PIL).
+- JPEG (baseline sequential, T.81) — FULL decode: DQT/DHT/SOF0 parse,
+  Huffman entropy decode, dequantize, float64 IDCT, chroma upsampling
+  (sampling factors 1-2), JFIF YCbCr→RGB, numpy pixel stats; outside the
+  baseline envelope (progressive, arithmetic) the SOFn marker walk still
+  yields real width/height (header-level).
 
-Formats the container genuinely cannot decode (MP4/video need ffmpeg)
-fall through to the clearly-marked deterministic stub, so a mixed-format
+The ONLY remaining labeled stub is video (MP4 etc. need ffmpeg): it falls
+through to the clearly-marked deterministic fake, so a mixed-format
 corpus never poisons a batch. The Spark-side plumbing — schema, Arrow
 batch shape, mapInPandas signature, one-row-per-row output (no shuffle) —
 is shared by all formats.
@@ -277,6 +280,544 @@ def decode_png(data: bytes) -> Optional[dict]:
 # extension), CC (DAC)
 _JPEG_SOF_MARKERS = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
 
+# ---------------------------------------------------------------------------
+# Baseline sequential JPEG (ITU T.81): real encoder (fixtures) + full decoder
+# ---------------------------------------------------------------------------
+
+# zig-zag scan order (T.81 figure 5)
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# standard Huffman table specs from T.81 Annex K.3 (public spec constants):
+# (BITS counts per code length 1..16, HUFFVAL symbol list)
+_STD_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_STD_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_STD_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_STD_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix: C[u,x] = a(u) cos((2x+1)uπ/16),
+    a(0)=sqrt(1/8), a(u>0)=1/2. FDCT: C·B·Cᵀ; IDCT: Cᵀ·F·C (float64)."""
+    C = np.zeros((8, 8))
+    for u in range(8):
+        a = np.sqrt(1.0 / 8.0) if u == 0 else 0.5
+        for x in range(8):
+            C[u, x] = a * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    return C
+
+
+_DCT_M = _dct_matrix()
+
+
+def _huff_codes(bits: list, vals: list) -> dict:
+    """T.81 Annex C code assignment: symbol → (code, length)."""
+    out = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+            self.n -= 8
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)  # 1-bits padding per spec
+        return bytes(self.buf)
+
+
+def _magnitude_bits(v: int) -> tuple:
+    """(category, appended-bits) for a DC diff / AC coefficient value."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    cat = a.bit_length()
+    bits = v if v > 0 else v + (1 << cat) - 1
+    return cat, bits
+
+
+def rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
+    """JFIF full-range color transform, rounded to uint8 — module-level so
+    fixture goldens can replay the exact same arithmetic."""
+    r = px[..., 0].astype(np.float64)
+    g = px[..., 1].astype(np.float64)
+    b = px[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.clip(np.rint(np.stack([y, cb, cr], axis=-1)), 0, 255).astype(np.uint8)
+
+
+def ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    """Inverse JFIF transform, rounded and clamped to uint8."""
+    y = ycc[..., 0].astype(np.float64)
+    cb = ycc[..., 1].astype(np.float64) - 128.0
+    cr = ycc[..., 2].astype(np.float64) - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.rint(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+def encode_jpeg(pixels: np.ndarray, subsample: bool = False) -> bytes:
+    """REAL baseline sequential JPEG encoder (pixels: HxWx3 uint8 RGB):
+    JFIF 4:4:4 (or 4:2:0 box-mean chroma with ``subsample=True``),
+    all-ones quantization tables (so constant blocks survive the DCT
+    round-trip exactly), standard Annex-K Huffman tables, byte-stuffed
+    entropy-coded scan. Fixture/test writer — small images only
+    (pure-Python Huffman loop)."""
+    h, w, _ = pixels.shape
+    ycc = rgb_to_ycbcr(pixels).astype(np.float64) - 128.0
+    sampling = [(2, 2), (1, 1), (1, 1)] if subsample else [(1, 1)] * 3
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = []
+    for c, (chs, cvs) in enumerate(sampling):
+        p = ycc[..., c]
+        fy, fx = vmax // cvs, hmax // chs
+        if fy > 1 or fx > 1:  # box-mean chroma downsample
+            py = np.pad(
+                p, ((0, (-h) % fy), (0, (-w) % fx)), mode="edge"
+            )
+            p = py.reshape(py.shape[0] // fy, fy, py.shape[1] // fx, fx).mean(
+                axis=(1, 3)
+            )
+        th, tw = mcuy * cvs * 8, mcux * chs * 8
+        p = np.pad(
+            p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge"
+        )
+        planes.append(p)
+
+    dc_y = _huff_codes(*_STD_DC_LUMA)
+    ac_y = _huff_codes(*_STD_AC_LUMA)
+    dc_c = _huff_codes(*_STD_DC_CHROMA)
+    ac_c = _huff_codes(*_STD_AC_CHROMA)
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    inv_zz = _ZIGZAG
+
+    def put_block(block: np.ndarray, c: int) -> None:
+        coef = _DCT_M @ block @ _DCT_M.T
+        q = np.rint(coef).astype(np.int64).reshape(64)[inv_zz]
+        dct, act = (dc_y, ac_y) if c == 0 else (dc_c, ac_c)
+        diff = int(q[0]) - pred[c]
+        pred[c] = int(q[0])
+        cat, bits = _magnitude_bits(diff)
+        code, ln = dct[cat]
+        bw.put(code, ln)
+        if cat:
+            bw.put(bits, cat)
+        run = 0
+        last_nz = 0
+        for k in range(63, 0, -1):
+            if q[k]:
+                last_nz = k
+                break
+        for k in range(1, last_nz + 1):
+            v = int(q[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = act[0xF0]  # ZRL
+                bw.put(code, ln)
+                run -= 16
+            cat, bits = _magnitude_bits(v)
+            code, ln = act[(run << 4) | cat]
+            bw.put(code, ln)
+            bw.put(bits, cat)
+            run = 0
+        if last_nz < 63:
+            code, ln = act[0x00]  # EOB
+            bw.put(code, ln)
+
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for c, (chs, cvs) in enumerate(sampling):
+                for byy in range(cvs):
+                    for bxx in range(chs):
+                        y0 = (my * cvs + byy) * 8
+                        x0 = (mx * chs + bxx) * 8
+                        put_block(planes[c][y0 : y0 + 8, x0 : x0 + 8], c)
+    scan = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    ones = bytes([1] * 64)
+    dqt = seg(0xDB, bytes([0]) + ones) + seg(0xDB, bytes([1]) + ones)
+    comp_specs = b"".join(
+        bytes([cid, (chs << 4) | cvs, 0 if cid == 1 else 1])
+        for cid, (chs, cvs) in zip((1, 2, 3), sampling)
+    )
+    sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, 3) + comp_specs)
+
+    def dht(tc_th: int, spec: tuple) -> bytes:
+        bits, vals = spec
+        return seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+
+    dhts = (
+        dht(0x00, _STD_DC_LUMA)
+        + dht(0x10, _STD_AC_LUMA)
+        + dht(0x01, _STD_DC_CHROMA)
+        + dht(0x11, _STD_AC_CHROMA)
+    )
+    sos = seg(0xDA, b"\x03\x01\x00\x02\x11\x03\x11\x00\x3f\x00")
+    return (
+        b"\xff\xd8" + seg(0xE0, app0) + dqt + sof + dhts + sos + scan + b"\xff\xd9"
+    )
+
+
+class _BitReader:
+    """Entropy-coded-segment bit reader with 0xFF00 unstuffing; RSTn
+    markers reset the stream (DC predictors are reset by the caller)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> bool:
+        d = self.data
+        while self.n <= 24:
+            if self.pos >= len(d):
+                return self.n > 0
+            b = d[self.pos]
+            if b == 0xFF:
+                if self.pos + 1 >= len(d):
+                    return self.n > 0
+                nxt = d[self.pos + 1]
+                if nxt == 0x00:  # stuffed 0xFF data byte
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:  # restart marker
+                    return self.n > 0
+                else:  # real marker: end of scan
+                    return self.n > 0
+            else:
+                self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.n += 8
+            continue
+        return True
+
+    def skip_rst(self) -> bool:
+        """Consume a restart marker at the current byte boundary."""
+        self.acc = 0
+        self.n = 0
+        d = self.data
+        if self.pos + 1 < len(d) and d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+            self.pos += 2
+            return True
+        return False
+
+    def bits(self, k: int):
+        if k == 0:
+            return 0
+        if self.n < k and not self._fill():
+            return None
+        if self.n < k:
+            return None
+        v = (self.acc >> (self.n - k)) & ((1 << k) - 1)
+        self.n -= k
+        return v
+
+    def bit(self):
+        return self.bits(1)
+
+
+def _huff_decode_table(bits: list, vals: list) -> dict:
+    """(length, code) → symbol lookup."""
+    out = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _read_symbol(br: _BitReader, table: dict):
+    code = 0
+    for ln in range(1, 17):
+        b = br.bit()
+        if b is None:
+            return None
+        code = (code << 1) | b
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    return None
+
+
+def _extend(v: int, cat: int) -> int:
+    if cat == 0:
+        return 0
+    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+def decode_jpeg(data: bytes) -> Optional[dict]:
+    """FULL baseline sequential JPEG decode (T.81): marker walk, DQT/DHT
+    parse, Huffman entropy decode, dequantize, float64 IDCT, chroma
+    upsampling for sampling factors in {1,2}, JFIF YCbCr→RGB — pure
+    stdlib + numpy, mirroring the PNG path. Returns dims + exact integer
+    milli-means. Degrades to header-level width/height (the pre-round-5
+    behavior) for anything outside the baseline-decodable envelope —
+    progressive (SOF2), arithmetic coding, >2 sampling factors, corrupt
+    or truncated scans — and None when the bytes aren't a JPEG at all.
+    Pixel work is bounded by the declared dimensions via the same
+    _MAX_DECODE_PIXELS cap as PNG (a crafted SOF must not OOM an
+    executor)."""
+    hdr = decode_jpeg_header(data)
+
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        return None
+    qt: dict = {}
+    huff: dict = {}
+    frame = None
+    ri = 0  # restart interval
+    pos = 2
+    scan_info = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            return hdr
+        marker = data[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker == 0xD9:
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        ln = struct.unpack_from(">H", data, pos + 2)[0]
+        body = data[pos + 4 : pos + 2 + ln]
+        if ln < 2 or len(body) < ln - 2:
+            return hdr
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                n = 64 * (2 if pq else 1)
+                if i + 1 + n > len(body):
+                    return hdr
+                raw = body[i + 1 : i + 1 + n]
+                tbl = (
+                    np.frombuffer(raw, dtype=">u2").astype(np.int64)
+                    if pq
+                    else np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+                )
+                qt[tq] = tbl
+                i += 1 + n
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i + 17 <= len(body):
+                tc_th = body[i]
+                bits = list(body[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nv])
+                if len(vals) < nv:
+                    return hdr
+                huff[tc_th] = _huff_decode_table(bits, vals)
+                i += 17 + nv
+        elif marker in _JPEG_SOF_MARKERS:
+            if marker != 0xC0 and marker != 0xC1:  # baseline/ext. sequential only
+                return hdr
+            prec, fh, fw, nc = struct.unpack_from(">BHHB", body)
+            if prec != 8 or nc not in (1, 3):
+                return hdr
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            frame = (fw, fh, comps)
+        elif marker == 0xDD:  # DRI
+            ri = struct.unpack_from(">H", body)[0]
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            sel = {}
+            for c in range(ns):
+                cid, tt = body[1 + 2 * c], body[2 + 2 * c]
+                sel[cid] = (tt >> 4, tt & 0x0F)
+            scan_info = (sel, pos + 2 + ln)
+            break
+        pos += 2 + ln
+    if frame is None or scan_info is None:
+        return hdr
+    fw, fh, comps = frame
+    _MAX_DECODE_PIXELS = 16 * 1024 * 1024
+    if fw * fh > _MAX_DECODE_PIXELS:
+        return hdr
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if not all(1 <= c[1] <= 2 and 1 <= c[2] <= 2 for c in comps):
+        return hdr
+    sel, scan_pos = scan_info
+    mcux = -(-fw // (8 * hmax))
+    mcuy = -(-fh // (8 * vmax))
+    planes = []
+    for cid, ch, cv, tq in comps:
+        if tq not in qt or cid not in sel:
+            return hdr
+        td, ta = sel[cid]
+        if td not in huff or (0x10 | ta) not in huff:
+            return hdr
+        planes.append(np.zeros((mcuy * cv * 8, mcux * ch * 8), dtype=np.float64))
+
+    br = _BitReader(data, scan_pos)
+    pred = [0] * len(comps)
+    n_mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if ri and n_mcu and n_mcu % ri == 0:
+                if not br.skip_rst():
+                    return hdr
+                pred = [0] * len(comps)
+            n_mcu += 1
+            for ci, (cid, ch, cv, tq) in enumerate(comps):
+                td, ta = sel[cid]
+                dct_tbl, act_tbl = huff[td], huff[0x10 | ta]
+                for byy in range(cv):
+                    for bxx in range(ch):
+                        zz = np.zeros(64, dtype=np.int64)
+                        s = _read_symbol(br, dct_tbl)
+                        if s is None:
+                            return hdr
+                        vbits = br.bits(s)
+                        if vbits is None:
+                            return hdr
+                        pred[ci] += _extend(vbits, s)
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _read_symbol(br, act_tbl)
+                            if rs is None:
+                                return hdr
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                return hdr
+                            vbits = br.bits(s)
+                            if vbits is None:
+                                return hdr
+                            zz[k] = _extend(vbits, s)
+                            k += 1
+                        coef = np.zeros(64, dtype=np.float64)
+                        coef[_ZIGZAG] = (zz * qt[tq]).astype(np.float64)
+                        block = _DCT_M.T @ coef.reshape(8, 8) @ _DCT_M
+                        y0 = (my * cv + byy) * 8
+                        x0 = (mx * ch + bxx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+    # upsample to full resolution, crop, level-shift
+    full = []
+    for ci, (cid, ch, cv, tq) in enumerate(comps):
+        p = planes[ci]
+        p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch, axis=1)
+        full.append(p[:fh, :fw] + 128.0)
+    if len(full) == 1:
+        gray = np.clip(np.rint(full[0]), 0, 255).astype(np.int64)
+        n = fw * fh
+        return {
+            "width": int(fw),
+            "height": int(fh),
+            "mean_r_milli": int(gray.sum() * 1000 // n),
+            "mean_g_milli": int(gray.sum() * 1000 // n),
+            "mean_b_milli": int(gray.sum() * 1000 // n),
+        }
+    ycc = np.clip(np.rint(np.stack(full, axis=-1)), 0, 255).astype(np.uint8)
+    rgb = ycbcr_to_rgb(ycc).astype(np.int64)
+    n = fw * fh
+    return {
+        "width": int(fw),
+        "height": int(fh),
+        "mean_r_milli": int(rgb[:, :, 0].sum() * 1000 // n),
+        "mean_g_milli": int(rgb[:, :, 1].sum() * 1000 // n),
+        "mean_b_milli": int(rgb[:, :, 2].sum() * 1000 // n),
+    }
+
 
 def encode_jpeg_header(w: int, h: int, seed: int = 0) -> bytes:
     """Minimal structurally-valid JPEG prefix (SOI + APP0/JFIF + DQT +
@@ -363,7 +904,7 @@ def classify_and_decode(data: bytes) -> dict:
         out.update(png)
         out["media_type"] = "image/png"
         return out
-    jpg = decode_jpeg_header(data)
+    jpg = decode_jpeg(data)
     if jpg is not None:
         out.update(jpg)
         out["media_type"] = "image/jpeg"

@@ -248,6 +248,99 @@ def test_observer_thread_exits_without_action(spark, monkeypatch):
 
 
 # ---------------------------------------------------------------------------
+# baseline JPEG full decode (VERDICT r4 #8: the stub is video-only now)
+# ---------------------------------------------------------------------------
+
+
+def _jpeg_mods():
+    import numpy as np
+
+    from buildlog_consultant_spark.ops.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        rgb_to_ycbcr,
+        ycbcr_to_rgb,
+    )
+
+    return np, decode_jpeg, encode_jpeg, rgb_to_ycbcr, ycbcr_to_rgb
+
+
+def test_jpeg_solid_roundtrip_exact_444_and_420():
+    """Solid-color images survive the all-ones-quant DCT round-trip
+    exactly (DC-only blocks; constant chroma is subsampling-lossless), so
+    the decoded means equal the JFIF color-transform replay of the source
+    color — the by-construction property the media_meta oracle uses."""
+    np, decode_jpeg, encode_jpeg, fwd, inv = _jpeg_mods()
+    rgb = np.full((16, 24, 3), (200, 64, 33), dtype=np.uint8)
+    exp = inv(fwd(rgb))[0, 0]
+    for sub in (False, True):
+        got = decode_jpeg(encode_jpeg(rgb, subsample=sub))
+        assert (got["width"], got["height"]) == (24, 16)
+        assert got["mean_r_milli"] == int(exp[0]) * 1000
+        assert got["mean_g_milli"] == int(exp[1]) * 1000
+        assert got["mean_b_milli"] == int(exp[2]) * 1000
+
+
+def test_jpeg_gradient_within_rounding():
+    """Non-constant content: 4:4:4 decode means must track the color-
+    transform reference to within DCT float rounding; 4:2:0 within the
+    chroma-blur envelope. Odd (non-multiple-of-8/16) dims exercise the
+    padding/crop path."""
+    np, decode_jpeg, encode_jpeg, fwd, inv = _jpeg_mods()
+    yy, xx = np.mgrid[0:17, 0:31]
+    px = np.stack(
+        [(xx * 11) % 256, (yy * 5) % 256, (xx * yy) % 256], -1
+    ).astype(np.uint8)
+    ref = inv(fwd(px)).astype(np.int64)
+    n = 17 * 31
+    refm = [int(ref[:, :, c].sum() * 1000 // n) for c in range(3)]
+    d444 = decode_jpeg(encode_jpeg(px))
+    d420 = decode_jpeg(encode_jpeg(px, subsample=True))
+    assert (d444["width"], d444["height"]) == (31, 17)
+    for c, k in enumerate(("mean_r_milli", "mean_g_milli", "mean_b_milli")):
+        assert abs(d444[k] - refm[c]) <= 2000, (k, d444[k], refm[c])
+        assert abs(d420[k] - refm[c]) <= 15000, (k, d420[k], refm[c])
+
+
+def test_jpeg_fallback_to_header_dims():
+    """Outside the baseline envelope the decoder degrades to the SOFn
+    header dims (never crashes, never stubs): progressive marker (SOF2)
+    and a truncated entropy scan both keep real width/height."""
+    np, decode_jpeg, encode_jpeg, _, _ = _jpeg_mods()
+    rgb = np.full((8, 8, 3), (10, 200, 90), dtype=np.uint8)
+    data = encode_jpeg(rgb)
+    prog = data.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    got = decode_jpeg(prog)
+    assert got == {"width": 8, "height": 8}
+    truncated = data[: len(data) - (len(data) - data.find(b"\xff\xda")) // 2]
+    got_t = decode_jpeg(truncated)
+    assert got_t is not None and (got_t["width"], got_t["height"]) == (8, 8)
+    assert got_t.get("mean_r_milli") is None
+    assert decode_jpeg(b"GIF89a") is None
+
+
+def test_media_goldens_full_roundtrip():
+    """Every fixture media row's golden fields must be reproduced by the
+    dispatch decoder — including the real-JPEG rows' exact means and the
+    header-only JPEG rows' dims (i%16==11 fallback path)."""
+    from buildlog_consultant_spark import fixtures
+    from buildlog_consultant_spark.ops.multimodal import classify_and_decode
+
+    seen_types = set()
+    for i in range(32):
+        row, golden = fixtures.make_media(i)
+        meta = classify_and_decode(bytes(row["media"]))
+        seen_types.add(meta["media_type"])
+        for k, v in golden.items():
+            if k == "url":
+                continue
+            assert meta.get(k) == v, (i, k, meta.get(k), v)
+    assert seen_types == {
+        "image/bmp", "audio/wav", "image/png", "image/jpeg", "unknown"
+    }
+
+
+# ---------------------------------------------------------------------------
 # skewed-corpus fan-out: salting bounds per-task rows (SURVEY §7 "Skew")
 # ---------------------------------------------------------------------------
 
