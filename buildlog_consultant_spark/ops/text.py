@@ -172,9 +172,12 @@ def with_repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     Python; prunes to the text column at scan. The bigram transform is an
     interpreted HOF, but that is the scale-right trade here: the
     explode→agg alternative shuffles every corpus bigram, while this stays
-    a linear per-row map (≈ doc length); if the interpreted constant ever
-    dominates a profile, the same loop drops into a numpy Arrow kernel the
-    way the simhash votes did (ops/dedup.py). NULL text coalesces to ''
+    a linear per-row map (≈ doc length); MEASURED against a pandas-UDF
+    Arrow kernel (scripts/bench_bigrams.py, BENCH/BASELINE.md round-5
+    table) the HOF is at parity or up to 2× FASTER across 50–1000-word
+    docs — string Arrow transfer + per-row set builds cost more than the
+    interpreter here, unlike the 64-wide numeric folds that moved to
+    kernels (ops/dedup.py simhash votes). NULL text coalesces to ''
     (dedup.py policy): zero-count signals, 0% dup — filter_repetitive
     KEEPS NULL-text docs instead of silently dropping them on NULL
     metrics."""
