@@ -1915,10 +1915,15 @@ def q_pipeline_lineage(spark, sf_dir):
     pages = _fixture_pages(spark, FIXN)
     out_dir = tempfile.mkdtemp(prefix="blc_lineage_")
     try:
+        # salt_buckets=2: the lineage contract is what's under test; the
+        # default 8-way salting just multiplies tiny files at 240 docs
         run_pipeline(
-            spark, pages, out_dir, n_shards=4, shards_per_wave=2, max_waves=1
+            spark, pages, out_dir, n_shards=4, shards_per_wave=2,
+            max_waves=1, salt_buckets=2,
         )
-        run_pipeline(spark, pages, out_dir, n_shards=4, shards_per_wave=2)
+        run_pipeline(
+            spark, pages, out_dir, n_shards=4, shards_per_wave=2, salt_buckets=2
+        )
         rows = (
             spark.read.parquet(f"{out_dir}/_lineage")
             .select("shard", "input_count", "matched_count")

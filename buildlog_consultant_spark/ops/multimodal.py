@@ -144,6 +144,12 @@ def decode_wav(data: bytes) -> Optional[dict]:
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
+# pixel-decode work cap shared by the PNG and JPEG paths: decode work is
+# bounded by the DECLARED dimensions, never by what the stream holds — a
+# crafted header (50000×50000) must not OOM or stall an executor. Dims
+# above the cap keep header-level metadata only.
+_MAX_DECODE_PIXELS = 16 * 1024 * 1024  # 48 MB of RGB + filter bytes
+
 
 def encode_png(pixels: np.ndarray) -> bytes:
     """Minimal 8-bit RGB PNG writer (pixels: HxWx3 uint8): IHDR + one
@@ -242,13 +248,10 @@ def decode_png(data: bytes) -> Optional[dict]:
     if width is None or width <= 0 or height <= 0:
         return None
     out = {"width": int(width), "height": int(height)}
-    # pixel decode is bounded by the DECLARED dimensions, never by what
-    # the stream inflates to: a crafted IHDR (50000×50000) or an IDAT
-    # zlib bomb on crawl data must not OOM the executor — dims above the
-    # cap keep header-level metadata only, and the inflate is told the
-    # exact expected byte count (decompress's max_length) so a bomb stops
-    # at the declared size instead of expanding to gigabytes
-    _MAX_DECODE_PIXELS = 16 * 1024 * 1024  # 48 MB of RGB + filter bytes
+    # decode work bounded by the declared dims (_MAX_DECODE_PIXELS, shared
+    # with the JPEG path); the inflate is additionally told the exact
+    # expected byte count (decompress's max_length) so an IDAT zlib bomb
+    # stops at the declared size instead of expanding to gigabytes
     if (
         bitdepth == 8
         and colortype == 2
@@ -390,6 +393,9 @@ class _BitWriter:
             if b == 0xFF:  # byte stuffing
                 self.buf.append(0x00)
             self.n -= 8
+            # mask emitted high bits or acc grows into a scan-length
+            # bignum and every shift turns O(stream)
+            self.acc &= (1 << self.n) - 1
 
     def flush(self) -> bytes:
         if self.n:
@@ -553,28 +559,25 @@ class _BitReader:
         self.acc = 0
         self.n = 0
 
-    def _fill(self) -> bool:
+    def _fill(self) -> None:
+        """Top up the accumulator to ≥16 bits when the scan has them."""
         d = self.data
-        while self.n <= 24:
+        while self.n < 16:
             if self.pos >= len(d):
-                return self.n > 0
+                return
             b = d[self.pos]
             if b == 0xFF:
                 if self.pos + 1 >= len(d):
-                    return self.n > 0
+                    return
                 nxt = d[self.pos + 1]
                 if nxt == 0x00:  # stuffed 0xFF data byte
                     self.pos += 2
-                elif 0xD0 <= nxt <= 0xD7:  # restart marker
-                    return self.n > 0
-                else:  # real marker: end of scan
-                    return self.n > 0
+                else:  # restart or real marker: stop feeding bits
+                    return
             else:
                 self.pos += 1
             self.acc = (self.acc << 8) | b
             self.n += 8
-            continue
-        return True
 
     def skip_rst(self) -> bool:
         """Consume a restart marker at the current byte boundary."""
@@ -589,67 +592,110 @@ class _BitReader:
     def bits(self, k: int):
         if k == 0:
             return 0
-        if self.n < k and not self._fill():
-            return None
         if self.n < k:
-            return None
+            self._fill()
+            if self.n < k:
+                return None
         v = (self.acc >> (self.n - k)) & ((1 << k) - 1)
         self.n -= k
+        # mask consumed high bits: without this the accumulator grows into
+        # a scan-length bignum and every shift turns O(stream) (measured
+        # quadratic blowup on dense scans)
+        self.acc &= (1 << self.n) - 1
         return v
 
-    def bit(self):
-        return self.bits(1)
-
-
-def _huff_decode_table(bits: list, vals: list) -> dict:
-    """(length, code) → symbol lookup."""
-    out = {}
-    code = 0
-    k = 0
-    for ln in range(1, 17):
-        for _ in range(bits[ln - 1]):
-            out[(ln, code)] = vals[k]
-            code += 1
-            k += 1
-        code <<= 1
-    return out
-
-
-def _read_symbol(br: _BitReader, table: dict):
-    code = 0
-    for ln in range(1, 17):
-        b = br.bit()
-        if b is None:
+    def read_symbol(self, table: list):
+        """Table-driven Huffman decode: ONE 16-bit-window lookup per
+        symbol (vs the per-bit walk a naive decoder does — measured ~8×
+        on noise-dense scans)."""
+        if self.n < 16:
+            self._fill()
+        n = self.n
+        if n == 0:
             return None
-        code = (code << 1) | b
-        sym = table.get((ln, code))
-        if sym is not None:
-            return sym
-    return None
+        window = (
+            (self.acc >> (n - 16)) & 0xFFFF
+            if n >= 16
+            else (self.acc << (16 - n)) & 0xFFFF
+        )
+        sym_ln = table[window]
+        if sym_ln is None:
+            return None
+        sym, ln = sym_ln
+        if ln > n:
+            return None
+        self.n = n - ln
+        self.acc &= (1 << self.n) - 1  # see bits(): keep acc bounded
+        return sym
 
 
-def _extend(v: int, cat: int) -> int:
-    if cat == 0:
-        return 0
-    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+def _huff_lookup_table(bits: tuple, vals: tuple) -> list:
+    """65536-entry window→(symbol, code_length) lookup, derived from the
+    SAME Annex-C assignment as the encoder (_huff_codes — single source of
+    truth). Cached per table spec: the Annex-K standard tables recur
+    across every image of a crawl, so the fill cost is paid once."""
+    tbl: list = [None] * 65536
+    for sym, (code, ln) in _huff_codes(list(bits), list(vals)).items():
+        base = code << (16 - ln)
+        entry = (sym, ln)
+        for i in range(base, base + (1 << (16 - ln))):
+            tbl[i] = entry
+    return tbl
+
+
+_huff_lookup_cache: dict = {}
+
+
+def _huff_lookup(bits: list, vals: list) -> list:
+    key = (bytes(bits), bytes(vals))
+    got = _huff_lookup_cache.get(key)
+    if got is None:
+        got = _huff_lookup_table(tuple(bits), tuple(vals))
+        if len(_huff_lookup_cache) > 64:  # corrupt-DHT flood guard
+            _huff_lookup_cache.clear()
+        _huff_lookup_cache[key] = got
+    return got
+
+
+# JPEG-specific per-row work budgets, tighter than the shared pixel cap:
+# the entropy decode is a pure-Python symbol loop (the sandbox has no
+# libjpeg). Measured with the 16-bit lookup tables + batched einsum IDCT:
+# ~1 µs per scan byte (512×512 all-coefficient noise, 1 MB scan → 1.0 s;
+# 1 MP smooth 4:2:0 → 1.2 s), so the budgets bound one pathological row
+# to ~2 s instead of stalling a task (the MAX_SCAN_CHARS principle from
+# engine/core.py); images beyond either budget keep header-level
+# metadata. On a cluster with image codecs installed the pixel path would
+# swap to the native decoder and these budgets would move to
+# _MAX_DECODE_PIXELS.
+_JPEG_MAX_DECODE_PIXELS = 1024 * 1024
+_JPEG_MAX_SCAN_BYTES = 2 * 1024 * 1024
 
 
 def decode_jpeg(data: bytes) -> Optional[dict]:
     """FULL baseline sequential JPEG decode (T.81): marker walk, DQT/DHT
-    parse, Huffman entropy decode, dequantize, float64 IDCT, chroma
-    upsampling for sampling factors in {1,2}, JFIF YCbCr→RGB — pure
-    stdlib + numpy, mirroring the PNG path. Returns dims + exact integer
-    milli-means. Degrades to header-level width/height (the pre-round-5
-    behavior) for anything outside the baseline-decodable envelope —
-    progressive (SOF2), arithmetic coding, >2 sampling factors, corrupt
-    or truncated scans — and None when the bytes aren't a JPEG at all.
-    Pixel work is bounded by the declared dimensions via the same
-    _MAX_DECODE_PIXELS cap as PNG (a crafted SOF must not OOM an
-    executor)."""
+    parse, table-driven Huffman entropy decode, dequantize, float64 IDCT,
+    chroma upsampling for sampling factors in {1,2}, JFIF YCbCr→RGB —
+    pure stdlib + numpy, mirroring the PNG path. Returns dims + exact
+    integer milli-means. Degrades to header-level width/height (the
+    pre-round-5 behavior) for anything outside the baseline-decodable
+    envelope — progressive (SOF2), arithmetic coding, >2 sampling
+    factors, zero dims, corrupt/truncated segments or scans, or images
+    beyond the _JPEG_MAX_DECODE_PIXELS/_JPEG_MAX_SCAN_BYTES work budgets
+    — and None when the bytes aren't a JPEG at all. The degrade contract
+    is enforced structurally: the pixel path runs inside a guard that
+    maps ANY malformed-input error to the header result, so a corrupt
+    crawl row can never fail a Spark task (pinned in test_round5)."""
     hdr = decode_jpeg_header(data)
-
     if len(data) < 4 or data[:2] != b"\xff\xd8":
         return None
+    try:
+        out = _decode_jpeg_pixels(data, hdr)
+    except Exception:  # malformed segment shapes beyond the explicit guards
+        return hdr
+    return out
+
+
+def _decode_jpeg_pixels(data: bytes, hdr: Optional[dict]) -> Optional[dict]:
     qt: dict = {}
     huff: dict = {}
     frame = None
@@ -696,13 +742,15 @@ def decode_jpeg(data: bytes) -> Optional[dict]:
                 vals = list(body[i + 17 : i + 17 + nv])
                 if len(vals) < nv:
                     return hdr
-                huff[tc_th] = _huff_decode_table(bits, vals)
+                huff[tc_th] = _huff_lookup(bits, vals)
                 i += 17 + nv
         elif marker in _JPEG_SOF_MARKERS:
             if marker != 0xC0 and marker != 0xC1:  # baseline/ext. sequential only
                 return hdr
+            if len(body) < 6:
+                return hdr
             prec, fh, fw, nc = struct.unpack_from(">BHHB", body)
-            if prec != 8 or nc not in (1, 3):
+            if prec != 8 or nc not in (1, 3) or len(body) < 6 + 3 * nc:
                 return hdr
             comps = []
             for c in range(nc):
@@ -710,9 +758,15 @@ def decode_jpeg(data: bytes) -> Optional[dict]:
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (fw, fh, comps)
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                return hdr
             ri = struct.unpack_from(">H", body)[0]
         elif marker == 0xDA:  # SOS
+            if not body:
+                return hdr
             ns = body[0]
+            if len(body) < 1 + 2 * ns:
+                return hdr
             sel = {}
             for c in range(ns):
                 cid, tt = body[1 + 2 * c], body[2 + 2 * c]
@@ -723,8 +777,9 @@ def decode_jpeg(data: bytes) -> Optional[dict]:
     if frame is None or scan_info is None:
         return hdr
     fw, fh, comps = frame
-    _MAX_DECODE_PIXELS = 16 * 1024 * 1024
-    if fw * fh > _MAX_DECODE_PIXELS:
+    if fw <= 0 or fh <= 0 or fw * fh > _JPEG_MAX_DECODE_PIXELS:
+        return hdr
+    if len(data) - scan_info[1] > _JPEG_MAX_SCAN_BYTES:
         return hdr
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
@@ -742,8 +797,15 @@ def decode_jpeg(data: bytes) -> Optional[dict]:
             return hdr
         planes.append(np.zeros((mcuy * cv * 8, mcux * ch * 8), dtype=np.float64))
 
+    # entropy decode: the hot loop touches ONLY Python ints and lists
+    # (numpy per-element setitem costs ~100 ns each and the per-block 8×8
+    # matmuls are overhead-dominated — moving both out of the loop and
+    # batching the IDCT as one einsum per component measured ~6× on a
+    # dense noise scan); dequant + IDCT + placement happen vectorized
+    # afterwards
     br = _BitReader(data, scan_pos)
     pred = [0] * len(comps)
+    blocks_zz: list = [[] for _ in comps]  # (y0, x0, zz-list) per component
     n_mcu = 0
     for my in range(mcuy):
         for mx in range(mcux):
@@ -757,18 +819,23 @@ def decode_jpeg(data: bytes) -> Optional[dict]:
                 dct_tbl, act_tbl = huff[td], huff[0x10 | ta]
                 for byy in range(cv):
                     for bxx in range(ch):
-                        zz = np.zeros(64, dtype=np.int64)
-                        s = _read_symbol(br, dct_tbl)
+                        zz = [0] * 64
+                        s = br.read_symbol(dct_tbl)
                         if s is None:
                             return hdr
-                        vbits = br.bits(s)
-                        if vbits is None:
-                            return hdr
-                        pred[ci] += _extend(vbits, s)
+                        if s:
+                            vbits = br.bits(s)
+                            if vbits is None:
+                                return hdr
+                            pred[ci] += (
+                                vbits
+                                if vbits >= (1 << (s - 1))
+                                else vbits - (1 << s) + 1
+                            )
                         zz[0] = pred[ci]
                         k = 1
                         while k < 64:
-                            rs = _read_symbol(br, act_tbl)
+                            rs = br.read_symbol(act_tbl)
                             if rs is None:
                                 return hdr
                             r, s = rs >> 4, rs & 0x0F
@@ -783,14 +850,29 @@ def decode_jpeg(data: bytes) -> Optional[dict]:
                             vbits = br.bits(s)
                             if vbits is None:
                                 return hdr
-                            zz[k] = _extend(vbits, s)
+                            zz[k] = (
+                                vbits
+                                if vbits >= (1 << (s - 1))
+                                else vbits - (1 << s) + 1
+                            )
                             k += 1
-                        coef = np.zeros(64, dtype=np.float64)
-                        coef[_ZIGZAG] = (zz * qt[tq]).astype(np.float64)
-                        block = _DCT_M.T @ coef.reshape(8, 8) @ _DCT_M
-                        y0 = (my * cv + byy) * 8
-                        x0 = (mx * ch + bxx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+                        blocks_zz[ci].append(
+                            ((my * cv + byy) * 8, (mx * ch + bxx) * 8, zz)
+                        )
+    # batched dequant + IDCT per component (DQT bytes are zigzag-ordered,
+    # matching the collected coefficient order)
+    for ci, (cid, ch, cv, tq) in enumerate(comps):
+        entries = blocks_zz[ci]
+        arr = np.array([e[2] for e in entries], dtype=np.float64)
+        arr *= qt[tq].astype(np.float64)[None, :]
+        coef = np.zeros((len(entries), 64))
+        coef[:, _ZIGZAG] = arr
+        spatial = np.einsum(
+            "ub,nbc,cv->nuv", _DCT_M.T, coef.reshape(-1, 8, 8), _DCT_M
+        )
+        plane = planes[ci]
+        for (y0, x0, _), blk in zip(entries, spatial):
+            plane[y0 : y0 + 8, x0 : x0 + 8] = blk
     # upsample to full resolution, crop, level-shift
     full = []
     for ci, (cid, ch, cv, tq) in enumerate(comps):
@@ -799,13 +881,13 @@ def decode_jpeg(data: bytes) -> Optional[dict]:
         full.append(p[:fh, :fw] + 128.0)
     if len(full) == 1:
         gray = np.clip(np.rint(full[0]), 0, 255).astype(np.int64)
-        n = fw * fh
+        mean = int(gray.sum() * 1000 // (fw * fh))
         return {
             "width": int(fw),
             "height": int(fh),
-            "mean_r_milli": int(gray.sum() * 1000 // n),
-            "mean_g_milli": int(gray.sum() * 1000 // n),
-            "mean_b_milli": int(gray.sum() * 1000 // n),
+            "mean_r_milli": mean,
+            "mean_g_milli": mean,
+            "mean_b_milli": mean,
         }
     ycc = np.clip(np.rint(np.stack(full, axis=-1)), 0, 255).astype(np.uint8)
     rgb = ycbcr_to_rgb(ycc).astype(np.int64)

@@ -526,7 +526,12 @@ def ann_topk_int8(
     k survivors only — that post-limit window is O(k), free.
 
     Raises ValueError when ``query_vec_id`` is absent (parity with
-    ivf_topk; a silent empty frame hides a caller typo)."""
+    ivf_topk; a silent empty frame hides a caller typo). Like ivf_topk's
+    pivot/query fetch, this costs one bounded driver-side head() at
+    build time — a pushed-filter scan (PushedFilters on the id) that
+    prunes to the matching row group when ids are sorted/partitioned;
+    the eager job is the price of failing fast on a bad id rather than
+    returning a silently empty result at action time."""
     from pyspark.sql import Window
 
     codes = quantize_embeddings(df, id_col, vec_col, dim)

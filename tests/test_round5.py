@@ -319,6 +319,56 @@ def test_jpeg_fallback_to_header_dims():
     assert decode_jpeg(b"GIF89a") is None
 
 
+def test_jpeg_malformed_segments_degrade_not_crash():
+    """Self-review r5: malformed fixed-field segments (short SOF body,
+    empty SOS, short DRI) and a zero-width SOF must degrade — never raise
+    through classify_and_decode into a Spark task failure."""
+    from buildlog_consultant_spark.ops.multimodal import (
+        classify_and_decode,
+        decode_jpeg,
+    )
+
+    bad = [
+        bytes.fromhex("ffd8ffc000040800"),  # SOF0 with ln=4: 2-byte body
+        b"\xff\xd8\xff\xda\x00\x02",        # SOS with empty body
+        b"\xff\xd8\xff\xdd\x00\x02",        # DRI with no interval bytes
+    ]
+    for b in bad:
+        assert decode_jpeg(b) is None
+        assert classify_and_decode(b)["media_type"] == "unknown"
+    # zero-width SOF: header path rejects w<=0, the pixel path must too
+    # (previously emitted width=0 with int64//0 == 0 bogus means)
+    zw = (
+        b"\xff\xd8\xff\xc0" + (17).to_bytes(2, "big")
+        + bytes([8, 0, 8, 0, 0, 3])
+        + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+    )
+    assert decode_jpeg(zw) is None
+    assert classify_and_decode(zw)["media_type"] == "unknown"
+
+
+def test_jpeg_work_budgets_fall_back_to_header():
+    """Self-review r5: the pure-Python entropy decode is budgeted — an
+    image over the pixel budget or a scan over the byte budget keeps
+    header-level dims instead of stalling an executor task."""
+    np, decode_jpeg, encode_jpeg, _, _ = _jpeg_mods()
+    from buildlog_consultant_spark.ops import multimodal as mm
+
+    rgb = np.full((8, 8, 3), (9, 9, 9), dtype=np.uint8)
+    data = encode_jpeg(rgb)
+    # inflate the scan segment past the byte budget
+    cut = data.find(b"\xff\xda") + 20
+    oversized = data[:cut] + b"\x55" * (mm._JPEG_MAX_SCAN_BYTES + 1)
+    assert decode_jpeg(oversized) == {"width": 8, "height": 8}
+    # shrink the pixel budget: the same valid image falls back to dims
+    orig = mm._JPEG_MAX_DECODE_PIXELS
+    try:
+        mm._JPEG_MAX_DECODE_PIXELS = 16
+        assert decode_jpeg(data) == {"width": 8, "height": 8}
+    finally:
+        mm._JPEG_MAX_DECODE_PIXELS = orig
+
+
 def test_media_goldens_full_roundtrip():
     """Every fixture media row's golden fields must be reproduced by the
     dispatch decoder — including the real-JPEG rows' exact means and the
