@@ -1684,7 +1684,7 @@ MEDIA_N = 64
 _MEDIA_COLS = [
     "url", "media_type", "width", "height",
     "mean_r_milli", "mean_g_milli", "mean_b_milli",
-    "sample_rate", "n_samples", "rms_milli",
+    "sample_rate", "n_samples", "rms_milli", "duration_ms",
 ]
 
 

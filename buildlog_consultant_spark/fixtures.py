@@ -465,10 +465,11 @@ def pages_df(spark, n: int, partitions: Optional[int] = None, pad_scale: int = 1
 
 
 def make_media(i: int) -> tuple[dict, dict]:
-    """Deterministic media row i: real BMP / WAV / PNG / baseline-JPEG
-    bytes, plus one 'unknown' blob in every 8 (i%8: even→BMP, 1→WAV,
-    3→JPEG [i%16==11: header-only prefix, else full baseline scan],
-    5→PNG, 7→unknown). Returns (row, golden) where golden carries the
+    """Deterministic media row i: real BMP / WAV / PNG / baseline-JPEG /
+    MP4-header bytes, plus one 'unknown' blob in every 16 (i%8: even→BMP,
+    1→WAV, 3→JPEG [i%16==11: header-only prefix, else full baseline
+    scan], 5→PNG, 7→MP4 header when i%16==7 else unknown). Returns
+    (row, golden) where golden carries the
     BY-CONSTRUCTION expectations (stats computed from the generating
     arrays — for JPEG via the 1-pixel color-transform replay, since a
     solid-color image survives the all-ones-quant DCT round-trip exactly
@@ -490,6 +491,17 @@ def make_media(i: int) -> tuple[dict, dict]:
     url = f"media://{i:06d}"
     kind = i % 8
     if kind == 7:
+        if i % 16 == 7:
+            # MP4 header: real tkhd dims + mvhd duration, no samples
+            w, h = 320 + (i % 5) * 16, 180 + (i % 3) * 60
+            dur = 1000 + (i % 11) * 500
+            golden = {
+                "url": url, "media_type": "video/mp4",
+                "width": w, "height": h, "duration_ms": dur,
+            }
+            from .ops.multimodal import encode_mp4_header
+
+            return {"url": url, "media": encode_mp4_header(w, h, dur)}, golden
         data = (b"\x89OPAQUE" + bytes([(i * 37 + j) % 256 for j in range(64)]))
         golden = {"url": url, "media_type": "unknown"}
         return {"url": url, "media": data}, golden

@@ -12,9 +12,12 @@ Real decoders, no external libraries needed:
   Huffman entropy decode, dequantize, float64 IDCT, chroma upsampling
   (sampling factors 1-2), JFIF YCbCr→RGB, numpy pixel stats; outside the
   baseline envelope (progressive, arithmetic) the SOFn marker walk still
-  yields real width/height (header-level).
+  yields real width/height (header-level);
+- MP4/ISO-BMFF — header-level: the box-tree walk yields real track
+  width/height (tkhd 16.16 fixed) and duration (mvhd), versions 0 and 1.
 
-The ONLY remaining labeled stub is video (MP4 etc. need ffmpeg): it falls
+The ONLY remaining labeled stub is video FRAME decode (needs a codec —
+ffmpeg — which this container lacks); genuinely unrecognized blobs fall
 through to the clearly-marked deterministic fake, so a mixed-format
 corpus never poisons a batch. The Spark-side plumbing — schema, Arrow
 batch shape, mapInPandas signature, one-row-per-row output (no shuffle) —
@@ -36,14 +39,14 @@ MEDIA_META_SCHEMA = (
     "url string, media_type string, n_bytes long, sha1 string, "
     "width int, height int, mean_r_milli long, mean_g_milli long, mean_b_milli long, "
     "sample_rate int, n_samples long, rms_milli long, "
-    "fake_width int, fake_height int"
+    "duration_ms long, fake_width int, fake_height int"
 )
 
 _META_COLS = [
     "url", "media_type", "n_bytes", "sha1",
     "width", "height", "mean_r_milli", "mean_g_milli", "mean_b_milli",
     "sample_rate", "n_samples", "rms_milli",
-    "fake_width", "fake_height",
+    "duration_ms", "fake_width", "fake_height",
 ]
 
 
@@ -957,6 +960,104 @@ def decode_jpeg_header(data: bytes) -> Optional[dict]:
     return None
 
 
+# ---------------------------------------------------------------------------
+# MP4 (ISO BMFF) — header-level metadata via the box structure; FRAME decode
+# genuinely needs a video codec (ffmpeg) and stays out of scope
+# ---------------------------------------------------------------------------
+
+
+def encode_mp4_header(
+    w: int, h: int, duration_ms: int, timescale: int = 1000
+) -> bytes:
+    """Minimal structurally-valid ISO BMFF prefix: ftyp + moov(mvhd +
+    trak(tkhd)) carrying real dimensions (16.16 fixed) and duration —
+    enough for header-level metadata extraction; no mdat/samples.
+    Fixture writer."""
+
+    def box(typ: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body) + 8) + typ + body
+
+    dur = duration_ms * timescale // 1000
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">I", 0)  # version 0 + flags
+        + struct.pack(">IIII", 0, 0, timescale, dur)
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)  # rate, volume, reserved
+        + b"\x00" * 8  # reserved
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24  # pre_defined
+        + struct.pack(">I", 2),  # next_track_ID
+    )
+    tkhd = box(
+        b"tkhd",
+        struct.pack(">I", 0x000007)  # version 0 + enabled/in-movie flags
+        + struct.pack(">IIIII", 0, 0, 1, 0, dur)
+        + b"\x00" * 8  # reserved
+        + struct.pack(">HHHH", 0, 0, 0, 0)  # layer, alt_group, volume, reserved
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", w << 16, h << 16),  # 16.16 fixed
+    )
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    return ftyp + box(b"moov", mvhd + box(b"trak", tkhd))
+
+
+def decode_mp4_header(data: bytes) -> Optional[dict]:
+    """Header-level MP4/ISO-BMFF decode: walk the box tree to the first
+    video-sized tkhd (16.16 fixed width/height) and the mvhd
+    timescale/duration (both version 0 and 1 layouts). Pure stdlib
+    struct — the analogue of the JPEG SOFn walk; FRAME decode needs a
+    codec and is out of scope by design (the one remaining labeled
+    stub). Returns None when the bytes aren't an ISO BMFF container."""
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        return None
+    out: dict = {}
+
+    def walk(lo: int, hi: int, depth: int) -> None:
+        pos = lo
+        while pos + 8 <= hi and depth < 8:
+            size, typ = struct.unpack_from(">I4s", data, pos)
+            body = pos + 8
+            if size == 1:  # 64-bit largesize
+                if pos + 16 > hi:
+                    return
+                size = struct.unpack_from(">Q", data, pos + 8)[0]
+                body = pos + 16
+            elif size == 0:
+                size = hi - pos
+            if size < 8 or pos + size > hi:
+                return
+            end = pos + size
+            if typ in (b"moov", b"trak"):
+                walk(body, end, depth + 1)
+            elif typ == b"mvhd" and body + 4 <= end:
+                v = data[body]
+                if v == 0 and body + 20 <= end:
+                    ts, dur = struct.unpack_from(">II", data, body + 12)
+                elif v == 1 and body + 32 <= end:
+                    ts = struct.unpack_from(">I", data, body + 20)[0]
+                    dur = struct.unpack_from(">Q", data, body + 24)[0]
+                else:
+                    ts = 0
+                if ts:
+                    out["duration_ms"] = int(dur * 1000 // ts)
+            elif typ == b"tkhd" and body + 4 <= end and "width" not in out:
+                v = data[body]
+                # width offset past version/flags(4), times(v0: 4+4 /
+                # v1: 8+8), track_id(4), reserved(4), duration(v0: 4 /
+                # v1: 8), reserved(8), layer/alt/volume/reserved(8),
+                # matrix(36) = 76 (v0) / 88 (v1)
+                off = body + (88 if v == 1 else 76)
+                if off + 8 <= end:
+                    wfx, hfx = struct.unpack_from(">II", data, off)
+                    w, h = wfx >> 16, hfx >> 16
+                    if w > 0 and h > 0:  # audio/hint tracks carry 0×0
+                        out["width"], out["height"] = int(w), int(h)
+            pos = end
+
+    walk(0, len(data), 0)
+    return out
+
+
 def decode_image_stub(data: bytes) -> dict:
     """DETERMINISTIC FAKE decode for formats this container cannot decode
     (MP4/video need ffmpeg): stable pseudo-metadata from a content hash,
@@ -991,6 +1092,11 @@ def classify_and_decode(data: bytes) -> dict:
         out.update(jpg)
         out["media_type"] = "image/jpeg"
         return out
+    mp4 = decode_mp4_header(data)
+    if mp4 is not None:
+        out.update(mp4)
+        out["media_type"] = "video/mp4"
+        return out
     out.update(decode_image_stub(data))
     out["media_type"] = "unknown"
     return out
@@ -1020,7 +1126,7 @@ def extract_media_meta(df, binary_col: str = "html", url_col: str = "url"):
             for c in ("width", "height", "sample_rate", "fake_width", "fake_height"):
                 out[c] = out[c].astype("Int32")
             for c in ("mean_r_milli", "mean_g_milli", "mean_b_milli",
-                      "n_samples", "rms_milli"):
+                      "n_samples", "rms_milli", "duration_ms"):
                 out[c] = out[c].astype("Int64")
             yield out
 

@@ -386,8 +386,53 @@ def test_media_goldens_full_roundtrip():
                 continue
             assert meta.get(k) == v, (i, k, meta.get(k), v)
     assert seen_types == {
-        "image/bmp", "audio/wav", "image/png", "image/jpeg", "unknown"
+        "image/bmp", "audio/wav", "image/png", "image/jpeg",
+        "video/mp4", "unknown",
     }
+
+
+def test_mp4_header_decode():
+    """ISO BMFF box walk: real tkhd dims (16.16 fixed, v0 and v1 layouts)
+    + mvhd duration; audio tracks (0×0) skipped; non-BMFF rejected."""
+    import struct
+
+    from buildlog_consultant_spark.ops.multimodal import (
+        classify_and_decode,
+        decode_mp4_header,
+        encode_mp4_header,
+    )
+
+    data = encode_mp4_header(1920, 1080, 4500)
+    assert decode_mp4_header(data) == {
+        "width": 1920, "height": 1080, "duration_ms": 4500,
+    }
+    meta = classify_and_decode(data)
+    assert meta["media_type"] == "video/mp4" and meta["width"] == 1920
+    assert meta["fake_width"] is None  # real metadata, not the stub
+    assert decode_mp4_header(b"GIF89a" + b"\x00" * 20) is None
+    assert decode_mp4_header(b"") is None
+    # truncated box tree must not crash and keeps whatever parsed
+    assert decode_mp4_header(data[:40]) is not None
+    # v1 tkhd layout: rewrite the version byte and shift the field block
+    tkhd_off = data.find(b"tkhd") + 4
+    v1_body = (
+        b"\x01\x00\x00\x07"
+        + struct.pack(">QQIIQ", 0, 0, 1, 0, 4500)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", 640 << 16, 360 << 16)
+    )
+    trak_body = struct.pack(">I", len(v1_body) + 8) + b"tkhd" + v1_body
+    trak = struct.pack(">I", len(trak_body) + 8) + b"trak" + trak_body
+    mvhd_start = data.find(b"mvhd") - 4
+    mvhd = data[mvhd_start : mvhd_start + struct.unpack_from(">I", data, mvhd_start)[0]]
+    moov_body = mvhd + trak
+    moov = struct.pack(">I", len(moov_body) + 8) + b"moov" + moov_body
+    ftyp_len = struct.unpack_from(">I", data, 0)[0]
+    v1_data = data[:ftyp_len] + moov
+    got = decode_mp4_header(v1_data)
+    assert got["width"] == 640 and got["height"] == 360
 
 
 # ---------------------------------------------------------------------------

@@ -388,7 +388,7 @@ def test_multimodal_real_decoders(spark):
         counts[golden["media_type"]] = counts.get(golden["media_type"], 0) + 1
     assert counts == {
         "image/bmp": 16, "audio/wav": 4, "image/jpeg": 4, "image/png": 4,
-        "unknown": 4,
+        "video/mp4": 2, "unknown": 2,
     }
 
 
