@@ -23,8 +23,9 @@ STOPWORDS = {
 
 def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace token count (BPE-ish split on non-word boundaries is
-    `word_count_bpeish`)."""
-    t = F.trim(F.col(text_col))
+    `word_count_bpeish`). NULL text coalesces to '' (dedup.py policy) —
+    zero tokens, never a NULL count."""
+    t = F.trim(F.coalesce(F.col(text_col), F.lit("")))
     return df.withColumn(
         "n_tokens",
         F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+"))),
@@ -40,9 +41,13 @@ BPE_ISH_PATTERN = r" ?[A-Za-zÀ-ÿ]+| ?[0-9]+| ?[^A-Za-zÀ-ÿ0-9\s]+|\s+"
 
 def with_bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Token count under the BPE-ish pre-tokenizer (JVM-side regexp_count —
-    no Python, no explode; at crawl scale this is a pure map column)."""
+    no Python, no explode; at crawl scale this is a pure map column).
+    NULL text coalesces to '' → count 0."""
     return df.withColumn(
-        "n_bpe_tokens", F.regexp_count(F.col(text_col), F.lit(BPE_ISH_PATTERN))
+        "n_bpe_tokens",
+        F.regexp_count(
+            F.coalesce(F.col(text_col), F.lit("")), F.lit(BPE_ISH_PATTERN)
+        ),
     )
 
 
@@ -57,11 +62,18 @@ def token_topk(
     counts map-side before ONE shuffle keyed on (lang, token) — the shuffle
     carries at most executors × distinct-vocab rows, not corpus tokens. The
     final per-lang top-k ranks the aggregated counts (vocab-sized input,
-    ties broken lexicographically for cross-engine determinism)."""
+    ties broken lexicographically for cross-engine determinism). NULL
+    text coalesces to '' (dedup.py policy): the doc contributes one ''
+    token instead of silently vanishing from the vocabulary stats."""
     from pyspark.sql import Window
 
     toks = F.split(
-        F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")), " "
+        F.lower(
+            F.regexp_replace(
+                F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", " "
+            )
+        ),
+        " ",
     )
     counts = (
         df.select(F.col(lang_col).alias("lang"), F.explode(toks).alias("token"))
@@ -95,8 +107,10 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic integer quality score in [0, 100]:
     length component + punctuation-ratio + uppercase-ratio penalties.
     Mirrors reference-free web-text quality heuristics; exact SQL equivalent
-    exists for the oracle."""
-    t = F.col(text_col)
+    exists for the oracle. NULL text coalesces to '' (dedup.py policy)
+    → the empty-text score of 50, never a NULL that filters silently
+    drop."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
     length = F.length(t)
     n_punct = length - F.length(F.regexp_replace(t, r"[.,;:!?]", ""))
     n_upper = length - F.length(F.regexp_replace(t, r"[A-Z]", ""))
@@ -136,8 +150,9 @@ def with_lang_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-hit lang-ID: the language with the most stopword occurrences
     ('und' when no hits; ties resolved to the lexicographically greatest code
     — struct greatest semantics, identical in DuckDB for the oracle). Pure
-    built-ins: one regexp_count per language over a lowercased copy."""
-    t = F.lower(F.col(text_col))
+    built-ins: one regexp_count per language over a lowercased copy.
+    NULL text coalesces to '' → 'und'."""
+    t = F.lower(F.coalesce(F.col(text_col), F.lit("")))
     scores = []
     for lang in sorted(STOPWORDS):
         pat = r"\b(" + "|".join(STOPWORDS[lang]) + r")\b"
@@ -152,8 +167,10 @@ def with_lang_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: first 16 hex chars of md5 over the
-    whitespace-normalized text (rolling-hash analogue, portable to SQL)."""
-    norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    whitespace-normalized text (rolling-hash analogue, portable to SQL).
+    NULL text coalesces to '' (dedup.py policy: NULL and empty docs are
+    the same document for dedup purposes, here as there)."""
+    norm = F.regexp_replace(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", " ")
     return df.withColumn("fingerprint", F.substring(F.md5(norm), 1, 16))
 
 

@@ -107,6 +107,33 @@ def test_repetition_signals_null_text_zeroed_and_kept(spark):
     assert kept == {1}
 
 
+def test_all_text_ops_null_policy(spark):
+    """Round-5 sweep: EVERY text.py operator follows the dedup.py NULL→''
+    policy — a NULL-text doc behaves exactly like an empty-text doc
+    (counts 0, quality 50, lang 'und', md5('') fingerprint) instead of
+    propagating NULLs that downstream filters silently drop."""
+    import hashlib
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=None, lang="en"),
+         Row(doc_id=2, text="", lang="en")],
+        "doc_id long, text string, lang string",
+    )
+    tok = {r["doc_id"]: r for r in text_ops.with_token_count(df).collect()}
+    assert tok[1]["n_tokens"] == 0 == tok[2]["n_tokens"]
+    bpe = {r["doc_id"]: r for r in text_ops.with_bpe_token_count(df).collect()}
+    assert bpe[1]["n_bpe_tokens"] == 0 == bpe[2]["n_bpe_tokens"]
+    q = {r["doc_id"]: r for r in text_ops.with_quality_score(df).collect()}
+    assert q[1]["quality"] == 50 == q[2]["quality"]
+    lg = {r["doc_id"]: r for r in text_ops.with_lang_guess(df).collect()}
+    assert lg[1]["lang_guess"] == "und" == lg[2]["lang_guess"]
+    fp = {r["doc_id"]: r for r in text_ops.with_fingerprint(df).collect()}
+    empty_md5 = hashlib.md5(b"").hexdigest()[:16]
+    assert fp[1]["fingerprint"] == empty_md5 == fp[2]["fingerprint"]
+    tt = text_ops.token_topk(df, k=3).collect()
+    assert {(r["token"], r["n"]) for r in tt} == {("", 2)}
+
+
 def test_tfidf_null_text_coalesced(spark):
     df = spark.createDataFrame(
         [Row(doc_id=1, text=None), Row(doc_id=2, text="alpha beta alpha")],
