@@ -1957,6 +1957,28 @@ def _oracle_pipeline_lineage() -> str:
     return _values_oracle(rows, ["shard", "input_count", "matched_count"])
 
 
+def q_source_quota(spark, sf_dir):
+    """Per-source quota — the domain-budgeting pass of a web pipeline
+    (cap each source's contribution): keep the 10 docs per source with
+    the lowest (md5(doc_id), doc_id). Exact and engine-portable, but
+    computed WITHOUT sorting whole sources (ops/quota.py — hash-prefix
+    buckets, count table, rank only the boundary bucket); the oracle is
+    the naive QUALIFY row_number formulation, which the bucketed plan
+    must match bit-for-bit."""
+    from buildlog_consultant_spark.ops.quota import key_quota
+
+    d = _docs(spark, sf_dir)
+    return key_quota(d, n_keep=10).select("source", "doc_id")
+
+
+ORACLE_SOURCE_QUOTA = """
+SELECT source, doc_id FROM documents
+QUALIFY row_number() OVER (
+  PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+) <= 10
+"""
+
+
 def q_repetition_signals(spark, sf_dir):
     """Gopher-style repetition quality signals aggregated per lang: word /
     word-bigram duplication totals plus the count of docs the repetition
@@ -2210,6 +2232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "ann_topk_int8_rerank": q_ann_topk_int8_rerank,
         "pipeline_lineage": q_pipeline_lineage,
+        "source_quota": q_source_quota,
     }
 
 
@@ -2264,4 +2287,5 @@ def oracle_sql(sf_dir: str = None) -> dict[str, str]:
         "asof_join": ORACLE_ASOF_JOIN,
         "ann_topk_int8_rerank": ORACLE_ANN_TOPK_INT8_RERANK,
         "pipeline_lineage": _oracle_pipeline_lineage(),
+        "source_quota": ORACLE_SOURCE_QUOTA,
     }

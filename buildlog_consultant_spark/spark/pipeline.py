@@ -114,6 +114,7 @@ def choose_salt_buckets(
     scale the 1% sample never leaves the scan stage's combiners."""
     import math
 
+    sample_fraction = min(max(sample_fraction, 1e-6), 1.0)
     row = (
         df.sample(fraction=sample_fraction, seed=seed)
         .groupBy(kind_col)

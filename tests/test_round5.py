@@ -548,6 +548,55 @@ def test_choose_salt_buckets_from_histogram_probe(spark):
 
 
 # ---------------------------------------------------------------------------
+# per-key quota (bucketed exact selection — no whole-key sorts)
+# ---------------------------------------------------------------------------
+
+
+def _quota_corpus(spark):
+    """Skewed: key 'hot' holds 60% of rows."""
+    rows = [
+        Row(doc_id=i, source=("hot" if i % 5 < 3 else f"s{i % 5}"))
+        for i in range(400)
+    ]
+    return spark.createDataFrame(rows)
+
+
+@pytest.mark.parametrize("n_keep", [0, 1, 7, 64, 1000])
+def test_key_quota_matches_naive_on_skew(spark, n_keep):
+    """The bucketed quota must equal the naive whole-key row_number
+    selection bit-for-bit — including n_keep 0, 1, mid-bucket boundaries,
+    and n_keep beyond every key's size — on a 60%-hot corpus."""
+    from buildlog_consultant_spark.ops.quota import key_quota, key_quota_naive
+
+    df = _quota_corpus(spark)
+    got = {
+        (r["source"], r["doc_id"])
+        for r in key_quota(df, n_keep, bucket_hex_chars=1).collect()
+    }
+    want = {
+        (r["source"], r["doc_id"])
+        for r in key_quota_naive(df, n_keep).collect()
+    }
+    assert got == want
+    if n_keep:
+        from collections import Counter
+
+        per_key = Counter(k for k, _ in got)
+        assert all(v <= n_keep for v in per_key.values())
+
+
+def test_key_quota_windows_only_boundary_buckets(spark):
+    """The full-bucket branch must carry rows with NO ranking window:
+    exactly one row_number appears in the plan, below the partial-bucket
+    filter — no task sorts a whole key."""
+    from buildlog_consultant_spark.ops.quota import key_quota
+
+    plan = key_quota(_quota_corpus(spark), 7)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("row_number") <= 2, plan[:2000]  # one def + one ref
+    assert "_kb" in plan  # boundary arithmetic drives the keep decision
+
+
+# ---------------------------------------------------------------------------
 # run_pipeline max_waves + resume
 # ---------------------------------------------------------------------------
 
