@@ -1689,9 +1689,11 @@ _MEDIA_COLS = [
 
 
 def q_media_meta(spark, sf_dir):
-    """Multimodal decode over a deterministic binary corpus: REAL 24-bit BMP
-    and PCM WAV decoders (numpy/stdlib — no image libs needed), unknown blobs
-    labeled as such. Oracle: golden VALUES carrying the BY-CONSTRUCTION
+    """Multimodal decode over a deterministic binary corpus: REAL 24-bit
+    BMP, PCM WAV, PNG (zlib inflate + de-filter), baseline JPEG (full
+    T.81 entropy decode; header-dims fallback) and MP4-header decoders
+    (numpy/stdlib — no media libs needed); unknown blobs labeled as
+    such. Oracle: golden VALUES carrying the BY-CONSTRUCTION
     expectations (stats computed from the generating arrays in fixtures,
     independent of the decoders)."""
     from buildlog_consultant_spark.ops.multimodal import extract_media_meta
