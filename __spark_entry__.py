@@ -297,8 +297,8 @@ SELECT lang,
        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
        MIN(n_chars) AS min_chars,
        MAX(n_chars) AS max_chars,
-       CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
-                ELSE length(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS sum_tokens
+       CAST(SUM(CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+                ELSE length(regexp_split_to_array(trim(coalesce(text, '')), '\\s+')) END) AS BIGINT) AS sum_tokens
 FROM documents GROUP BY lang ORDER BY lang
 """
 
@@ -328,9 +328,9 @@ def q_quality_hist(spark, sf_dir):
 ORACLE_QUALITY_HIST = """
 WITH scored AS (
   SELECT 50
-     + LEAST(50, CAST(floor(length(text) / 20.0) AS BIGINT))
-     - LEAST(25, CAST(floor((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) ) * 100.0 / GREATEST(length(text), 1)) AS BIGINT))
-     - LEAST(25, CAST(floor((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) ) * 100.0 / GREATEST(length(text), 1)) AS BIGINT))
+     + LEAST(50, CAST(floor(length(coalesce(text, '')) / 20.0) AS BIGINT))
+     - LEAST(25, CAST(floor((length(coalesce(text, '')) - length(regexp_replace(coalesce(text, ''), '[.,;:!?]', '', 'g')) ) * 100.0 / GREATEST(length(coalesce(text, '')), 1)) AS BIGINT))
+     - LEAST(25, CAST(floor((length(coalesce(text, '')) - length(regexp_replace(coalesce(text, ''), '[A-Z]', '', 'g')) ) * 100.0 / GREATEST(length(coalesce(text, '')), 1)) AS BIGINT))
      AS quality
   FROM documents
 )
@@ -351,9 +351,9 @@ def q_quality_filter(spark, sf_dir):
 ORACLE_QUALITY_FILTER = """
 WITH scored AS (
   SELECT lang, 50
-     + LEAST(50, CAST(floor(length(text) / 20.0) AS BIGINT))
-     - LEAST(25, CAST(floor((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) ) * 100.0 / GREATEST(length(text), 1)) AS BIGINT))
-     - LEAST(25, CAST(floor((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) ) * 100.0 / GREATEST(length(text), 1)) AS BIGINT))
+     + LEAST(50, CAST(floor(length(coalesce(text, '')) / 20.0) AS BIGINT))
+     - LEAST(25, CAST(floor((length(coalesce(text, '')) - length(regexp_replace(coalesce(text, ''), '[.,;:!?]', '', 'g')) ) * 100.0 / GREATEST(length(coalesce(text, '')), 1)) AS BIGINT))
+     - LEAST(25, CAST(floor((length(coalesce(text, '')) - length(regexp_replace(coalesce(text, ''), '[A-Z]', '', 'g')) ) * 100.0 / GREATEST(length(coalesce(text, '')), 1)) AS BIGINT))
      AS quality
   FROM documents
 )
@@ -373,7 +373,7 @@ def q_fingerprint_dups(spark, sf_dir):
 
 
 ORACLE_FINGERPRINT_DUPS = """
-SELECT substring(md5(regexp_replace(trim(text), '\\s+', ' ', 'g')), 1, 16) AS fingerprint,
+SELECT substring(md5(regexp_replace(trim(coalesce(text, '')), '\\s+', ' ', 'g')), 1, 16) AS fingerprint,
        COUNT(*) AS n_dups, MIN(doc_id) AS min_id
 FROM documents
 GROUP BY 1 HAVING COUNT(*) > 1
@@ -987,7 +987,7 @@ def q_bpe_token_counts(spark, sf_dir):
 
 ORACLE_BPE_TOKEN_COUNTS = r"""
 WITH c AS (
-  SELECT lang, len(regexp_extract_all(text, ' ?[A-Za-zÀ-ÿ]+| ?[0-9]+| ?[^A-Za-zÀ-ÿ0-9\s]+|\s+')) AS n
+  SELECT lang, len(regexp_extract_all(coalesce(text, ''), ' ?[A-Za-zÀ-ÿ]+| ?[0-9]+| ?[^A-Za-zÀ-ÿ0-9\s]+|\s+')) AS n
   FROM documents
 )
 SELECT lang, CAST(SUM(n) AS BIGINT) AS sum_bpe_tokens,
@@ -1168,7 +1168,7 @@ def q_token_topk(spark, sf_dir):
 ORACLE_TOKEN_TOPK = r"""
 WITH toks AS (
   SELECT lang,
-         unnest(string_split(lower(regexp_replace(trim(text, ' '),
+         unnest(string_split(lower(regexp_replace(trim(coalesce(text, ''), ' '),
                 '[ \t\n\x0b\f\r]+', ' ', 'g')), ' ')) AS token
   FROM documents
 ), counts AS (
@@ -1248,11 +1248,11 @@ ORACLE_LANG_GUESS = r"""
 WITH scored AS (
   SELECT lang,
          greatest(
-           printf('%010d', regexp_extract_all(lower(text), '\b(der|und|die|das|ist)\b').len()) || 'de',
-           printf('%010d', regexp_extract_all(lower(text), '\b(the|and|of|to|in)\b').len()) || 'en',
-           printf('%010d', regexp_extract_all(lower(text), '\b(el|de|la|que|los)\b').len()) || 'es',
-           printf('%010d', regexp_extract_all(lower(text), '\b(le|la|et|les|des)\b').len()) || 'fr',
-           printf('%010d', regexp_extract_all(lower(text), '\b(de|que|em|para|com)\b').len()) || 'pt'
+           printf('%010d', regexp_extract_all(lower(coalesce(text, '')), '\b(der|und|die|das|ist)\b').len()) || 'de',
+           printf('%010d', regexp_extract_all(lower(coalesce(text, '')), '\b(the|and|of|to|in)\b').len()) || 'en',
+           printf('%010d', regexp_extract_all(lower(coalesce(text, '')), '\b(el|de|la|que|los)\b').len()) || 'es',
+           printf('%010d', regexp_extract_all(lower(coalesce(text, '')), '\b(le|la|et|les|des)\b').len()) || 'fr',
+           printf('%010d', regexp_extract_all(lower(coalesce(text, '')), '\b(de|que|em|para|com)\b').len()) || 'pt'
          ) AS best
   FROM documents
 )
@@ -1768,7 +1768,7 @@ def q_tfidf_keywords(spark, sf_dir):
 ORACLE_TFIDF_KEYWORDS = r"""
 WITH toks AS (
   SELECT doc_id,
-         unnest(string_split(lower(regexp_replace(trim(text, ' '),
+         unnest(string_split(lower(regexp_replace(trim(coalesce(text, ''), ' '),
                 '[ \t\n\x0b\f\r]+', ' ', 'g')), ' ')) AS term
   FROM documents
 ), tf AS (
@@ -1797,9 +1797,9 @@ def q_quality_quantiles(spark, sf_dir):
 ORACLE_QUALITY_QUANTILES = """
 WITH scored AS (
   SELECT lang, doc_id, 50
-     + LEAST(50, CAST(floor(length(text) / 20.0) AS BIGINT))
-     - LEAST(25, CAST(floor((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) ) * 100.0 / GREATEST(length(text), 1)) AS BIGINT))
-     - LEAST(25, CAST(floor((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) ) * 100.0 / GREATEST(length(text), 1)) AS BIGINT))
+     + LEAST(50, CAST(floor(length(coalesce(text, '')) / 20.0) AS BIGINT))
+     - LEAST(25, CAST(floor((length(coalesce(text, '')) - length(regexp_replace(coalesce(text, ''), '[.,;:!?]', '', 'g')) ) * 100.0 / GREATEST(length(coalesce(text, '')), 1)) AS BIGINT))
+     - LEAST(25, CAST(floor((length(coalesce(text, '')) - length(regexp_replace(coalesce(text, ''), '[A-Z]', '', 'g')) ) * 100.0 / GREATEST(length(coalesce(text, '')), 1)) AS BIGINT))
      AS quality
   FROM documents
 ), ranked AS (
@@ -1976,7 +1976,8 @@ def q_source_quota(spark, sf_dir):
 ORACLE_SOURCE_QUOTA = """
 SELECT source, doc_id FROM documents
 QUALIFY row_number() OVER (
-  PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+  PARTITION BY source
+  ORDER BY md5(coalesce(CAST(doc_id AS VARCHAR), '')), doc_id ASC NULLS FIRST
 ) <= 10
 """
 
@@ -2003,8 +2004,8 @@ def q_repetition_signals(spark, sf_dir):
 ORACLE_REPETITION_SIGNALS = r"""
 WITH w AS (
   SELECT lang,
-         CASE WHEN length(trim(text, ' ')) = 0 THEN []::VARCHAR[]
-              ELSE string_split(lower(regexp_replace(trim(text, ' '),
+         CASE WHEN length(trim(coalesce(text, ''), ' ')) = 0 THEN []::VARCHAR[]
+              ELSE string_split(lower(regexp_replace(trim(coalesce(text, ''), ' '),
                    '[ \t\n\x0b\f\r]+', ' ', 'g')), ' ') END AS ws
   FROM documents
 ), s AS (
@@ -2045,8 +2046,8 @@ def q_contamination(spark, sf_dir):
 ORACLE_CONTAMINATION = r"""
 WITH w AS (
   SELECT doc_id, lang,
-         CASE WHEN length(trim(text, ' ')) = 0 THEN []::VARCHAR[]
-              ELSE string_split(lower(regexp_replace(trim(text, ' '),
+         CASE WHEN length(trim(coalesce(text, ''), ' ')) = 0 THEN []::VARCHAR[]
+              ELSE string_split(lower(regexp_replace(trim(coalesce(text, ''), ' '),
                    '[ \t\n\x0b\f\r]+', ' ', 'g')), ' ') END AS ws
   FROM documents
 ), grams AS (
@@ -2082,8 +2083,8 @@ def q_decontaminate(spark, sf_dir):
 ORACLE_DECONTAMINATE = r"""
 WITH w AS (
   SELECT doc_id,
-         CASE WHEN length(trim(text, ' ')) = 0 THEN []::VARCHAR[]
-              ELSE string_split(lower(regexp_replace(trim(text, ' '),
+         CASE WHEN length(trim(coalesce(text, ''), ' ')) = 0 THEN []::VARCHAR[]
+              ELSE string_split(lower(regexp_replace(trim(coalesce(text, ''), ' '),
                    '[ \t\n\x0b\f\r]+', ' ', 'g')), ' ') END AS ws
   FROM documents
 ), grams AS (

@@ -1007,9 +1007,32 @@ def decode_mp4_header(data: bytes) -> Optional[dict]:
     timescale/duration (both version 0 and 1 layouts). Pure stdlib
     struct — the analogue of the JPEG SOFn walk; FRAME decode needs a
     codec and is out of scope by design (the one remaining labeled
-    stub). Returns None when the bytes aren't an ISO BMFF container."""
-    if len(data) < 12 or data[4:8] != b"ftyp":
+    stub). Returns None when the bytes aren't an ISO BMFF container.
+
+    Container sniff: ISO 14496-12 only RECOMMENDS ftyp first — QuickTime
+    files legally open with 'wide'/'skip'/'free' padding or even
+    moov/mdat — so the check accepts any known top-level box type at
+    offset 0 and then requires an ftyp or moov among the first few
+    boxes (a fixed-type-at-fixed-offset check misclassified those files
+    as 'unknown' and handed them stub metadata)."""
+    _TOP_BOXES = {b"ftyp", b"moov", b"mdat", b"free", b"skip", b"wide", b"pnot"}
+    if len(data) < 12 or data[4:8] not in _TOP_BOXES:
         return None
+    if data[4:8] not in (b"ftyp", b"moov"):
+        # scan up to 4 top-level boxes for the identifying ftyp/moov
+        pos, seen = 0, False
+        for _ in range(4):
+            if pos + 8 > len(data):
+                break
+            size, typ = struct.unpack_from(">I4s", data, pos)
+            if typ in (b"ftyp", b"moov"):
+                seen = True
+                break
+            if typ not in _TOP_BOXES or size < 8:
+                break
+            pos += size
+        if not seen:
+            return None
     out: dict = {}
 
     def walk(lo: int, hi: int, depth: int) -> None:

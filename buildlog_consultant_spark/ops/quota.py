@@ -5,7 +5,11 @@ hosts don't dominate the corpus; CCNet/RefinedWeb-style source balancing).
 The selection contract is EXACT and engine-portable: per key, keep the
 ``n_keep`` rows with the lowest (md5(id), id) — the same hash-spread order
 deterministic_sample uses, so the kept set is identical on any cluster,
-any partitioning, any engine, and a plain SQL oracle replays it.
+any partitioning, any engine, and a plain SQL oracle replays it. NULL
+handling follows the repo policy: a NULL id hashes as '' (like the
+NULL-text coalesce in text.py/dedup.py) and NULL keys form a normal
+quota group of their own (the join is null-safe) — NULL rows are
+budgeted, never silently dropped.
 
 The scale problem is the same one quality_quantiles solved for bounded
 domains: the naive implementation (`row_number` over a per-key window)
@@ -17,12 +21,14 @@ selection generalized to an UNBOUNDED rank target:
           are balanced) and hash-aggregate per-(key, bucket) counts —
           the only operator that sees corpus rows, with map-side combine;
   pass 2: a cumulative window over the tiny (keys × buckets) count table
-          locates each key's quota boundary; full buckets below the
-          boundary keep every row with NO ranking, and only the single
-          boundary bucket per key is ranked — a window over ~1/buckets of
-          that key's rows (pick ``bucket_hex_chars`` so that slice fits a
-          task: 2 → 256 buckets for moderate corpora, 4 → 65536 at crawl
-          scale).
+          locates each key's quota boundary; rows in buckets past the
+          boundary are FILTERED map-side (the broadcast join adds each
+          bucket's keep-count), and only the surviving candidate rows —
+          at most ~n_keep + one bucket's worth per key — are shuffled
+          and ranked, each window partition bounded by a single bucket
+          (pick ``bucket_hex_chars`` so key_rows/16^chars fits a task:
+          2 → 256 buckets for moderate corpora, 4 → 65536 at crawl
+          scale). One corpus scan, no corpus-sized shuffle.
 
 Because the bucket id is a PREFIX of the hash, (bucket, hash, id) order
 equals (hash, id) order — the bucketed selection is bit-identical to the
@@ -43,16 +49,21 @@ def key_quota(
     bucket_hex_chars: int = 2,
 ) -> DataFrame:
     """Keep at most ``n_keep`` rows per ``key_col``, selected as the
-    lowest (md5(id), id) — deterministic, rerun-stable, oracle-replayable.
-    Returns the input rows (original columns) that survive the quota.
+    lowest (md5(coalesce(id,'')), id) — deterministic, rerun-stable,
+    oracle-replayable; NULL keys are their own quota group (null-safe
+    join), NULL ids hash as ''. Returns the input rows (original
+    columns) that survive the quota.
 
     Shuffle shape: one hash-agg shuffle keyed on (key, bucket) for the
-    counts; one broadcast of the (keys × buckets) boundary table; one
-    window over ONLY the boundary buckets' rows (each ≈ key_rows /
-    16^bucket_hex_chars). No task ever sorts a whole key."""
+    counts; one broadcast of the (keys × buckets) boundary table back
+    onto the scan, which FILTERS past-boundary rows map-side; one
+    shuffle+rank of only the surviving candidates (≈ n_keep + one
+    bucket's remainder per key), each window partition bounded by one
+    bucket's rows. ONE pass over corpus rows besides the count agg; no
+    task ever sorts a whole key."""
     if n_keep <= 0:
         return df.limit(0)
-    h = F.md5(F.col(id_col).cast("string"))
+    h = F.md5(F.coalesce(F.col(id_col).cast("string"), F.lit("")))
     b = F.substring(h, 1, bucket_hex_chars)
     d = df.withColumn("_h", h).withColumn("_b", b)
 
@@ -64,9 +75,8 @@ def key_quota(
     )
     # rows of this bucket to keep: clamp(n_keep - rows_before_bucket)
     meta = counts.select(
-        key_col,
-        "_b",
-        "_cnt",
+        F.col(key_col).alias("_mk"),
+        F.col("_b").alias("_mb"),
         F.greatest(
             F.lit(0),
             F.least(
@@ -75,16 +85,24 @@ def key_quota(
             ),
         ).alias("_kb"),
     )
-    dd = d.join(F.broadcast(meta), [key_col, "_b"])
-    keep_full = dd.where(F.col("_kb") == F.col("_cnt"))
-    partial = dd.where((F.col("_kb") > 0) & (F.col("_kb") < F.col("_cnt")))
+    # null-safe on the key: NULL-key rows must find their bucket row,
+    # not silently vanish from the quota (a plain [key, _b] join is
+    # NULL-rejecting)
+    dd = d.join(
+        F.broadcast(meta),
+        F.col(key_col).eqNullSafe(F.col("_mk")) & (F.col("_b") == F.col("_mb")),
+    ).drop("_mk", "_mb")
+    # candidates = rows whose bucket keeps anything; ranking them all is
+    # cheap (each window partition ≤ one bucket, and full buckets rank
+    # trivially) and keeps this a SINGLE branch — the earlier
+    # full-union-partial formulation scanned and md5'd the corpus twice
     w_rank = Window.partitionBy(key_col, "_b").orderBy("_h", id_col)
-    keep_partial = (
-        partial.withColumn("_rn", F.row_number().over(w_rank))
+    return (
+        dd.where(F.col("_kb") > 0)
+        .withColumn("_rn", F.row_number().over(w_rank))
         .where(F.col("_rn") <= F.col("_kb"))
-        .drop("_rn")
+        .drop("_rn", "_h", "_b", "_kb")
     )
-    return keep_full.unionByName(keep_partial).drop("_h", "_b", "_cnt", "_kb")
 
 
 def key_quota_naive(
@@ -95,9 +113,10 @@ def key_quota_naive(
 ) -> DataFrame:
     """The single-window formulation — kept ONLY as the equivalence
     reference for tests (it sorts each key's entire row set in one task;
-    never on the query path)."""
+    never on the query path). Same NULL semantics: NULL ids hash as '',
+    NULL keys are a window partition of their own."""
     w = Window.partitionBy(key_col).orderBy(
-        F.md5(F.col(id_col).cast("string")), id_col
+        F.md5(F.coalesce(F.col(id_col).cast("string"), F.lit(""))), id_col
     )
     return (
         df.withColumn("_rn", F.row_number().over(w))

@@ -357,8 +357,10 @@ def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     placeholder tokens and count what was redacted. Adds ``n_emails``,
     ``n_phones`` (long) and ``{text_col}_scrubbed``. Pure JVM regexp —
     map-side, no shuffle, whole-stage codegen; the patterns are RE2-safe
-    so the DuckDB oracle replays them byte-identically."""
-    t = F.col(text_col)
+    so the DuckDB oracle replays them byte-identically. NULL text
+    coalesces to '' (dedup.py policy): zero counts and an empty scrubbed
+    text, never NULL metrics."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
     scrubbed = F.regexp_replace(
         F.regexp_replace(t, PII_EMAIL_PATTERN, "<EMAIL>"),
         PII_PHONE_PATTERN,

@@ -585,15 +585,127 @@ def test_key_quota_matches_naive_on_skew(spark, n_keep):
         assert all(v <= n_keep for v in per_key.values())
 
 
-def test_key_quota_windows_only_boundary_buckets(spark):
-    """The full-bucket branch must carry rows with NO ranking window:
-    exactly one row_number appears in the plan, below the partial-bucket
-    filter — no task sorts a whole key."""
+def test_key_quota_null_keys_and_ids_budgeted(spark):
+    """Self-review r5 #2: NULL keys/ids must be budgeted, not silently
+    dropped — the null-safe join keeps NULL-key rows as their own quota
+    group and NULL ids hash as '' (repo NULL policy), identical to the
+    naive reference."""
+    from buildlog_consultant_spark.ops.quota import key_quota, key_quota_naive
+
+    rows = [Row(doc_id=i, source=("a" if i % 2 else None)) for i in range(20)]
+    rows.append(Row(doc_id=None, source="a"))
+    df = spark.createDataFrame(rows, "doc_id int, source string")
+    for n_keep in (2, 5, 50):
+        got = {
+            (r["source"], r["doc_id"])
+            for r in key_quota(df, n_keep, bucket_hex_chars=1).collect()
+        }
+        want = {
+            (r["source"], r["doc_id"])
+            for r in key_quota_naive(df, n_keep).collect()
+        }
+        assert got == want, (n_keep, got ^ want)
+        assert any(k is None for k, _ in got)  # NULL key group present
+    full = {
+        (r["source"], r["doc_id"])
+        for r in key_quota(df, 50, bucket_hex_chars=1).collect()
+    }
+    assert len(full) == 21  # nothing dropped when quota exceeds every key
+
+
+def test_null_text_oracle_parity(spark, tmp_path):
+    """Self-review r5 #1: the NULL→'' policy must be TWO-SIDED — the
+    DuckDB oracles coalesce exactly like the Spark operators, verified
+    end-to-end on a corpus that actually contains a NULL text (the
+    driver corpus has none, which is what kept the one-sided version
+    green). Also pins the policy's corollary: a NULL-text doc and an
+    empty-text doc share one fingerprint group."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [None, "", "Hello, World! the and of to in THE."],
+            "lang": ["en", "en", "de"],
+            "source": ["s0", "s0", "s1"],
+            "n_chars": [0, 0, 35],
+        }
+    )
+    p = str(tmp_path / "documents.parquet")
+    pdf.to_parquet(p)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}')")
+    docs = spark.read.parquet(p)
+
+    got_hist = sorted(
+        (r["quality"], r["n"])
+        for r in text_ops.with_quality_score(docs)
+        .groupBy("quality")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    want_hist = sorted(con.execute(entry.ORACLE_QUALITY_HIST).fetchall())
+    assert got_hist == want_hist
+    assert any(q == 50 for q, _ in got_hist)  # NULL+empty land in bucket 50
+
+    got_fp = sorted(
+        (r["fingerprint"], r["n_dups"], r["min_id"])
+        for r in text_ops.with_fingerprint(docs)
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("min_id"))
+        .where(F.col("n_dups") > 1)
+        .collect()
+    )
+    want_fp = sorted(con.execute(entry.ORACLE_FINGERPRINT_DUPS).fetchall())
+    assert got_fp == want_fp and len(got_fp) == 1  # the NULL+'' pair
+
+    got_tok = sorted(
+        (r["lang"], r["rank"], r["token"], r["n"])
+        for r in text_ops.token_topk(docs, k=10).collect()
+    )
+    want_tok = sorted(con.execute(entry.ORACLE_TOKEN_TOPK).fetchall())
+    assert got_tok == want_tok
+
+
+def test_mp4_leading_padding_boxes_accepted():
+    """Self-review r5 #4: ISO BMFF only recommends ftyp first — a
+    QuickTime-style leading 'wide'/'skip' box must not demote a real MP4
+    to the 'unknown' stub."""
+    import struct as _s
+
+    from buildlog_consultant_spark.ops.multimodal import (
+        classify_and_decode,
+        decode_mp4_header,
+        encode_mp4_header,
+    )
+
+    base = encode_mp4_header(640, 360, 2000)
+    for pad in (b"wide", b"skip", b"free"):
+        padded = _s.pack(">I", 8) + pad + base
+        got = decode_mp4_header(padded)
+        assert got == {"width": 640, "height": 360, "duration_ms": 2000}, pad
+        assert classify_and_decode(padded)["media_type"] == "video/mp4"
+    # random blobs still rejected (first box type unknown)
+    assert decode_mp4_header(b"\x00\x00\x00\x08junk" + base[:20]) is None
+
+
+def test_key_quota_windows_only_candidate_buckets(spark):
+    """The ranking window must sit ABOVE the _kb > 0 candidate filter
+    (only surviving buckets' rows are shuffled and ranked, each window
+    partition bounded by one bucket) — no task sorts a whole key, and
+    the corpus is scanned once (single branch, no union)."""
     from buildlog_consultant_spark.ops.quota import key_quota
 
     plan = key_quota(_quota_corpus(spark), 7)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("row_number") <= 2, plan[:2000]  # one def + one ref
     assert "_kb" in plan  # boundary arithmetic drives the keep decision
+    assert "Union" not in plan  # single-branch: one pass over corpus rows
+    # window partition key includes the bucket column — never key alone
+    assert "windowspecdefinition(source" not in plan.replace(" ", "").lower() or \
+        "_b" in plan
 
 
 # ---------------------------------------------------------------------------
