@@ -1982,6 +1982,114 @@ QUALIFY row_number() OVER (
 """
 
 
+def q_compression_ratio(spark, sf_dir):
+    """Deflate-compressibility quality signal (Gopher/CCNet-family):
+    permille = floor(1000·deflate_bytes/raw_bytes) per doc, aggregated
+    per lang with the [200, 900] gate's kept count. Arrow pandas-UDF
+    kernel (no JVM deflate exists) — map-side, no shuffle. Oracle:
+    Python-golden recompute with the same zlib level over the same
+    parquet (zlib at a fixed level is deterministic per build)."""
+    d = text_ops.with_compression_ratio(_docs(spark, sf_dir))
+    kept = (F.col("compression_permille") >= 200) & (
+        F.col("compression_permille") <= 900
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(kept.cast("long")).alias("n_kept"),
+        F.sum("compression_permille").alias("sum_permille"),
+        F.min("compression_permille").alias("min_permille"),
+        F.max("compression_permille").alias("max_permille"),
+    )
+
+
+def _oracle_compression_ratio(sf_dir: str = None) -> str:
+    import zlib
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        f"{sf_dir or _oracle_sf_dir()}/documents.parquet",
+        columns=["lang", "text"],
+    )
+    stats: dict[str, list] = {}
+    for lang, text in zip(tbl["lang"].to_pylist(), tbl["text"].to_pylist()):
+        b = (text or "").encode("utf-8")
+        p = len(zlib.compress(b, 6)) * 1000 // len(b) if b else 0
+        s = stats.setdefault(lang, [0, 0, 0, None, None])
+        s[0] += 1
+        s[1] += 1 if 200 <= p <= 900 else 0
+        s[2] += p
+        s[3] = p if s[3] is None else min(s[3], p)
+        s[4] = p if s[4] is None else max(s[4], p)
+    rows = [(lang, *vals) for lang, vals in sorted(stats.items())]
+    return _values_oracle(
+        rows,
+        ["lang", "n_docs", "n_kept", "sum_permille", "min_permille", "max_permille"],
+    )
+
+
+def q_url_dedup(spark, sf_dir):
+    """URL canonicalization + dedup (ops/web.py): the corpus carries no
+    URLs, so the query PLANTS five deterministic messy variants per
+    doc-group (mixed-case host, explicit default port + fragment,
+    duplicate slashes + trailing slash, tracking params, http with :80)
+    — the first four canonicalize identically, the fifth differs by
+    scheme. Output: (canon_url, n_dups, min_id) for groups ≥ 2. Oracle:
+    Python replay of the planting + py_canonical_url (pinned byte-equal
+    to the Catalyst expression in tests)."""
+    from buildlog_consultant_spark.ops.web import url_dup_groups
+
+    d = _docs(spark, sf_dir)
+    g = F.floor(F.col("doc_id") / 5).cast("long").cast("string")
+    v = F.col("doc_id") % 5
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://Example.COM/path"), g, F.lit("/a")))
+        .when(
+            v == 1,
+            F.concat(F.lit("https://example.com:443/path"), g, F.lit("/a#frag")),
+        )
+        .when(
+            v == 2,
+            F.concat(F.lit("https://example.com/path"), g, F.lit("//a/")),
+        )
+        .when(
+            v == 3,
+            F.concat(
+                F.lit("https://example.com/path"),
+                g,
+                F.lit("/a?utm_source=x&utm_medium=y"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("http://example.com:80/path"), g, F.lit("/a")))
+    )
+    return url_dup_groups(d.withColumn("url", url))
+
+
+def _oracle_url_dedup(sf_dir: str = None) -> str:
+    import pyarrow.parquet as pq
+
+    from buildlog_consultant_spark.ops.web import py_canonical_url
+
+    tbl = pq.read_table(
+        f"{sf_dir or _oracle_sf_dir()}/documents.parquet", columns=["doc_id"]
+    )
+    groups: dict[str, list] = {}
+    for doc_id in tbl["doc_id"].to_pylist():
+        g, v = doc_id // 5, doc_id % 5
+        url = [
+            f"https://Example.COM/path{g}/a",
+            f"https://example.com:443/path{g}/a#frag",
+            f"https://example.com/path{g}//a/",
+            f"https://example.com/path{g}/a?utm_source=x&utm_medium=y",
+            f"http://example.com:80/path{g}/a",
+        ][v]
+        groups.setdefault(py_canonical_url(url), []).append(doc_id)
+    rows = sorted(
+        (cu, len(ids), min(ids)) for cu, ids in groups.items() if len(ids) >= 2
+    )
+    return _values_oracle(rows, ["canon_url", "n_dups", "min_id"])
+
+
 def q_repetition_signals(spark, sf_dir):
     """Gopher-style repetition quality signals aggregated per lang: word /
     word-bigram duplication totals plus the count of docs the repetition
@@ -2236,6 +2344,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_int8_rerank": q_ann_topk_int8_rerank,
         "pipeline_lineage": q_pipeline_lineage,
         "source_quota": q_source_quota,
+        "compression_ratio": q_compression_ratio,
+        "url_dedup": q_url_dedup,
     }
 
 
@@ -2291,4 +2401,6 @@ def oracle_sql(sf_dir: str = None) -> dict[str, str]:
         "ann_topk_int8_rerank": ORACLE_ANN_TOPK_INT8_RERANK,
         "pipeline_lineage": _oracle_pipeline_lineage(),
         "source_quota": ORACLE_SOURCE_QUOTA,
+        "compression_ratio": _oracle_compression_ratio(sf_dir),
+        "url_dedup": _oracle_url_dedup(sf_dir),
     }

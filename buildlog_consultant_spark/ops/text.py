@@ -432,6 +432,67 @@ def tfidf_topk(
     )
 
 
+def _compression_permille_udf(level: int):
+    """Arrow kernel: zlib-deflate size of the utf-8 text as permille of
+    the raw size — floor(1000·len(compress(b))/len(b)); empty/NULL → 0.
+    zlib at a fixed level is deterministic for a given zlib build, so a
+    Python-golden oracle replays it byte-exactly on the same host."""
+    import zlib
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def ratio(ts):
+        out = []
+        for s in ts.values:
+            b = (s or "").encode("utf-8")
+            if not b:
+                out.append(0)
+                continue
+            out.append(len(zlib.compress(b, level)) * 1000 // len(b))
+        return pd.Series(out, dtype="int64")
+
+    ratio.__annotations__ = {"ts": pd.Series, "return": pd.Series}
+    return pandas_udf(ratio, "long")
+
+
+def with_compression_ratio(
+    df: DataFrame, text_col: str = "text", level: int = 6
+) -> DataFrame:
+    """Deflate-compressibility quality signal (the Gopher/CCNet-family
+    heuristic): highly repetitive boilerplate compresses far below
+    normal prose, random junk barely compresses at all. Adds
+    ``compression_permille`` = floor(1000·deflate_bytes/raw_bytes)
+    (integer — hash-stable; NULL/empty text → 0 per the repo NULL
+    policy).
+
+    Scale shape: one Arrow-batched pandas UDF per task — map-side, no
+    shuffle, cost linear in bytes (zlib level 6 ≈ 100 MB/s/core; pick a
+    lower level for a cheaper pass). A JVM expression can't compute
+    this (no deflate in pyspark.sql.functions), so this is one of the
+    legitimate Python-kernel cases alongside the vector kernels."""
+    r = _compression_permille_udf(level)
+    return df.withColumn("compression_permille", r(F.col(text_col)))
+
+
+def filter_compressible(
+    df: DataFrame,
+    min_permille: int = 200,
+    max_permille: int = 900,
+    text_col: str = "text",
+) -> DataFrame:
+    """The compressibility-gate ENDPOINT: drop documents that compress
+    too well (< min — boilerplate/repetition) or too poorly (> max —
+    binary junk/random strings). Map-side filter over
+    with_compression_ratio; empty/NULL docs (permille 0) fall below any
+    sensible min and are dropped with the boilerplate."""
+    d = with_compression_ratio(df, text_col)
+    return d.where(
+        (F.col("compression_permille") >= min_permille)
+        & (F.col("compression_permille") <= max_permille)
+    )
+
+
 def quality_quantiles(
     df: DataFrame, ps: tuple = (25, 50, 75, 95), text_col: str = "text"
 ) -> DataFrame:

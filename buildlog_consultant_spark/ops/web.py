@@ -1,0 +1,114 @@
+"""URL canonicalization + URL-keyed dedup — the crawl-side identity pass
+of a web pipeline (the same page arrives as http/https, with and without
+default ports, tracking parameters, fragments, duplicate slashes; a
+corpus deduped on raw URLs keeps all of them).
+
+Everything is JVM-side (`parse_url` + regexp/HOF expressions — no
+Python), and the transform is replayable in plain Python with
+urllib.parse for the golden oracle (`py_canonical_url`, kept adjacent so
+the two stay in lockstep).
+
+Canonical form: ``scheme://host[:port]/path[?query]`` with
+- scheme and host lowercased, userinfo dropped;
+- default ports stripped (http:80, https:443);
+- path: duplicate slashes collapsed, one trailing slash stripped
+  (except the root path), empty path → '/';
+- query: tracking parameters removed (utm_*, gclid, fbclid, msclkid,
+  mc_eid), empty query dropped;
+- fragment always dropped.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TRACKING_PARAM_PATTERN = r"^(utm_[a-z0-9]+|gclid|fbclid|msclkid|mc_eid)="
+
+
+def canonical_url(url) -> Column:
+    """Canonicalized URL as a Catalyst expression (see module doc)."""
+    u = F.col(url) if isinstance(url, str) else url
+    proto = F.lower(F.parse_url(u, F.lit("PROTOCOL")))
+    auth = F.lower(
+        F.regexp_replace(F.parse_url(u, F.lit("AUTHORITY")), r"^[^@]*@", "")
+    )
+    host = (
+        F.when(proto == "http", F.regexp_replace(auth, r":80$", ""))
+        .when(proto == "https", F.regexp_replace(auth, r":443$", ""))
+        .otherwise(auth)
+    )
+    path = F.coalesce(F.parse_url(u, F.lit("PATH")), F.lit(""))
+    path = F.regexp_replace(path, r"/{2,}", "/")
+    path = F.regexp_replace(path, r"(.)/$", r"$1")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    q = F.coalesce(F.parse_url(u, F.lit("QUERY")), F.lit(""))
+    kept = F.filter(
+        F.split(q, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_PATTERN),
+    )
+    qs = F.array_join(kept, "&")
+    return F.concat(
+        proto,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)),
+    )
+
+
+_TRACK_RE = re.compile(TRACKING_PARAM_PATTERN)
+
+
+def py_canonical_url(u: str) -> str:
+    """Python replay of canonical_url — byte-identical for oracle
+    construction (urllib.parse mirrors parse_url's java.net splitting for
+    the URL shapes the pipeline plants/tests; parity pinned in tests)."""
+    from urllib.parse import urlsplit
+
+    sp = urlsplit(u)
+    proto = sp.scheme.lower()
+    auth = sp.netloc.lower().split("@")[-1]
+    if proto == "http" and auth.endswith(":80"):
+        auth = auth[: -len(":80")]
+    elif proto == "https" and auth.endswith(":443"):
+        auth = auth[: -len(":443")]
+    path = re.sub(r"/{2,}", "/", sp.path)
+    path = re.sub(r"(.)/$", r"\1", path)
+    if path == "":
+        path = "/"
+    kept = [p for p in sp.query.split("&") if p and not _TRACK_RE.match(p)]
+    qs = "&".join(kept)
+    return f"{proto}://{auth}{path}" + (f"?{qs}" if qs else "")
+
+
+def url_dup_groups(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups of rows whose URLs canonicalize identically:
+    (canon_url, n_dups, min_id) for groups of ≥ 2 — the audit view.
+    One hash-agg shuffle keyed on the canonical URL (map-side combined);
+    the canonicalization itself is a scan-side expression."""
+    return (
+        df.select(canonical_url(url_col).alias("canon_url"), F.col(id_col))
+        .groupBy("canon_url")
+        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("min_id"))
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def dedup_by_canonical_url(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """The dedup ENDPOINT: keep the lowest-id row per canonical URL.
+    Same shape as dedup_exact (ops/dedup.py): group → min id → left-semi
+    join back, all keyed on the canonical form."""
+    keep = (
+        df.select(canonical_url(url_col).alias("canon_url"), F.col(id_col))
+        .groupBy("canon_url")
+        .agg(F.min(id_col).alias("_keep_id"))
+        .select("_keep_id")
+    )
+    return df.join(keep, df[id_col] == keep["_keep_id"], "left_semi")

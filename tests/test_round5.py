@@ -548,6 +548,100 @@ def test_choose_salt_buckets_from_histogram_probe(spark):
 
 
 # ---------------------------------------------------------------------------
+# URL canonicalization + compression-ratio quality signal (round-5 ops)
+# ---------------------------------------------------------------------------
+
+
+def test_canonical_url_spark_python_parity(spark):
+    """The Catalyst canonical_url expression and the Python replay
+    (oracle side) must agree byte-for-byte across every rule's trigger:
+    case, userinfo, default/non-default ports, duplicate+trailing
+    slashes, tracking-vs-real params, fragments, empty paths."""
+    from buildlog_consultant_spark.ops.web import canonical_url, py_canonical_url
+
+    urls = [
+        "https://Example.COM/Path/A",
+        "http://user:pw@host.example/x",
+        "https://example.com:443/a",
+        "https://example.com:8443/a",
+        "http://example.com:80/a",
+        "http://example.com:8080/a",
+        "https://example.com//a///b//",
+        "https://example.com/a/",
+        "https://example.com/",
+        "https://example.com",
+        "https://example.com/a?utm_source=x&id=3&utm_medium=y",
+        "https://example.com/a?gclid=zz&fbclid=q",
+        "https://example.com/a?real=1",
+        "https://example.com/a#frag",
+        "HTTPS://EXAMPLE.com/a?utm_campaign=c#x",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [
+        r[0]
+        for r in df.select(canonical_url("url")).collect()
+    ]
+    want = [py_canonical_url(u) for u in urls]
+    assert got == want, list(zip(urls, got, want))
+    # spot semantic checks
+    m = dict(zip(urls, got))
+    assert m["https://example.com:443/a"] == "https://example.com/a"
+    assert m["https://example.com:8443/a"] == "https://example.com:8443/a"
+    assert m["https://example.com//a///b//"] == "https://example.com/a/b"
+    assert m["https://example.com"] == "https://example.com/"
+    assert m["https://example.com/a?utm_source=x&id=3&utm_medium=y"] == (
+        "https://example.com/a?id=3"
+    )
+    assert m["http://user:pw@host.example/x"] == "http://host.example/x"
+
+
+def test_dedup_by_canonical_url(spark):
+    from buildlog_consultant_spark.ops.web import dedup_by_canonical_url
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, url="https://A.com/x/"),
+            Row(doc_id=2, url="https://a.com/x"),
+            Row(doc_id=3, url="https://a.com:443/x#f"),
+            Row(doc_id=4, url="https://b.com/y"),
+        ]
+    )
+    kept = sorted(r["doc_id"] for r in dedup_by_canonical_url(df).collect())
+    assert kept == [1, 4]
+
+
+def test_compression_ratio_signal(spark):
+    """Repetitive text compresses far below prose; NULL/empty → 0; the
+    gate keeps prose and drops boilerplate and junk extremes."""
+    import random
+
+    rng = random.Random(7)
+    junk = "".join(chr(rng.randint(0x21, 0x7E)) for _ in range(400))
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="spam " * 200),
+            Row(doc_id=2, text=(
+                "The quick brown fox jumps over the lazy dog and then wanders "
+                "through a surprisingly verbose paragraph about nothing much. "
+            ) * 4),
+            Row(doc_id=3, text=junk),
+            Row(doc_id=4, text=None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["compression_permille"]
+        for r in text_ops.with_compression_ratio(df).collect()
+    }
+    assert got[1] < 100          # boilerplate compresses hard
+    assert 200 <= got[2] <= 700  # prose mid-range
+    assert got[3] > 700          # random junk barely compresses
+    assert got[4] == 0           # NULL policy
+    kept = {r["doc_id"] for r in text_ops.filter_compressible(df).collect()}
+    assert kept == {2}
+
+
+# ---------------------------------------------------------------------------
 # per-key quota (bucketed exact selection — no whole-key sorts)
 # ---------------------------------------------------------------------------
 
