@@ -29,22 +29,26 @@ TRACKING_PARAM_PATTERN = r"^(utm_[a-z0-9]+|gclid|fbclid|msclkid|mc_eid)="
 
 
 def canonical_url(url) -> Column:
-    """Canonicalized URL as a Catalyst expression (see module doc)."""
+    """Canonicalized URL as a Catalyst expression (see module doc).
+    Uses try_parse_url — under Spark 4's default ANSI mode, plain
+    parse_url THROWS SparkIllegalArgumentException on an invalid URL
+    (same failure class as ANSI divide-by-zero): one malformed crawl
+    URL must return NULL, not kill the job."""
     u = F.col(url) if isinstance(url, str) else url
-    proto = F.lower(F.parse_url(u, F.lit("PROTOCOL")))
+    proto = F.lower(F.try_parse_url(u, F.lit("PROTOCOL")))
     auth = F.lower(
-        F.regexp_replace(F.parse_url(u, F.lit("AUTHORITY")), r"^[^@]*@", "")
+        F.regexp_replace(F.try_parse_url(u, F.lit("AUTHORITY")), r"^[^@]*@", "")
     )
     host = (
         F.when(proto == "http", F.regexp_replace(auth, r":80$", ""))
         .when(proto == "https", F.regexp_replace(auth, r":443$", ""))
         .otherwise(auth)
     )
-    path = F.coalesce(F.parse_url(u, F.lit("PATH")), F.lit(""))
+    path = F.coalesce(F.try_parse_url(u, F.lit("PATH")), F.lit(""))
     path = F.regexp_replace(path, r"/{2,}", "/")
     path = F.regexp_replace(path, r"(.)/$", r"$1")
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    q = F.coalesce(F.parse_url(u, F.lit("QUERY")), F.lit(""))
+    q = F.coalesce(F.try_parse_url(u, F.lit("QUERY")), F.lit(""))
     kept = F.filter(
         F.split(q, "&"),
         lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_PATTERN),
@@ -90,9 +94,14 @@ def url_dup_groups(
     """Groups of rows whose URLs canonicalize identically:
     (canon_url, n_dups, min_id) for groups of ≥ 2 — the audit view.
     One hash-agg shuffle keyed on the canonical URL (map-side combined);
-    the canonicalization itself is a scan-side expression."""
+    the canonicalization itself is a scan-side expression.
+
+    Unparseable URLs (canonical form NULL — relative URLs, NULL input,
+    no scheme) are EXCLUDED: a NULL group would report every
+    unparseable URL in the corpus as one giant duplicate set."""
     return (
         df.select(canonical_url(url_col).alias("canon_url"), F.col(id_col))
+        .where(F.col("canon_url").isNotNull())
         .groupBy("canon_url")
         .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("min_id"))
         .where(F.col("n_dups") > 1)
@@ -104,11 +113,19 @@ def dedup_by_canonical_url(
 ) -> DataFrame:
     """The dedup ENDPOINT: keep the lowest-id row per canonical URL.
     Same shape as dedup_exact (ops/dedup.py): group → min id → left-semi
-    join back, all keyed on the canonical form."""
+    join back, all keyed on the canonical form. Rows whose URL fails to
+    canonicalize (NULL) are KEPT unconditionally — without identity
+    evidence they must not collapse into one NULL group and silently
+    drop each other."""
+    canon = df.select(canonical_url(url_col).alias("canon_url"), F.col(id_col))
     keep = (
-        df.select(canonical_url(url_col).alias("canon_url"), F.col(id_col))
+        canon.where(F.col("canon_url").isNotNull())
         .groupBy("canon_url")
         .agg(F.min(id_col).alias("_keep_id"))
         .select("_keep_id")
+        .unionByName(
+            canon.where(F.col("canon_url").isNull())
+            .select(F.col(id_col).alias("_keep_id"))
+        )
     )
     return df.join(keep, df[id_col] == keep["_keep_id"], "left_semi")

@@ -610,6 +610,31 @@ def test_dedup_by_canonical_url(spark):
     assert kept == [1, 4]
 
 
+def test_url_dedup_unparseable_urls_kept(spark):
+    """Unparseable/NULL URLs (canonical form NULL) must be KEPT by the
+    dedup endpoint and excluded from duplicate groups — not collapsed
+    into one giant NULL 'duplicate' set."""
+    from buildlog_consultant_spark.ops.web import (
+        dedup_by_canonical_url,
+        url_dup_groups,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, url="not a url"),
+            Row(doc_id=2, url="also/not?one"),
+            Row(doc_id=3, url=None),
+            Row(doc_id=4, url="https://a.com/x"),
+            Row(doc_id=5, url="https://A.com/x/"),
+        ],
+        "doc_id long, url string",
+    )
+    kept = sorted(r["doc_id"] for r in dedup_by_canonical_url(df).collect())
+    assert kept == [1, 2, 3, 4]
+    groups = url_dup_groups(df).collect()
+    assert len(groups) == 1 and groups[0]["canon_url"] == "https://a.com/x"
+
+
 def test_compression_ratio_signal(spark):
     """Repetitive text compresses far below prose; NULL/empty → 0; the
     gate keeps prose and drops boilerplate and junk extremes."""
