@@ -595,6 +595,25 @@ def test_canonical_url_spark_python_parity(spark):
     assert m["http://user:pw@host.example/x"] == "http://host.example/x"
 
 
+def test_canonical_url_idempotent(spark):
+    """canonical(canonical(u)) == canonical(u) — the canonical form is a
+    fixed point (a second pass over already-clean URLs in an incremental
+    pipeline must be a no-op)."""
+    from buildlog_consultant_spark.ops.web import canonical_url
+
+    urls = [
+        "https://Example.COM/Path//A/?utm_source=x&id=3#f",
+        "http://u@h.example:80//x//",
+        "https://example.com",
+        "https://example.com/a?real=1&gclid=g",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = df.select(canonical_url("url").alias("c1"))
+    twice = once.select(F.col("c1"), canonical_url(F.col("c1")).alias("c2"))
+    for r in twice.collect():
+        assert r["c1"] == r["c2"], r
+
+
 def test_dedup_by_canonical_url(spark):
     from buildlog_consultant_spark.ops.web import dedup_by_canonical_url
 
