@@ -1990,9 +1990,9 @@ def q_compression_ratio(spark, sf_dir):
     Python-golden recompute with the same zlib level over the same
     parquet (zlib at a fixed level is deterministic per build)."""
     d = text_ops.with_compression_ratio(_docs(spark, sf_dir))
-    kept = (F.col("compression_permille") >= 200) & (
-        F.col("compression_permille") <= 900
-    )
+    kept = (
+        F.col("compression_permille") >= text_ops.COMPRESSION_GATE_MIN_PERMILLE
+    ) & (F.col("compression_permille") <= text_ops.COMPRESSION_GATE_MAX_PERMILLE)
     return d.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum(kept.cast("long")).alias("n_kept"),
@@ -2011,13 +2011,19 @@ def _oracle_compression_ratio(sf_dir: str = None) -> str:
         f"{sf_dir or _oracle_sf_dir()}/documents.parquet",
         columns=["lang", "text"],
     )
+    lo = text_ops.COMPRESSION_GATE_MIN_PERMILLE
+    hi = text_ops.COMPRESSION_GATE_MAX_PERMILLE
     stats: dict[str, list] = {}
     for lang, text in zip(tbl["lang"].to_pylist(), tbl["text"].to_pylist()):
         b = (text or "").encode("utf-8")
-        p = len(zlib.compress(b, 6)) * 1000 // len(b) if b else 0
+        p = (
+            len(zlib.compress(b, text_ops.COMPRESSION_LEVEL)) * 1000 // len(b)
+            if b
+            else 0
+        )
         s = stats.setdefault(lang, [0, 0, 0, None, None])
         s[0] += 1
-        s[1] += 1 if 200 <= p <= 900 else 0
+        s[1] += 1 if lo <= p <= hi else 0
         s[2] += p
         s[3] = p if s[3] is None else min(s[3], p)
         s[4] = p if s[4] is None else max(s[4], p)
@@ -2040,7 +2046,9 @@ def q_url_dedup(spark, sf_dir):
     from buildlog_consultant_spark.ops.web import url_dup_groups
 
     d = _docs(spark, sf_dir)
-    g = F.floor(F.col("doc_id") / 5).cast("long").cast("string")
+    # integer DIV, not floor(double/5): double division loses exactness
+    # past 2^53 and the oracle replays doc_id // 5 in exact ints
+    g = F.expr("CAST(doc_id DIV 5 AS STRING)")
     v = F.col("doc_id") % 5
     url = (
         F.when(v == 0, F.concat(F.lit("https://Example.COM/path"), g, F.lit("/a")))

@@ -432,6 +432,15 @@ def tfidf_topk(
     )
 
 
+# single source of truth for the compressibility pass: the gate bounds and
+# zlib level are shared by filter_compressible, the driver query, and the
+# Python-golden oracle (a drifting literal on one side reads as an engine
+# bug in the correctness gate)
+COMPRESSION_LEVEL = 6
+COMPRESSION_GATE_MIN_PERMILLE = 200
+COMPRESSION_GATE_MAX_PERMILLE = 900
+
+
 def _compression_permille_udf(level: int):
     """Arrow kernel: zlib-deflate size of the utf-8 text as permille of
     the raw size — floor(1000·len(compress(b))/len(b)); empty/NULL → 0.
@@ -457,7 +466,7 @@ def _compression_permille_udf(level: int):
 
 
 def with_compression_ratio(
-    df: DataFrame, text_col: str = "text", level: int = 6
+    df: DataFrame, text_col: str = "text", level: int = COMPRESSION_LEVEL
 ) -> DataFrame:
     """Deflate-compressibility quality signal (the Gopher/CCNet-family
     heuristic): highly repetitive boilerplate compresses far below
@@ -477,8 +486,8 @@ def with_compression_ratio(
 
 def filter_compressible(
     df: DataFrame,
-    min_permille: int = 200,
-    max_permille: int = 900,
+    min_permille: int = COMPRESSION_GATE_MIN_PERMILLE,
+    max_permille: int = COMPRESSION_GATE_MAX_PERMILLE,
     text_col: str = "text",
 ) -> DataFrame:
     """The compressibility-gate ENDPOINT: drop documents that compress

@@ -36,8 +36,11 @@ def canonical_url(url) -> Column:
     URL must return NULL, not kill the job."""
     u = F.col(url) if isinstance(url, str) else url
     proto = F.lower(F.try_parse_url(u, F.lit("PROTOCOL")))
+    # greedy ^.*@ strips through the LAST @ — java.net.URI/urlsplit
+    # userinfo semantics; a lazy ^[^@]*@ stripped only to the first @
+    # and broke both oracle parity and idempotence on 'a@b@host' forms
     auth = F.lower(
-        F.regexp_replace(F.try_parse_url(u, F.lit("AUTHORITY")), r"^[^@]*@", "")
+        F.regexp_replace(F.try_parse_url(u, F.lit("AUTHORITY")), r"^.*@", "")
     )
     host = (
         F.when(proto == "http", F.regexp_replace(auth, r":80$", ""))
@@ -66,13 +69,21 @@ def canonical_url(url) -> Column:
 _TRACK_RE = re.compile(TRACKING_PARAM_PATTERN)
 
 
-def py_canonical_url(u: str) -> str:
+def py_canonical_url(u: str):
     """Python replay of canonical_url — byte-identical for oracle
     construction (urllib.parse mirrors parse_url's java.net splitting for
-    the URL shapes the pipeline plants/tests; parity pinned in tests)."""
+    the URL shapes the pipeline plants/tests; parity pinned in tests).
+    Returns None for structurally unparseable URLs (no scheme/host, or
+    embedded whitespace) to mirror try_parse_url's NULL — an
+    approximation of java.net.URI's full validity rules, exact for the
+    planted/tested shapes."""
     from urllib.parse import urlsplit
 
+    if u is None or any(c.isspace() for c in u):
+        return None
     sp = urlsplit(u)
+    if not sp.scheme or not sp.netloc:
+        return None
     proto = sp.scheme.lower()
     auth = sp.netloc.lower().split("@")[-1]
     if proto == "http" and auth.endswith(":80"):
@@ -113,19 +124,25 @@ def dedup_by_canonical_url(
 ) -> DataFrame:
     """The dedup ENDPOINT: keep the lowest-id row per canonical URL.
     Same shape as dedup_exact (ops/dedup.py): group → min id → left-semi
-    join back, all keyed on the canonical form. Rows whose URL fails to
-    canonicalize (NULL) are KEPT unconditionally — without identity
-    evidence they must not collapse into one NULL group and silently
-    drop each other."""
-    canon = df.select(canonical_url(url_col).alias("canon_url"), F.col(id_col))
+    join back, all keyed on the canonical form.
+
+    NULL policy (rows are never silently dropped without identity
+    evidence): rows whose URL fails to canonicalize (canonical NULL) and
+    rows with a NULL id are KEPT unconditionally — a NULL canonical
+    carries no duplicate evidence, and a NULL id can't win or lose a
+    min-id contest (the pre-fix non-null-safe join silently dropped
+    them)."""
+    canon = df.withColumn("_canon", canonical_url(url_col))
+    passthrough = canon.where(
+        F.col("_canon").isNull() | F.col(id_col).isNull()
+    )
+    dedupable = canon.where(
+        F.col("_canon").isNotNull() & F.col(id_col).isNotNull()
+    )
     keep = (
-        canon.where(F.col("canon_url").isNotNull())
-        .groupBy("canon_url")
+        dedupable.groupBy("_canon")
         .agg(F.min(id_col).alias("_keep_id"))
         .select("_keep_id")
-        .unionByName(
-            canon.where(F.col("canon_url").isNull())
-            .select(F.col(id_col).alias("_keep_id"))
-        )
     )
-    return df.join(keep, df[id_col] == keep["_keep_id"], "left_semi")
+    kept = dedupable.join(keep, dedupable[id_col] == keep["_keep_id"], "left_semi")
+    return kept.unionByName(passthrough).drop("_canon")

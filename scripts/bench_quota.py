@@ -36,12 +36,18 @@ def main() -> None:
     from buildlog_consultant_spark.ops.quota import key_quota, key_quota_naive
 
     # 50% of rows under one hot key, the rest spread over 1000 keys
+    # (cold rows have odd ids, so (id-1) div 2 walks every residue —
+    # id % 1000 alone only ever hits the 500 odd residues)
     df = (
         spark.range(n)
         .select(
             F.col("id").alias("doc_id"),
             F.when(F.col("id") % 2 == 0, F.lit("hot"))
-            .otherwise(F.concat(F.lit("k"), (F.col("id") % 1000).cast("string")))
+            .otherwise(
+                F.concat(
+                    F.lit("k"), F.expr("CAST(((id - 1) DIV 2) % 1000 AS STRING)")
+                )
+            )
             .alias("source"),
         )
         .repartition(32)
