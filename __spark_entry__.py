@@ -2098,6 +2098,36 @@ def _oracle_url_dedup(sf_dir: str = None) -> str:
     return _values_oracle(rows, ["canon_url", "n_dups", "min_id"])
 
 
+def q_dup_spans(spark, sf_dir):
+    """Exact duplicated-substring spans (the ExactSubstr pass of Lee et
+    al. 2022 — verbatim repetition the whole-document near-dup family
+    can't see): every maximal token span of length ≥ 8 occurring more
+    than once corpus-wide, found via the L-gram equivalence (ops/
+    spans.py): flat-map gram positions → ONE gram-keyed hash agg →
+    per-doc run merge (sessionization windows, bounded by doc length).
+    Oracle: Python replay of the same tokenize/count/merge."""
+    from buildlog_consultant_spark.ops.spans import duplicated_spans
+
+    return duplicated_spans(_docs(spark, sf_dir), min_len=8)
+
+
+def _oracle_dup_spans(sf_dir: str = None) -> str:
+    import pyarrow.parquet as pq
+
+    from buildlog_consultant_spark.ops.spans import py_duplicated_spans
+
+    tbl = pq.read_table(
+        f"{sf_dir or _oracle_sf_dir()}/documents.parquet",
+        columns=["doc_id", "text"],
+    )
+    rows = py_duplicated_spans(
+        list(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist())), min_len=8
+    )
+    return _values_oracle(
+        rows, ["doc_id", "span_start", "span_end", "n_tokens"]
+    )
+
+
 def q_repetition_signals(spark, sf_dir):
     """Gopher-style repetition quality signals aggregated per lang: word /
     word-bigram duplication totals plus the count of docs the repetition
@@ -2354,6 +2384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quota": q_source_quota,
         "compression_ratio": q_compression_ratio,
         "url_dedup": q_url_dedup,
+        "dup_spans": q_dup_spans,
     }
 
 
@@ -2411,4 +2442,5 @@ def oracle_sql(sf_dir: str = None) -> dict[str, str]:
         "source_quota": ORACLE_SOURCE_QUOTA,
         "compression_ratio": _oracle_compression_ratio(sf_dir),
         "url_dedup": _oracle_url_dedup(sf_dir),
+        "dup_spans": _oracle_dup_spans(sf_dir),
     }

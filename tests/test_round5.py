@@ -686,6 +686,57 @@ def test_compression_ratio_signal(spark):
 
 
 # ---------------------------------------------------------------------------
+# exact duplicated-substring spans (ExactSubstr, Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+
+def _span_docs():
+    return [
+        (1, "a b c d e f g h i j k l m"),
+        (2, "z z a b c d e f g h i j q r"),      # shares a..j with doc 1
+        (3, "one two three four five six seven eight "
+            "one two three four five six seven eight tail"),  # internal repeat
+        (4, None),
+        (5, "short text"),
+    ]
+
+
+def test_duplicated_spans_matches_python_replay(spark):
+    """Spark span detection must equal the Python oracle replay exactly:
+    cross-doc overlap (docs 1-2 share tokens a..j → 10-token spans),
+    within-doc repetition (doc 3: two maximal 8-token spans — the grams
+    bridging the repeat boundary are unique so the runs don't merge),
+    NULL and too-short docs emit nothing."""
+    from buildlog_consultant_spark.ops.spans import (
+        duplicated_spans,
+        py_duplicated_spans,
+    )
+
+    docs = _span_docs()
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(tuple(r) for r in duplicated_spans(df, min_len=8).collect())
+    want = py_duplicated_spans(docs, min_len=8)
+    assert got == want
+    assert (1, 0, 9, 10) in got and (3, 0, 7, 8) in got and (3, 8, 15, 8) in got
+    assert not any(r[0] in (4, 5) for r in got)
+
+
+def test_filter_span_duplicated_drops_mostly_lifted_docs(spark):
+    from buildlog_consultant_spark.ops.spans import filter_span_duplicated
+
+    df = spark.createDataFrame(_span_docs(), "doc_id long, text string")
+    # doc 1: 10 of 13 tokens duplicated (769‰) — dropped at 500‰;
+    # doc 2: 10 of 14 (714‰) — dropped; doc 3: 16/17 (941‰) — dropped;
+    # docs 4 and 5 have no spans — kept
+    kept = sorted(r["doc_id"] for r in filter_span_duplicated(df).collect())
+    assert kept == [4, 5]
+    lax = sorted(
+        r["doc_id"] for r in filter_span_duplicated(df, max_dup_permille=950).collect()
+    )
+    assert lax == [1, 2, 3, 4, 5]
+
+
+# ---------------------------------------------------------------------------
 # per-key quota (bucketed exact selection — no whole-key sorts)
 # ---------------------------------------------------------------------------
 
