@@ -1,15 +1,21 @@
-"""Exact duplicated-substring span detection — the ExactSubstr pass of
-"Deduplicating Training Data Makes Language Models Better" (Lee et al.,
-2022): find every maximal token span of length ≥ L that occurs more than
-once in the corpus (across documents or repeated inside one). Verbatim
-repetition at this granularity is what the near-dup family (minhash /
-simhash — whole-document similarity) cannot see: two long documents
-sharing one lifted paragraph.
+"""Duplicated-substring COVERAGE spans — the removal geometry of the
+ExactSubstr pass in "Deduplicating Training Data Makes Language Models
+Better" (Lee et al., 2022). Verbatim repetition at this granularity is
+what the near-dup family (minhash / simhash — whole-document similarity)
+cannot see: two long documents sharing one lifted paragraph.
 
-The reference implementation builds a corpus suffix array; the
-Spark-first decomposition uses the L-gram equivalence: a span of length
-≥ L is duplicated iff every one of its length-L sub-grams is duplicated,
-so
+Semantics (stated precisely — the two directions differ): every token
+inside an emitted span is covered by some length-L gram that occurs ≥ 2
+times corpus-wide, and the spans are the MAXIMAL such contiguous
+regions. That is the union of duplicated ≥L substrings — exactly the
+region the ExactSubstr *removal* step cuts — NOT a claim that each
+merged span occurs twice as a whole: a run whose sub-grams match in
+*different* places merges into one region that may itself be unique
+(e.g. 'x A y' where 'x A' matches one doc and 'A y' another). Consumers
+wanting whole-span duplication should post-verify candidate spans; the
+coverage view is the one dedup pipelines act on.
+
+The reference implementation builds a corpus suffix array; here
 
   1. per doc, emit every L-token gram WITH its position — a flat map,
      no shuffle (word_ngrams-style sequence/transform over the token
@@ -35,11 +41,10 @@ from pyspark.sql import functions as F
 
 
 def _tokens(text_col: str):
-    t = F.trim(F.coalesce(F.col(text_col), F.lit("")))
-    words = F.split(F.lower(F.regexp_replace(t, r"\s+", " ")), " ")
-    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
-        words
-    )
+    # the ONE shared tokenizer — see text.py::tokens_expr's pinning note
+    from .text import tokens_expr
+
+    return tokens_expr(text_col)
 
 
 def gram_positions(
@@ -66,10 +71,16 @@ def gram_positions(
 def duplicated_spans(
     df: DataFrame, min_len: int = 8, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Maximal duplicated token spans: (id, span_start, span_end,
+    """Maximal duplicated-COVERAGE spans: (id, span_start, span_end,
     n_tokens) for every maximal run of positions whose L-grams occur ≥ 2
-    times corpus-wide; n_tokens = span_end - span_start + 1 ≥ min_len.
-    span_end is the index of the span's LAST token (inclusive)."""
+    times corpus-wide (see module doc for the precise union-of-duplicated-
+    substrings semantics); n_tokens = span_end - span_start + 1 ≥ min_len.
+    span_end is the index of the span's LAST token (inclusive). Two spans
+    of one doc can OVERLAP in tokens when their position runs are
+    separated by a gap of 2..min_len-1 (filter_span_duplicated unions
+    them before computing coverage). Precondition: ``id_col`` uniquely
+    identifies rows — duplicate ids would interleave two documents'
+    position runs in one window partition."""
     gp = gram_positions(df, min_len, text_col, id_col)
     dup_grams = (
         gp.groupBy("gram").agg(F.count("*").alias("_n")).where(F.col("_n") > 1)
@@ -107,35 +118,52 @@ def filter_span_duplicated(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """The span-dedup ENDPOINT: drop documents whose duplicated-span
+    """The span-dedup ENDPOINT: drop documents whose duplicated-COVERAGE
     tokens exceed ``max_dup_permille``/1000 of their token count (Lee et
     al. remove the duplicated substrings themselves; at pipeline level
     the common deployment drops the documents that are mostly lifted
-    text). Docs with no duplicated spans (or no tokens) are kept. One
-    per-doc aggregate over the spans table joined back by id — the spans
-    table is duplicated-content-sized, not corpus-sized."""
+    text). Docs with no duplicated spans (or no tokens) are kept; rows
+    with a NULL id pass through unconditionally (repo NULL policy — a
+    NULL key can't join its span evidence back).
+
+    Coverage is the UNION of span tokens, not the sum: adjacent spans
+    overlap when their position runs sit 2..min_len-1 apart, and a naive
+    sum double-counts the shared tokens (it can exceed 1000‰). The union
+    subtracts each span's overlap with its predecessor via a lag window
+    over the per-doc SPANS (runs-count rows, not corpus rows)."""
     spans = duplicated_spans(df, min_len, text_col, id_col)
-    dup_tokens = spans.groupBy(id_col).agg(
-        F.sum("n_tokens").alias("_dup_tokens")
+    w = Window.partitionBy(id_col).orderBy("span_start")
+    overlap = F.greatest(
+        F.lit(0), F.lag("span_end", 1, -1).over(w) + 1 - F.col("span_start")
+    )
+    dup_tokens = (
+        spans.withColumn("_covered", F.col("n_tokens") - overlap)
+        .groupBy(id_col)
+        .agg(F.sum("_covered").alias("_dup_tokens"))
     )
     n_tokens = F.size(_tokens(text_col))
-    scored = df.withColumn("_n_tokens", n_tokens).join(dup_tokens, id_col, "left")
-    return (
-        scored.where(
+    scored = df.withColumn("_n_tokens", n_tokens)
+    passthrough = scored.where(F.col(id_col).isNull())
+    kept = (
+        scored.where(F.col(id_col).isNotNull())
+        .join(dup_tokens, id_col, "left")
+        .where(
             F.coalesce(F.col("_dup_tokens"), F.lit(0)) * 1000
             <= F.lit(max_dup_permille) * F.greatest(F.col("_n_tokens"), F.lit(1))
         )
-        .drop("_dup_tokens", "_n_tokens")
+        .drop("_dup_tokens")
     )
+    return kept.unionByName(passthrough).drop("_n_tokens")
 
 
 def py_duplicated_spans(
     docs: list, min_len: int = 8
 ) -> list:
     """Python replay for oracle construction: ``docs`` is a list of
-    (id, text); returns sorted (id, span_start, span_end, n_tokens)
-    tuples — same tokenizer (ASCII-\\s normalize, lower, NULL→''), same
-    gram counting, same maximal-run merge."""
+    (id, text) with UNIQUE ids (the operator's precondition); returns
+    sorted (id, span_start, span_end, n_tokens) tuples — same tokenizer
+    (ASCII-\\s normalize, lower, NULL→''), same gram counting, same
+    maximal-run merge. NULL ids sort first (mirrors Spark nulls-first)."""
     import re
 
     ws = re.compile(r"[ \t\n\x0b\f\r]+")
@@ -165,4 +193,4 @@ def py_duplicated_spans(
                 end = prev + min_len - 1
                 out.append((doc_id, run_start, end, end - run_start + 1))
             run_start, prev = p, p
-    return sorted(out)
+    return sorted(out, key=lambda r: (r[0] is not None, r[0] if r[0] is not None else 0, r[1:]))

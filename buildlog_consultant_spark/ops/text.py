@@ -21,6 +21,22 @@ STOPWORDS = {
 }
 
 
+def tokens_expr(text_col: str = "text"):
+    """THE repo whitespace tokenizer, as one shared expression:
+    trim(coalesce(text, '')) → ASCII-\\s normalize → lower → split;
+    empty/NULL text yields an EMPTY array (never ['']). Shared by
+    with_repetition_signals, word_ngrams, and ops/spans.py — every
+    Python-golden oracle is byte-pinned to exactly this expression, so
+    there is deliberately a single copy (a drifting inline duplicate
+    would surface as an oracle mismatch in a different query than the
+    one edited)."""
+    t = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    words = F.split(F.lower(F.regexp_replace(t, r"\s+", " ")), " ")
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        words
+    )
+
+
 def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace token count (BPE-ish split on non-word boundaries is
     `word_count_bpeish`). NULL text coalesces to '' (dedup.py policy) —
@@ -198,12 +214,7 @@ def with_repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     (dedup.py policy): zero-count signals, 0% dup — filter_repetitive
     KEEPS NULL-text docs instead of silently dropping them on NULL
     metrics."""
-    t = F.trim(F.coalesce(F.col(text_col), F.lit("")))
-    words = F.split(F.lower(F.regexp_replace(t, r"\s+", " ")), " ")
-    words_col = F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
-        words
-    )
-    d = df.withColumn("_w", words_col)
+    d = df.withColumn("_w", tokens_expr(text_col))
     n_words = F.size("_w")
     bigrams = F.transform(
         F.sequence(F.lit(1), F.greatest(n_words - 1, F.lit(0))),
@@ -267,8 +278,7 @@ def word_ngrams(
     coalesced to '' (the dedup.py _shingles policy): a NULL-text doc emits
     NO grams — without the coalesce, size(NULL) dodges the n_words<n guard
     and a spurious '' gram leaks out."""
-    t = F.trim(F.coalesce(F.col(text_col), F.lit("")))
-    words = F.split(F.lower(F.regexp_replace(t, r"\s+", " ")), " ")
+    words = tokens_expr(text_col)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(words, i, n)),

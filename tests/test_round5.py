@@ -721,6 +721,54 @@ def test_duplicated_spans_matches_python_replay(spark):
     assert not any(r[0] in (4, 5) for r in got)
 
 
+def test_filter_span_duplicated_unions_overlapping_spans(spark):
+    """Self-review r5 #3: two spans whose position runs sit 2..L-1 apart
+    OVERLAP in tokens — coverage must be the union, not the sum (the sum
+    exceeds the doc length and wrongly drops the doc). doc 1 holds
+    w0..w10; doc 2 matches w0..w7, doc 3 matches w2..w9 → doc 1 gets
+    overlapping spans (0,7) and (2,9): union 10 of 11 tokens (909‰),
+    naive sum 16 (1454‰)."""
+    from buildlog_consultant_spark.ops.spans import (
+        duplicated_spans,
+        filter_span_duplicated,
+    )
+
+    docs = [
+        (1, " ".join(f"w{i}" for i in range(11))),
+        (2, " ".join(f"w{i}" for i in range(8))),
+        (3, " ".join(f"w{i}" for i in range(2, 10))),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    spans1 = sorted(
+        (r["span_start"], r["span_end"])
+        for r in duplicated_spans(df, min_len=8).where("doc_id = 1").collect()
+    )
+    assert spans1 == [(0, 7), (2, 9)]  # overlapping pair
+    kept = sorted(
+        r["doc_id"]
+        for r in filter_span_duplicated(df, max_dup_permille=950).collect()
+    )
+    assert 1 in kept  # union 909‰ ≤ 950 — the naive sum (1454‰) dropped it
+    kept_strict = sorted(
+        r["doc_id"]
+        for r in filter_span_duplicated(df, max_dup_permille=900).collect()
+    )
+    assert 1 not in kept_strict
+
+
+def test_filter_span_duplicated_null_id_kept(spark):
+    """Self-review r5 #3: NULL-id rows pass through the span filter
+    unconditionally (their span evidence can't join back)."""
+    from buildlog_consultant_spark.ops.spans import filter_span_duplicated
+
+    df = spark.createDataFrame(
+        [(None, "a b c d e f g h i"), (2, "a b c d e f g h i")],
+        "doc_id int, text string",
+    )
+    kept = {r["doc_id"] for r in filter_span_duplicated(df, max_dup_permille=0).collect()}
+    assert None in kept and 2 not in kept
+
+
 def test_filter_span_duplicated_drops_mostly_lifted_docs(spark):
     from buildlog_consultant_spark.ops.spans import filter_span_duplicated
 
