@@ -2098,6 +2098,41 @@ def _oracle_url_dedup(sf_dir: str = None) -> str:
     return _values_oracle(rows, ["canon_url", "n_dups", "min_id"])
 
 
+def q_token_budget(spark, sf_dir):
+    """Token-budgeted deterministic sample (mixture building: "≈20k
+    tokens of this source"): keep the longest (md5(id), id)-hash-ordered
+    prefix whose cumulative n_chars stays ≤ 20000 — computed WITHOUT a
+    global sort (ops/quota.py::token_budget_sample, the bucketed-prefix
+    technique's third instance, with a SUM boundary instead of a COUNT).
+    Oracle: the naive QUALIFY running-sum formulation the bucketed plan
+    must match exactly."""
+    from buildlog_consultant_spark.ops.quota import token_budget_sample
+
+    d = _docs(spark, sf_dir)
+    kept = token_budget_sample(d, max_tokens=20000, weight_col="n_chars")
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_id"),
+    )
+
+
+ORACLE_TOKEN_BUDGET = """
+WITH ordered AS (
+  SELECT lang, doc_id, n_chars,
+         SUM(n_chars) OVER (
+           ORDER BY md5(coalesce(CAST(doc_id AS VARCHAR), '')), doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_id
+FROM ordered WHERE cum <= 20000 GROUP BY lang
+"""
+
+
 def q_dup_spans(spark, sf_dir):
     """Exact duplicated-substring spans (the ExactSubstr pass of Lee et
     al. 2022 — verbatim repetition the whole-document near-dup family
@@ -2385,6 +2420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_ratio": q_compression_ratio,
         "url_dedup": q_url_dedup,
         "dup_spans": q_dup_spans,
+        "token_budget": q_token_budget,
     }
 
 
@@ -2443,4 +2479,5 @@ def oracle_sql(sf_dir: str = None) -> dict[str, str]:
         "compression_ratio": _oracle_compression_ratio(sf_dir),
         "url_dedup": _oracle_url_dedup(sf_dir),
         "dup_spans": _oracle_dup_spans(sf_dir),
+        "token_budget": ORACLE_TOKEN_BUDGET,
     }

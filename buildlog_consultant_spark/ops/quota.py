@@ -105,6 +105,76 @@ def key_quota(
     )
 
 
+def token_budget_sample(
+    df: DataFrame,
+    max_tokens: int,
+    weight_col,
+    id_col: str = "doc_id",
+    bucket_hex_chars: int = 2,
+) -> DataFrame:
+    """Deterministic token-budgeted corpus sample — the mixture-building
+    primitive ("give me ≈2B tokens of this source"): walk the corpus in
+    (md5(id), id) hash order and keep the longest prefix whose cumulative
+    ``weight_col`` (token counts) stays ≤ ``max_tokens``, plus nothing
+    after it. Hash order makes the kept set independent of partitioning
+    and engine (rerun-stable, oracle-replayable), and a prefix rule means
+    growing the budget only ADDS documents — the property incremental
+    mixture rebuilds need.
+
+    Scale shape = key_quota's two-pass technique with a SUM instead of a
+    COUNT: hash-prefix buckets → one hash-agg (bucket, sum(weight), and
+    per-bucket rows) → cumulative window over the tiny bucket table
+    locates the boundary bucket; whole buckets before it are kept with
+    no ranking, and only the boundary bucket's rows are shuffled for the
+    exact running-sum cut (a window over ~corpus/16^chars rows). NULL
+    ids hash as '' (repo policy); NULL weights count 0.
+
+    Exactness note: the cut is the classic prefix rule — a doc is kept
+    iff cum_weight_through_it ≤ max_tokens — so one oversized document
+    larger than the whole budget is simply skipped-over-nothing (the
+    prefix ends before it)."""
+    if max_tokens <= 0:
+        return df.limit(0)
+    w_expr = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    h = F.md5(F.coalesce(F.col(id_col).cast("string"), F.lit("")))
+    b = F.substring(h, 1, bucket_hex_chars)
+    d = df.withColumn("_w8", F.coalesce(w_expr.cast("long"), F.lit(0))).withColumn(
+        "_h", h
+    ).withColumn("_b", b)
+
+    buckets = d.groupBy("_b").agg(F.sum("_w8").alias("_bw"))
+    w_cum = (
+        Window.orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # _before = budget already spent by earlier buckets; the window runs
+    # over ≤ 16^chars rows (the bucket table), never corpus rows
+    meta = buckets.select(
+        F.col("_b").alias("_mb"),
+        (F.sum("_bw").over(w_cum) - F.col("_bw")).alias("_before"),
+        F.col("_bw"),
+    )
+    dd = d.join(F.broadcast(meta), F.col("_b") == F.col("_mb")).drop("_mb")
+    keep_full = dd.where(F.col("_before") + F.col("_bw") <= max_tokens)
+    # <= (not <): a bucket whose predecessors exactly exhaust the budget
+    # can still contribute ZERO-weight docs under the prefix rule
+    # (cum == max_tokens), and the oracle's naive running-sum keeps them
+    boundary = dd.where(
+        (F.col("_before") <= max_tokens)
+        & (F.col("_before") + F.col("_bw") > max_tokens)
+    )
+    w_run = (
+        Window.partitionBy("_b")
+        .orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    keep_boundary = boundary.withColumn(
+        "_cum", F.sum("_w8").over(w_run)
+    ).where(F.col("_before") + F.col("_cum") <= max_tokens).drop("_cum")
+    drop_cols = ("_w8", "_h", "_b", "_before", "_bw")
+    return keep_full.unionByName(keep_boundary).drop(*drop_cols)
+
+
 def key_quota_naive(
     df: DataFrame,
     n_keep: int,

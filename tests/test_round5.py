@@ -929,6 +929,43 @@ def test_mp4_leading_padding_boxes_accepted():
     assert decode_mp4_header(b"\x00\x00\x00\x08junk" + base[:20]) is None
 
 
+@pytest.mark.parametrize("budget", [0, 1, 37, 500, 10**9])
+def test_token_budget_sample_matches_naive_prefix(spark, budget):
+    """Bucketed token-budget sampling must equal the naive hash-ordered
+    running-sum prefix exactly, across tiny/mid/huge budgets; zero-weight
+    docs follow the same prefix rule."""
+    from buildlog_consultant_spark.ops.quota import token_budget_sample
+
+    rows = [Row(doc_id=i, w=(i * 7) % 23) for i in range(300)]
+    df = spark.createDataFrame(rows)
+    got = {r["doc_id"] for r in token_budget_sample(
+        df, budget, "w", bucket_hex_chars=1
+    ).collect()}
+    naive_w = Window.orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = {
+        r["doc_id"]
+        for r in df.withColumn("_cum", F.sum("w").over(naive_w))
+        .where(F.col("_cum") <= budget)
+        .collect()
+    }
+    assert got == want
+    if budget >= 10**9:
+        assert len(got) == 300  # budget beyond corpus keeps everything
+
+
+def test_token_budget_prefix_monotone(spark):
+    """Growing the budget only ADDS documents (prefix property — what
+    incremental mixture rebuilds rely on)."""
+    from buildlog_consultant_spark.ops.quota import token_budget_sample
+
+    df = spark.createDataFrame([Row(doc_id=i, w=5 + i % 11) for i in range(200)])
+    small = {r["doc_id"] for r in token_budget_sample(df, 300, "w").collect()}
+    big = {r["doc_id"] for r in token_budget_sample(df, 900, "w").collect()}
+    assert small < big
+
+
 def test_key_quota_windows_only_candidate_buckets(spark):
     """The ranking window must sit ABOVE the _kb > 0 candidate filter
     (only surviving buckets' rows are shuffled and ranked, each window
