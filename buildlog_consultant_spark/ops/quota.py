@@ -41,6 +41,16 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _order_hash(id_col: str):
+    """THE selection-order hash: md5(coalesce(cast(id as string), '')).
+    Single-sourced — the NULL-as-'' policy and the exact expression are
+    load-bearing for every SQL oracle's replay; the ordering tiebreak is
+    (this hash, id), so ids must be unique with at most ONE NULL id per
+    selection scope (two NULL ids tie on both keys and the kept set
+    under a mid-tie budget/quota cut would be partitioning-dependent)."""
+    return F.md5(F.coalesce(F.col(id_col).cast("string"), F.lit("")))
+
+
 def key_quota(
     df: DataFrame,
     n_keep: int,
@@ -63,7 +73,7 @@ def key_quota(
     task ever sorts a whole key."""
     if n_keep <= 0:
         return df.limit(0)
-    h = F.md5(F.coalesce(F.col(id_col).cast("string"), F.lit("")))
+    h = _order_hash(id_col)
     b = F.substring(h, 1, bucket_hex_chars)
     d = df.withColumn("_h", h).withColumn("_b", b)
 
@@ -132,11 +142,22 @@ def token_budget_sample(
     Exactness note: the cut is the classic prefix rule — a doc is kept
     iff cum_weight_through_it ≤ max_tokens — so one oversized document
     larger than the whole budget is simply skipped-over-nothing (the
-    prefix ends before it)."""
-    if max_tokens <= 0:
+    prefix ends before it).
+
+    Weight contract: NON-NEGATIVE INTEGER weights (token/char counts).
+    The column is cast to long, so a fractional weight must be rounded
+    by the CALLER — an SQL oracle sums the raw column and a silent
+    per-row truncation here would diverge; negative weights make the
+    running sum non-monotone, which breaks both the bucketed/naive
+    equivalence and the prefix-monotone property, and are unsupported."""
+    # only a NEGATIVE budget is trivially empty: at budget exactly 0 the
+    # prefix rule still keeps leading ZERO-weight docs (cum == 0 <= 0),
+    # and the normal bucketed path handles that case correctly — an
+    # early-empty return here diverged from the naive oracle
+    if max_tokens < 0:
         return df.limit(0)
     w_expr = F.col(weight_col) if isinstance(weight_col, str) else weight_col
-    h = F.md5(F.coalesce(F.col(id_col).cast("string"), F.lit("")))
+    h = _order_hash(id_col)
     b = F.substring(h, 1, bucket_hex_chars)
     d = df.withColumn("_w8", F.coalesce(w_expr.cast("long"), F.lit(0))).withColumn(
         "_h", h
@@ -185,9 +206,7 @@ def key_quota_naive(
     reference for tests (it sorts each key's entire row set in one task;
     never on the query path). Same NULL semantics: NULL ids hash as '',
     NULL keys are a window partition of their own."""
-    w = Window.partitionBy(key_col).orderBy(
-        F.md5(F.coalesce(F.col(id_col).cast("string"), F.lit(""))), id_col
-    )
+    w = Window.partitionBy(key_col).orderBy(_order_hash(id_col), id_col)
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= n_keep)

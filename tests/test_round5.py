@@ -955,6 +955,58 @@ def test_token_budget_sample_matches_naive_prefix(spark, budget):
         assert len(got) == 300  # budget beyond corpus keeps everything
 
 
+def test_token_budget_exact_exhaustion_corners(spark):
+    """Self-review r5 #5: exercise the boundary `<=` conditions the
+    random fixture never hits — budgets landing EXACTLY on a cumulative
+    sum, with zero-weight docs adjacent in hash order, and budgets equal
+    to a bucket's _before. Expectations come from a Python md5 replay of
+    the naive prefix rule, so flipping either <= to < fails here."""
+    import hashlib
+
+    from buildlog_consultant_spark.ops.quota import token_budget_sample
+
+    rows = [(i, 0 if i % 2 == 0 else 5 + (i % 7)) for i in range(240)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+
+    order = sorted(range(240), key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    weights = dict(rows)
+    cums = []
+    c = 0
+    for i in order:
+        c += weights[i]
+        cums.append((i, c))
+
+    def naive_kept(budget):
+        return {i for i, c in cums if c <= budget}
+
+    # budgets: 0 (keeps the leading zero-weight run — the old <=0 guard
+    # returned empty), an exact mid-corpus cum followed by a zero-weight
+    # doc, the same minus 1, and each 1-hex bucket's _before value
+    probes = {0}
+    for k in range(len(cums) - 1):
+        nxt = order[k + 1]
+        if weights[nxt] == 0 and cums[k][1] not in (c for _, c in cums[:k]):
+            probes.add(cums[k][1])
+            probes.add(cums[k][1] - 1)
+            if len(probes) >= 6:
+                break
+    bucket_before = {}
+    run = 0
+    for i in order:
+        bkt = hashlib.md5(str(i).encode()).hexdigest()[0]
+        bucket_before.setdefault(bkt, run)
+        run += weights[i]
+    probes.update(list(bucket_before.values())[:4])
+
+    assert naive_kept(0), "fixture must start with zero-weight docs in hash order"
+    for budget in sorted(probes):
+        got = {
+            r["doc_id"]
+            for r in token_budget_sample(df, budget, "w", bucket_hex_chars=1).collect()
+        }
+        assert got == naive_kept(budget), (budget, got ^ naive_kept(budget))
+
+
 def test_token_budget_prefix_monotone(spark):
     """Growing the budget only ADDS documents (prefix property — what
     incremental mixture rebuilds rely on)."""
