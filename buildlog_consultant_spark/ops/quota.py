@@ -196,6 +196,102 @@ def token_budget_sample(
     return keep_full.unionByName(keep_boundary).drop(*drop_cols)
 
 
+def token_budget_per_key(
+    df: DataFrame,
+    max_tokens: int,
+    weight_col,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    bucket_hex_chars: int = 2,
+) -> DataFrame:
+    """Per-key token budget — the REAL mixture primitive ("≤ B tokens per
+    SOURCE"): within each ``key_col`` group independently, keep the longest
+    (md5(id), id)-hash-ordered prefix whose cumulative ``weight_col`` stays
+    ≤ ``max_tokens``. The composition of key_quota (per-key scope) and
+    token_budget_sample (SUM boundary) the domain-balancing pass of a
+    crawl pipeline needs: a boilerplate-heavy host contributes at most B
+    tokens no matter how many documents it has.
+
+    Scale shape is token_budget_sample's two-pass with every window
+    PARTITIONED BY the key: one hash-agg over (key, bucket) sums — the
+    only operator touching corpus rows — a cumulative window over the
+    tiny (keys × ≤16^chars buckets) table, a broadcast of that boundary
+    table back onto the scan, and an exact running-sum window over ONLY
+    each key's boundary bucket (per-task work bounded by one bucket of
+    one key, independent of key skew). NULL keys are their own budget
+    group (null-safe join); NULL ids hash as ''; NULL weights count 0;
+    the weight contract (non-negative integers) is token_budget_sample's.
+
+    Same prefix-monotone property per key: growing the budget only ADDS
+    documents within every source."""
+    if max_tokens < 0:
+        return df.limit(0)
+    w_expr = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    h = _order_hash(id_col)
+    b = F.substring(h, 1, bucket_hex_chars)
+    d = (
+        df.withColumn("_w8", F.coalesce(w_expr.cast("long"), F.lit(0)))
+        .withColumn("_h", h)
+        .withColumn("_b", b)
+    )
+
+    buckets = d.groupBy(key_col, "_b").agg(F.sum("_w8").alias("_bw"))
+    w_cum = (
+        Window.partitionBy(key_col)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    meta = buckets.select(
+        F.col(key_col).alias("_mk"),
+        F.col("_b").alias("_mb"),
+        (F.sum("_bw").over(w_cum) - F.col("_bw")).alias("_before"),
+        F.col("_bw"),
+    )
+    # null-safe on the key (same reason as key_quota: a plain equi-join
+    # would silently drop the NULL-key budget group)
+    dd = d.join(
+        F.broadcast(meta),
+        F.col(key_col).eqNullSafe(F.col("_mk")) & (F.col("_b") == F.col("_mb")),
+    ).drop("_mk", "_mb")
+    keep_full = dd.where(F.col("_before") + F.col("_bw") <= max_tokens)
+    boundary = dd.where(
+        (F.col("_before") <= max_tokens)
+        & (F.col("_before") + F.col("_bw") > max_tokens)
+    )
+    w_run = (
+        Window.partitionBy(key_col, "_b")
+        .orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    keep_boundary = boundary.withColumn(
+        "_cum", F.sum("_w8").over(w_run)
+    ).where(F.col("_before") + F.col("_cum") <= max_tokens).drop("_cum")
+    drop_cols = ("_w8", "_h", "_b", "_before", "_bw")
+    return keep_full.unionByName(keep_boundary).drop(*drop_cols)
+
+
+def token_budget_per_key_naive(
+    df: DataFrame,
+    max_tokens: int,
+    weight_col,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Single-window per-key running-sum formulation — equivalence
+    reference for tests only (sorts each key's entire row set in one
+    task; never on the query path)."""
+    if max_tokens < 0:
+        return df.limit(0)
+    w_expr = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(_order_hash(id_col), id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.coalesce(w_expr.cast("long"), F.lit(0))).over(w)
+    return df.withColumn("_cum", cum).where(F.col("_cum") <= max_tokens).drop("_cum")
+
+
 def key_quota_naive(
     df: DataFrame,
     n_keep: int,

@@ -601,6 +601,174 @@ def ann_topk_int8_rerank(
     )
 
 
+def ann_topk_int8_batch(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    qid_col: str | None = None,
+) -> DataFrame:
+    """Batched quantized ANN — production retrieval scores a query TABLE,
+    not one vector: every ANN endpoint above takes a single id; this one
+    takes a ``queries`` DataFrame (qid, vector) and returns
+    (query_id, rank, vec_id, qdot) — per-query top-k by exact integer
+    dot over int8 codes, ties broken by lowest id.
+
+    ONE job for N queries (never a per-query Spark loop): the query
+    codes are quantized with the SAME kernel as the corpus, collected
+    once (bounded — a retrieval batch is ≤10^5 rows × dim ints; raise
+    past driver budget, don't spill), and closed over a mapInPandas
+    kernel that scores each Arrow batch of corpus codes against ALL
+    queries with a single int64 matmul (B×D · D×Q), emitting only each
+    query's per-batch top-k. The final per-query selection is a window
+    over ≤ n_batches × k candidate rows per query — bounded by the scan
+    parallelism, never by corpus size; no corpus-wide sort anywhere.
+    The matmul is cache-blocked so the B×Q score block stays ≲4 MB
+    (same budget as the other Arrow kernels).
+
+    Self-match policy: a corpus row whose id equals the query's id is
+    excluded (the single-query endpoints' semantics); use disjoint id
+    spaces when queries are not corpus rows. Rows whose codes are NULL
+    (NULL vector / wrong dim) never score. Scores are exact integers, so
+    the result is hash-stable and an off-Spark oracle replays it from
+    the same quantization math."""
+    import pandas as pd
+    from pyspark.sql import Window
+
+    qid_col = qid_col or id_col
+    qrows = quantize_embeddings(queries, qid_col, vec_col, dim).collect()
+    if not qrows:
+        raise ValueError("ann_topk_int8_batch: queries frame is empty")
+    bad = [r[0] for r in qrows if r[1] is None]
+    if bad:
+        raise ValueError(
+            f"ann_topk_int8_batch: unquantizable query vectors (NULL or "
+            f"wrong dim) for ids {bad[:5]}"
+        )
+    qids = np.asarray([int(r[0]) for r in qrows], dtype=np.int64)
+    qmat = np.asarray([list(r[1]) for r in qrows], dtype=np.int64)  # Q×D
+
+    codes = quantize_embeddings(df, id_col, vec_col, dim)
+    out_schema = f"query_id long, {id_col} long, qdot long"
+
+    def gen(batches):
+        for pdf in batches:
+            ids_all = pdf[id_col].to_numpy()
+            code_vals = pdf["qcodes"].values
+            keep = [i for i, c in enumerate(code_vals) if c is not None]
+            if not keep:
+                continue
+            vids = ids_all[keep].astype(np.int64)
+            mat = np.vstack(
+                [np.asarray(code_vals[i], dtype=np.int64) for i in keep]
+            )
+            out_q, out_v, out_s = [], [], []
+            step = max(_kernel_chunk(len(qids)), 1)
+            for lo in range(0, len(vids), step):
+                scores = mat[lo : lo + step] @ qmat.T  # (chunk, Q)
+                cvids = vids[lo : lo + step]
+                for j in range(len(qids)):
+                    sj = scores[:, j]
+                    mask = cvids != qids[j]
+                    vj, sj = cvids[mask], sj[mask]
+                    if vj.size == 0:
+                        continue
+                    kk = min(k, vj.size)
+                    order = np.lexsort((vj, -sj))[:kk]
+                    out_q.append(np.full(kk, qids[j], dtype=np.int64))
+                    out_v.append(vj[order])
+                    out_s.append(sj[order])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        id_col: np.concatenate(out_v),
+                        "qdot": np.concatenate(out_s),
+                    }
+                )
+
+    cand = codes.mapInPandas(gen, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("qdot"), F.asc(id_col))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "qdot")
+    )
+
+
+def ann_topk_lsh_batch(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    probe_hamming: int = 1,
+    max_bucket: int | None = 1024,
+    qid_col: str | None = None,
+) -> DataFrame:
+    """Batched hyperplane-LSH ANN: the bucket-join generalization of
+    ann_topk_lsh to a queries DataFrame. Returns (query_id, rank,
+    vec_id) per query, ranked by exact cosine over candidates only.
+
+    Shape: corpus buckets once (map-side kernel); each query expands to
+    its bucket plus hamming-``probe_hamming`` probes (explode over
+    n_planes+1 rows per query — tiny); probes BROADCAST-join the corpus
+    bucket table on the bucket id (an equi-join, never a crossJoin
+    against the corpus); per-(query, bucket) candidates are capped at
+    the ``max_bucket`` lowest ids (deterministic, replayable — window
+    partitions bounded by one bucket); only capped candidates get the
+    exact cosine (one Arrow kernel over candidate pairs, the query
+    vectors riding in via a broadcast join on query_id). Final top-k is
+    a window over ≤ (n_planes+1)×max_bucket rows per query. One job for
+    N queries; every stage's task bound is independent of corpus size."""
+    from pyspark.sql import Window
+
+    qid_col = qid_col or id_col
+    qb = hyperplane_buckets(queries, n_planes, qid_col, vec_col, dim).select(
+        F.col(qid_col).alias("query_id"), F.col("bucket").alias("qbucket")
+    )
+    probes = [F.col("qbucket")] + [
+        F.col("qbucket").bitwiseXOR(F.lit(1 << i))
+        for i in range(n_planes if probe_hamming >= 1 else 0)
+    ]
+    qprobes = qb.select(
+        "query_id", F.explode(F.array(*probes)).alias("bucket")
+    ).dropDuplicates(["query_id", "bucket"])
+    buckets = hyperplane_buckets(df, n_planes, id_col, vec_col, dim)
+    cands = (
+        buckets.join(F.broadcast(qprobes), "bucket")
+        .where(F.col(id_col) != F.col("query_id"))
+    )
+    if max_bucket is not None:
+        w_cap = Window.partitionBy("query_id", "bucket").orderBy(id_col)
+        cands = (
+            cands.withColumn("_rn", F.row_number().over(w_cap))
+            .where(F.col("_rn") <= max_bucket)
+        )
+    cands = cands.select("query_id", id_col)
+    qvecs = queries.select(
+        F.col(qid_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    v = F.col(vec_col).cast("array<double>")
+    cos = _cosine_pairs_udf()
+    scored = (
+        cands.join(df.select(id_col, vec_col), id_col)
+        .join(F.broadcast(qvecs), "query_id")
+        .select("query_id", F.col(id_col), cos(v, F.col("qv")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", id_col)
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     threshold: float = 0.45,

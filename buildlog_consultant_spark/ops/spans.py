@@ -22,8 +22,11 @@ The reference implementation builds a corpus suffix array; here
      array, NULL text → no grams per the repo policy);
   2. ONE hash-agg shuffle keyed on the gram finds grams occurring ≥ 2
      times corpus-wide (map-side combine bounds the shuffle by distinct
-     grams; the gram STRING is the key — exact, no hash collisions; at
-     10^12 tokens swap in a 128-bit gram hash to shrink shuffle bytes);
+     grams). The shuffle KEY defaults to a 128-bit xxhash64-pair of the
+     gram — 16 bytes/key instead of ~8 words of text, the crawl-scale
+     shape (collision odds ~n²/2^129; see _gram_key_col) — with
+     ``gram_key="string"`` as the exact oracle-reference path, pinned
+     equivalent by test;
   3. positions of duplicated grams join back (broadcast when the
      duplicated-gram set is small — Catalyst/AQE decides) and
      consecutive positions merge into MAXIMAL spans per doc via the
@@ -48,10 +51,18 @@ def _tokens(text_col: str):
 
 
 def gram_positions(
-    df: DataFrame, min_len: int = 8, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    min_len: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    with_doc_tokens: bool = False,
 ) -> DataFrame:
-    """(id, pos, gram): every length-``min_len`` token gram with its
-    0-based token position. Map-side only."""
+    """(id, pos, gram[, doc_tokens]): every length-``min_len`` token gram
+    with its 0-based token position. Map-side only. With
+    ``with_doc_tokens`` each row also carries the document's total token
+    count — computed on THIS scan, so downstream consumers (the span-dedup
+    endpoint's coverage gate) never re-tokenize the corpus on a second
+    scan."""
     words = _tokens(text_col)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(words) - (min_len - 1), F.lit(0))),
@@ -63,13 +74,47 @@ def gram_positions(
     grams = F.when(
         F.size(words) < min_len, F.array().cast("array<struct<pos:int,gram:string>>")
     ).otherwise(grams)
+    extra = [F.size(words).alias("doc_tokens")] if with_doc_tokens else []
+    out = [id_col, F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram")] + (
+        ["doc_tokens"] if with_doc_tokens else []
+    )
     return df.select(
-        F.col(id_col), F.explode(grams).alias("g")
-    ).select(id_col, F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+        F.col(id_col), F.explode(grams).alias("g"), *extra
+    ).select(*out)
+
+
+def _gram_key_col(gram_key: str):
+    """The corpus-wide aggregation key for a gram row.
+
+    ``"string"`` keys on the raw L-token gram — exact, zero collision
+    risk, the oracle-reference path. ``"hash128"`` keys on a 128-bit
+    composite of two independent xxhash64 values (the second chained
+    through a distinct LONG seed lane — Spark chains multi-arg xxhash64
+    as hash(argN, seed=hash(..)), so the pair is two different functions
+    of the gram): 16 bytes per key instead of ~8 words of text, cutting
+    the one corpus-wide shuffle's bytes roughly an order of magnitude at
+    crawl scale. Collision math: P(any collision among n distinct grams)
+    ≈ n²/2^129 — at n = 10^12 grams that is ~4e-15, far below any
+    hardware error rate; a collision could only MERGE two span regions,
+    never lose one. Equivalence string-vs-hash128 is pinned by test on
+    the fixture corpus."""
+    if gram_key == "string":
+        return F.col("gram")
+    if gram_key == "hash128":
+        return F.struct(
+            F.xxhash64(F.col("gram")).alias("h1"),
+            F.xxhash64(F.lit(1).cast("long"), F.col("gram")).alias("h2"),
+        )
+    raise ValueError(f"gram_key must be 'string' or 'hash128', got {gram_key!r}")
 
 
 def duplicated_spans(
-    df: DataFrame, min_len: int = 8, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    min_len: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_key: str = "hash128",
+    with_doc_tokens: bool = False,
 ) -> DataFrame:
     """Maximal duplicated-COVERAGE spans: (id, span_start, span_end,
     n_tokens) for every maximal run of positions whose L-grams occur ≥ 2
@@ -80,13 +125,22 @@ def duplicated_spans(
     separated by a gap of 2..min_len-1 (filter_span_duplicated unions
     them before computing coverage). Precondition: ``id_col`` uniquely
     identifies rows — duplicate ids would interleave two documents'
-    position runs in one window partition."""
-    gp = gram_positions(df, min_len, text_col, id_col)
+    position runs in one window partition.
+
+    ``gram_key`` picks the corpus-wide shuffle key (see _gram_key_col):
+    default ``"hash128"`` — 16 bytes/key, the crawl-scale shape;
+    ``"string"`` is the exact oracle-reference path, test-pinned
+    equivalent. ``with_doc_tokens`` adds a ``doc_tokens`` column (the
+    document's total token count, carried out of the SAME scan that
+    produced the grams — see gram_positions)."""
+    gp = gram_positions(df, min_len, text_col, id_col, with_doc_tokens)
+    gp = gp.withColumn("_gk", _gram_key_col(gram_key)).drop("gram")
     dup_grams = (
-        gp.groupBy("gram").agg(F.count("*").alias("_n")).where(F.col("_n") > 1)
-        .select("gram")
+        gp.groupBy("_gk").agg(F.count("*").alias("_n")).where(F.col("_n") > 1)
+        .select("_gk")
     )
-    hits = gp.join(dup_grams, "gram").select(id_col, "pos")
+    hit_cols = [id_col, "pos"] + (["doc_tokens"] if with_doc_tokens else [])
+    hits = gp.join(dup_grams, "_gk").select(*hit_cols)
     w = Window.partitionBy(id_col).orderBy("pos")
     runs = hits.withColumn(
         "_new", (F.col("pos") - F.lag("pos", 1, -2).over(w) != 1).cast("int")
@@ -94,12 +148,13 @@ def duplicated_spans(
         "_run",
         F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
     )
+    aggs = [
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + (min_len - 1)).alias("span_end"),
+    ] + ([F.first("doc_tokens").alias("doc_tokens")] if with_doc_tokens else [])
     return (
         runs.groupBy(id_col, "_run")
-        .agg(
-            F.min("pos").alias("span_start"),
-            (F.max("pos") + (min_len - 1)).alias("span_end"),
-        )
+        .agg(*aggs)
         .select(
             id_col,
             F.col("span_start").cast("int").alias("span_start"),
@@ -107,6 +162,8 @@ def duplicated_spans(
             (F.col("span_end") - F.col("span_start") + 1)
             .cast("int")
             .alias("n_tokens"),
+            *([F.col("doc_tokens").cast("int").alias("doc_tokens")]
+              if with_doc_tokens else []),
         )
     )
 
@@ -130,8 +187,18 @@ def filter_span_duplicated(
     overlap when their position runs sit 2..min_len-1 apart, and a naive
     sum double-counts the shared tokens (it can exceed 1000‰). The union
     subtracts each span's overlap with its predecessor via a lag window
-    over the per-doc SPANS (runs-count rows, not corpus rows)."""
-    spans = duplicated_spans(df, min_len, text_col, id_col)
+    over the per-doc SPANS (runs-count rows, not corpus rows).
+
+    Single-tokenize shape: the document token count rides OUT of the gram
+    subtree (``with_doc_tokens`` — computed on the same scan that emitted
+    the grams), so the output branch never re-tokenizes the corpus; docs
+    with no duplicated spans need no count at all (0 covered tokens pass
+    any gate). The documents relation is still scanned once for the
+    output rows — inherent to a join-back endpoint — but that scan
+    projects only the original columns."""
+    spans = duplicated_spans(
+        df, min_len, text_col, id_col, with_doc_tokens=True
+    )
     w = Window.partitionBy(id_col).orderBy("span_start")
     overlap = F.greatest(
         F.lit(0), F.lag("span_end", 1, -1).over(w) + 1 - F.col("span_start")
@@ -139,21 +206,134 @@ def filter_span_duplicated(
     dup_tokens = (
         spans.withColumn("_covered", F.col("n_tokens") - overlap)
         .groupBy(id_col)
-        .agg(F.sum("_covered").alias("_dup_tokens"))
+        .agg(
+            F.sum("_covered").alias("_dup_tokens"),
+            F.first("doc_tokens").alias("_n_tokens"),
+        )
     )
-    n_tokens = F.size(_tokens(text_col))
-    scored = df.withColumn("_n_tokens", n_tokens)
-    passthrough = scored.where(F.col(id_col).isNull())
+    passthrough = df.where(F.col(id_col).isNull())
     kept = (
-        scored.where(F.col(id_col).isNotNull())
+        df.where(F.col(id_col).isNotNull())
         .join(dup_tokens, id_col, "left")
         .where(
             F.coalesce(F.col("_dup_tokens"), F.lit(0)) * 1000
-            <= F.lit(max_dup_permille) * F.greatest(F.col("_n_tokens"), F.lit(1))
+            <= F.lit(max_dup_permille)
+            * F.greatest(F.coalesce(F.col("_n_tokens"), F.lit(0)), F.lit(1))
         )
-        .drop("_dup_tokens")
+        .drop("_dup_tokens", "_n_tokens")
     )
-    return kept.unionByName(passthrough).drop("_n_tokens")
+    return kept.unionByName(passthrough)
+
+
+def scrub_span_duplicated(
+    df: DataFrame,
+    min_len: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_key: str = "hash128",
+) -> DataFrame:
+    """The ExactSubstr REMOVAL endpoint (Lee et al. 2022, the step their
+    pipeline applies after finding duplicated substrings): cut every
+    duplicated-COVERAGE span out of the document text. Adds two columns:
+
+      * ``text_scrubbed`` — the document with covered tokens removed;
+      * ``n_tokens_removed`` — how many token positions were cut.
+
+    Removal geometry: spans are TOKEN ranges in the normalized token
+    sequence, so the scrubbed text is rebuilt as the single-space join of
+    the surviving ORIGINAL-CASE tokens (the original split on ASCII
+    whitespace aligns 1:1 with the normalized tokens — lowering and
+    whitespace-collapse never change token count). Only documents that
+    actually lose tokens get whitespace-normalized; untouched documents
+    keep their text byte-identical. Exact original-byte-range surgery
+    would need char offsets the tokenizer doesn't keep — the token-join
+    form is deterministic and replayable off-Spark, which is what the
+    oracle gate needs.
+
+    NULL policy (uniform with filter_span_duplicated): NULL text →
+    NULL ``text_scrubbed`` (no grams, nothing to cut); NULL-id rows pass
+    through untouched (their span evidence can't join back); docs with
+    no duplicated spans are byte-identical.
+
+    Shuffle shape: duplicated_spans' bounded plan + ONE per-doc
+    collect_list of spans (≤ doc_tokens/2 structs — same bound as the
+    run-merge window) + a join back to the documents relation. The
+    per-token containment test is an exists() over that bounded span
+    array — O(tokens × spans) per doc, both bounded by doc length."""
+    spans = duplicated_spans(df, min_len, text_col, id_col, gram_key=gram_key)
+    span_lists = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    t = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    # tokens_expr minus the lower(): identical split → identical positions
+    orig_words = F.when(
+        F.length(t) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.regexp_replace(t, r"\s+", " "), " "))
+    passthrough = (
+        df.where(F.col(id_col).isNull())
+        .withColumn("text_scrubbed", F.col(text_col))
+        .withColumn("n_tokens_removed", F.lit(0).cast("int"))
+    )
+    joined = (
+        df.where(F.col(id_col).isNotNull())
+        .join(span_lists, id_col, "left")
+        .withColumn("_ow", orig_words)
+    )
+    kept_words = F.filter(
+        F.col("_ow"),
+        lambda tok, i: ~F.exists(
+            F.col("_spans"),
+            lambda s: (s["span_start"] <= i) & (i <= s["span_end"]),
+        ),
+    )
+    scrubbed = (
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+        .when(F.col("_spans").isNull(), F.col(text_col))
+        .otherwise(F.concat_ws(" ", kept_words))
+    )
+    n_removed = (
+        F.when(F.col("_spans").isNull() | F.col(text_col).isNull(), F.lit(0))
+        .otherwise(F.size(F.col("_ow")) - F.size(kept_words))
+        .cast("int")
+    )
+    scrubbed_rows = (
+        joined.withColumn("text_scrubbed", scrubbed)
+        .withColumn("n_tokens_removed", n_removed)
+        .drop("_spans", "_ow")
+    )
+    return scrubbed_rows.unionByName(passthrough)
+
+
+def py_scrub_spans(docs: list, min_len: int = 8) -> list:
+    """Python replay of scrub_span_duplicated for oracle construction:
+    ``docs`` is a list of (id, text) with unique ids; returns
+    (id, text_scrubbed, n_tokens_removed) per input row — same span
+    geometry as py_duplicated_spans, same original-case token split,
+    same single-space join. NULL text → (id, None, 0); NULL id →
+    untouched passthrough."""
+    import re
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    by_doc: dict = {}
+    for doc_id, s, e, _n in py_duplicated_spans(docs, min_len):
+        by_doc.setdefault(doc_id, []).append((s, e))
+    out = []
+    for doc_id, text in docs:
+        if text is None:
+            out.append((doc_id, None, 0))
+            continue
+        sp = by_doc.get(doc_id) if doc_id is not None else None
+        if not sp:
+            out.append((doc_id, text, 0))
+            continue
+        t = text.strip(" ")
+        words = ws.sub(" ", t).split(" ") if t else []
+        covered: set = set()
+        for s, e in sp:
+            covered.update(range(s, e + 1))
+        kept = [w for i, w in enumerate(words) if i not in covered]
+        out.append((doc_id, " ".join(kept), len(words) - len(kept)))
+    return out
 
 
 def py_duplicated_spans(
