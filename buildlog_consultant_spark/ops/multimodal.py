@@ -1116,7 +1116,11 @@ def classify_and_decode(data: bytes) -> dict:
         out["media_type"] = "image/jpeg"
         return out
     mp4 = decode_mp4_header(data)
-    if mp4 is not None:
+    # a bare ISO-BMFF signature with NO extractable moov metadata (e.g.
+    # ftyp followed by a truncated/absent moov) does NOT earn the type —
+    # the JPEG path likewise requires at least header dims before
+    # claiming image/jpeg; such bytes fall through to the labeled stub
+    if mp4:
         out.update(mp4)
         out["media_type"] = "video/mp4"
         return out

@@ -503,12 +503,22 @@ def filter_compressible(
     """The compressibility-gate ENDPOINT: drop documents that compress
     too well (< min — boilerplate/repetition) or too poorly (> max —
     binary junk/random strings). Map-side filter over
-    with_compression_ratio; empty/NULL docs (permille 0) fall below any
-    sensible min and are dropped with the boilerplate."""
+    with_compression_ratio.
+
+    NULL policy (uniform with filter_repetitive / filter_span_duplicated):
+    NULL/empty-text docs pass through UNCONDITIONALLY — the signal is
+    undefined on zero bytes (permille 0 is a sentinel, not a measurement),
+    and a gate chain must not let one endpoint silently drop rows its
+    siblings keep (ADVICE r5). Drop empties explicitly upstream if that
+    is the intent."""
     d = with_compression_ratio(df, text_col)
+    empty = F.length(F.coalesce(F.col(text_col), F.lit(""))) == 0
     return d.where(
-        (F.col("compression_permille") >= min_permille)
-        & (F.col("compression_permille") <= max_permille)
+        empty
+        | (
+            (F.col("compression_permille") >= min_permille)
+            & (F.col("compression_permille") <= max_permille)
+        )
     )
 
 

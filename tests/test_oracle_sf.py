@@ -57,6 +57,11 @@ def duck():
         "near_dup_dedup",
         "embedding_clusters",
         "simhash_near_dups",
+        # r5/r6 Python-golden oracles (recompute over {sf_dir}/documents)
+        "compression_ratio",
+        "url_dedup",
+        "dup_spans",
+        "span_scrub",
         # streaming queries: plain-SQL oracles, but their file-stream
         # staging logic is sf_dir-dependent — exercise it at the second
         # scale too

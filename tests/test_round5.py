@@ -682,7 +682,9 @@ def test_compression_ratio_signal(spark):
     assert got[3] > 700          # random junk barely compresses
     assert got[4] == 0           # NULL policy
     kept = {r["doc_id"] for r in text_ops.filter_compressible(df).collect()}
-    assert kept == {2}
+    # NULL-text doc 4 passes through unconditionally (ADVICE r5: uniform
+    # NULL policy with filter_repetitive / filter_span_duplicated)
+    assert kept == {2, 4}
 
 
 # ---------------------------------------------------------------------------

@@ -302,6 +302,42 @@ def test_ann_lsh_batch_matches_single_query_endpoint(spark, vec_corpus):
     assert got == sorted(ref)
 
 
+def test_mp4_bare_signature_without_metadata_not_classified(spark):
+    """ADVICE r5: an ISO-BMFF signature with no extractable mvhd/tkhd
+    fields (ftyp + truncated/absent moov) must NOT earn video/mp4 with
+    all-NULL metadata — it falls through to the labeled stub, mirroring
+    the JPEG path's require-header-dims rule."""
+    import struct
+
+    from buildlog_consultant_spark.ops.multimodal import classify_and_decode
+
+    ftyp = struct.pack(">I4s", 16, b"ftyp") + b"isom" + b"\x00\x00\x02\x00"
+    # bare signature: ftyp then a truncated moov header (no mvhd/tkhd)
+    bare = ftyp + struct.pack(">I4s", 8, b"moov")
+    meta = classify_and_decode(bare)
+    assert meta["media_type"] == "unknown"
+    assert meta["fake_width"] is not None  # stub path, clearly labeled
+    # a real moov with mvhd still classifies
+    mvhd = struct.pack(">I4s", 8 + 100, b"mvhd") + bytes([0]) + b"\x00" * 11 + \
+        struct.pack(">II", 1000, 5000) + b"\x00" * 80
+    moov = struct.pack(">I4s", 8 + len(mvhd), b"moov") + mvhd
+    meta2 = classify_and_decode(ftyp + moov)
+    assert meta2["media_type"] == "video/mp4"
+    assert meta2["duration_ms"] == 5000
+
+
+def test_filter_compressible_null_and_empty_pass_through(spark):
+    """ADVICE r5: NULL/empty-text docs pass the compressibility gate
+    unconditionally (uniform NULL policy with filter_repetitive)."""
+    from buildlog_consultant_spark.ops import text as text_ops
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "x " * 300)], "doc_id long, text string"
+    )
+    kept = {r["doc_id"] for r in text_ops.filter_compressible(df).collect()}
+    assert {1, 2} <= kept and 3 not in kept  # boilerplate still drops
+
+
 def test_ann_int8_batch_is_one_job_no_corpus_window(spark, vec_corpus):
     """Plan shape: the candidate stream is a mapInPandas over the corpus
     scan (one pass for all queries), and the only window runs over the
