@@ -838,6 +838,76 @@ FROM documents GROUP BY lang
 """
 
 
+def q_streaming_sessionization(spark, sf_dir):
+    """Sessionization BY THE STREAMING ENGINE's merging session state
+    (F.session_window + watermark — the stateful feature none of the
+    other streaming endpoints exercise): 30-min-gap sessions per user
+    over the two-batch staged event stream (every 7th event arrives in
+    batch 0, the rest in batch 1 — nearly every session MERGES across
+    micro-batches in the state store), drained with availableNow in
+    append mode. Appended rows are the FINALIZED sessions — those whose
+    window end (last_ts + 30 min) the final watermark (max ts − 1 h)
+    passed; still-open sessions stay buffered, exactly what a live
+    deployment would hold. Validated equal to the batch gaps-and-islands
+    reference filtered at that watermark on sf0.001/sf0.01/sf0.1
+    (boundary clearance ≥ 12 s). Oracle: the same sessions + watermark
+    filter in plain SQL."""
+    import uuid
+
+    from buildlog_consultant_spark.streaming.pipeline import streaming_sessions
+
+    stage = _stage_two_batch_events(sf_dir)
+    sch = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(stage))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    sess = streaming_sessions(stream, "ts", "user_id", "30 minutes", "1 hour")
+    name = f"blc_sessions_{uuid.uuid4().hex[:8]}"
+    with _stream_state_partitions(spark):
+        q = (
+            sess.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name).select(
+        "user_id",
+        F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        F.col("n_events"),
+    )
+
+
+ORACLE_STREAMING_SESSIONIZATION = """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         THEN 1 ELSE 0 END AS ns
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+         SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM g
+), sess AS (
+  SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS last_ts,
+         COUNT(*) AS n_events
+  FROM s GROUP BY user_id, sid
+), wm AS (SELECT MAX(ts) - INTERVAL 1 HOUR AS w FROM events)
+SELECT user_id,
+       strftime(session_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+       CAST(n_events AS BIGINT) AS n_events
+FROM sess, wm WHERE last_ts + INTERVAL 30 MINUTE <= wm.w
+"""
+
+
 def q_ann_topk(spark, sf_dir):
     emb = _read_adaptive(spark, f"{sf_dir}/embeddings.parquet")
     from pyspark.sql.window import Window
@@ -2530,6 +2600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_first_seen": q_streaming_first_seen,
         "streaming_stream_join": q_streaming_stream_join,
         "streaming_dedup": q_streaming_dedup,
+        "streaming_sessionization": q_streaming_sessionization,
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -2592,6 +2663,7 @@ def oracle_sql(sf_dir: str = None) -> dict[str, str]:
         "streaming_first_seen": ORACLE_STREAMING_FIRST_SEEN,
         "streaming_stream_join": ORACLE_STREAMING_STREAM_JOIN,
         "streaming_dedup": ORACLE_STREAMING_DEDUP,
+        "streaming_sessionization": ORACLE_STREAMING_SESSIONIZATION,
         "ann_topk": ORACLE_ANN_TOPK,
         "minhash_near_dups": ORACLE_MINHASH,
         "minhash_near_dups_xx": _oracle_minhash_xx(sf_dir),

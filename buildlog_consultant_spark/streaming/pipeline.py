@@ -142,6 +142,40 @@ def streaming_interval_join(
     return lw.join(rw, cond, "inner").drop(f"_r_{on}")
 
 
+def streaming_sessions(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming sessionization via the engine's MERGING session state
+    (``F.session_window`` — the one stateful Structured Streaming feature
+    the other five streaming endpoints don't exercise): per key, events
+    closer than ``gap`` merge into one session whose window is
+    [first_ts, last_ts + gap); the watermark both bounds state and drives
+    append-mode FINALIZATION — a session row is emitted exactly once,
+    when the watermark passes its window end.
+
+    Emission contract on a bounded availableNow drain (validated against
+    the batch gaps-and-islands reference at three scale factors): the
+    appended set is exactly the full-input sessions whose
+    last_ts + gap <= final_watermark = max(ts) - watermark_delay; later
+    sessions remain buffered and unemitted, precisely the rows a live
+    deployment would still be holding open. Sessions spanning micro-
+    batches merge in state (the two-batch staging splits every 7th event
+    out, so nearly every session arrives split across batches).
+
+    State at crawl scale: one (key, open-session) row per active key,
+    evicted at watermark — arrival-rate × delay bound, same contract as
+    the stream-stream join."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap), key_col)
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
 def streaming_dedup(
     stream: DataFrame, key_cols: tuple, watermark_col: str | None = None,
     watermark: str = "1 hour",

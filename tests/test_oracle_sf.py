@@ -69,6 +69,7 @@ def duck():
         "streaming_first_seen",
         "streaming_stream_join",
         "streaming_dedup",
+        "streaming_sessionization",
     ],
 )
 def test_golden_oracle_follows_sf_dir(spark, duck, name):

@@ -338,6 +338,70 @@ def test_filter_compressible_null_and_empty_pass_through(spark):
     assert {1, 2} <= kept and 3 not in kept  # boilerplate still drops
 
 
+def test_streaming_sessions_merge_across_microbatches(spark, tmp_path):
+    """The session state MERGES across micro-batches: user 1's three
+    events arrive split over two files (two triggers) 10 minutes apart —
+    one session of 3 must be appended once the watermark (driven by a
+    later anchor event) passes its window end. A second user's lone event
+    inside the watermark horizon stays buffered (not emitted)."""
+    import datetime
+    import os
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from buildlog_consultant_spark.streaming.pipeline import streaming_sessions
+
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+
+    def mk(rows):
+        return pa.Table.from_pylist(
+            [{"user_id": u, "ts": ts} for u, ts in rows],
+            schema=pa.schema(
+                [("user_id", pa.int64()), ("ts", pa.timestamp("us"))]
+            ),
+        )
+
+    stage = tmp_path / "stream"
+    stage.mkdir()
+    pq.write_table(
+        mk([(1, t0), (1, t0 + datetime.timedelta(minutes=10))]),
+        stage / "b0.parquet",
+    )
+    pq.write_table(
+        mk([
+            (1, t0 + datetime.timedelta(minutes=20)),
+            # anchor: watermark → t0+5h−1h; open session for user 2
+            (2, t0 + datetime.timedelta(hours=5)),
+        ]),
+        stage / "b1.parquet",
+    )
+    now = int(__import__("time").time())
+    os.utime(stage / "b0.parquet", (now - 120, now - 120))
+    os.utime(stage / "b1.parquet", (now - 60, now - 60))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(stage))
+    )
+    sess = streaming_sessions(stream, "ts", "user_id", "30 minutes", "1 hour")
+    name = f"t6_sess_{uuid.uuid4().hex[:6]}"
+    q = (
+        sess.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table(name).select(
+        "user_id", F.col("session_window.start").alias("s"), "n_events"
+    ).collect()
+    assert [(r["user_id"], r["s"], r["n_events"]) for r in rows] == [(1, t0, 3)]
+
+
 def test_ann_int8_batch_is_one_job_no_corpus_window(spark, vec_corpus):
     """Plan shape: the candidate stream is a mapInPandas over the corpus
     scan (one pass for all queries), and the only window runs over the
