@@ -2376,6 +2376,125 @@ QUALIFY rank <= 10
 """
 
 
+def q_line_dedup(spark, sf_dir):
+    """Line-level boilerplate removal (RefinedWeb/CCNet within-domain line
+    dedup — nav menus and footers repeat VERBATIM across a host's pages
+    while article text is unique): the corpus carries no shared lines by
+    construction, so the query PLANTS two per-source boilerplate lines on
+    every doc (NULL-propagating concat — NULL-text docs stay NULL and
+    exercise that policy path), then strips lines appearing in ≥ 3
+    distinct docs of a source (ops/lines.py — posexplode → ONE
+    (source, line) distinct-doc hash agg → join-back → bounded per-doc
+    rebuild). Output per source: docs, lines removed, stripped length.
+    Oracle: Python replay of the planting + py_strip_boilerplate_lines."""
+    from buildlog_consultant_spark.ops.lines import strip_boilerplate_lines
+
+    d = _docs(spark, sf_dir)
+    planted = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit("\nNAV "),
+            F.col("source"),
+            F.lit(" | home | about | contact\n(c) 2026 "),
+            F.col("source"),
+        ),
+    )
+    s = strip_boilerplate_lines(planted, min_docs=3)
+    return s.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_lines_removed").alias("n_lines_removed"),
+        F.sum(F.length("text_stripped")).alias("sum_stripped_len"),
+    )
+
+
+def _oracle_line_dedup(sf_dir: str = None) -> str:
+    import pyarrow.parquet as pq
+
+    from buildlog_consultant_spark.ops.lines import py_strip_boilerplate_lines
+
+    tbl = pq.read_table(
+        f"{sf_dir or _oracle_sf_dir()}/documents.parquet",
+        columns=["doc_id", "source", "text"],
+    )
+    docs = []
+    for doc_id, source, text in zip(
+        tbl["doc_id"].to_pylist(), tbl["source"].to_pylist(), tbl["text"].to_pylist()
+    ):
+        planted = (
+            None
+            if text is None or source is None
+            else f"{text}\nNAV {source} | home | about | contact\n(c) 2026 {source}"
+        )
+        docs.append((doc_id, source, planted))
+    stripped = py_strip_boilerplate_lines(docs, min_docs=3)
+    stats: dict = {}
+    src_of = {i: s for i, s, _t in docs}
+    for doc_id, text, n_removed in stripped:
+        s = stats.setdefault(src_of[doc_id], [0, 0, 0])
+        s[0] += 1
+        s[1] += n_removed
+        s[2] += len(text) if text is not None else 0
+    rows = [
+        (src, *vals)
+        for src, vals in sorted(
+            stats.items(), key=lambda kv: (kv[0] is not None, kv[0] or "")
+        )
+    ]
+    return _values_oracle(
+        rows, ["source", "n_docs", "n_lines_removed", "sum_stripped_len"]
+    )
+
+
+def q_unigram_quality(spark, sf_dir):
+    """Unigram LM quality scoring — the CCNet LM-perplexity stage with the
+    LM replaced by the corpus's own unigram distribution (train once:
+    explode + hash agg bounded by distinct tokens + TakeOrderedAndProject
+    top-128; score map-side: integer milli-bit costs in a map literal,
+    float log runs once per vocab token on the driver). High mean cost =
+    surprising text, low = corpus-dominant boilerplate. Per-lang integer
+    aggregates; NULL/empty-text docs are counted unscored (NULL score,
+    kept — repo NULL policy). Oracle: Python-golden replay of the same
+    tokenize / vocab / integer arithmetic."""
+    d = _docs(spark, sf_dir)
+    costs, oov = text_ops.unigram_vocab_costs(d)
+    scored = text_ops.with_unigram_logloss(d, costs, oov)
+    return scored.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.count("unigram_milli_bits").alias("n_scored"),
+        F.min("unigram_milli_bits").alias("min_mb"),
+        F.max("unigram_milli_bits").alias("max_mb"),
+        F.sum("unigram_milli_bits").alias("sum_mb"),
+    )
+
+
+def _oracle_unigram_quality(sf_dir: str = None) -> str:
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        f"{sf_dir or _oracle_sf_dir()}/documents.parquet",
+        columns=["doc_id", "lang", "text"],
+    )
+    ids = tbl["doc_id"].to_pylist()
+    langs = tbl["lang"].to_pylist()
+    texts = tbl["text"].to_pylist()
+    scores = text_ops.py_unigram_logloss(list(zip(ids, texts)))
+    lang_of = dict(zip(ids, langs))
+    stats: dict = {}
+    for i, mb in scores:
+        s = stats.setdefault(lang_of[i], [0, 0, None, None, 0])
+        s[0] += 1
+        if mb is not None:
+            s[1] += 1
+            s[2] = mb if s[2] is None else min(s[2], mb)
+            s[3] = mb if s[3] is None else max(s[3], mb)
+            s[4] += mb
+    rows = [(lang, *vals) for lang, vals in sorted(stats.items())]
+    return _values_oracle(
+        rows, ["lang", "n_docs", "n_scored", "min_mb", "max_mb", "sum_mb"]
+    )
+
+
 def q_repetition_signals(spark, sf_dir):
     """Gopher-style repetition quality signals aggregated per lang: word /
     word-bigram duplication totals plus the count of docs the repetition
@@ -2638,6 +2757,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_scrub": q_span_scrub,
         "source_token_budget": q_source_token_budget,
         "ann_topk_batch": q_ann_topk_batch,
+        "line_dedup": q_line_dedup,
+        "unigram_quality": q_unigram_quality,
     }
 
 
@@ -2701,4 +2822,6 @@ def oracle_sql(sf_dir: str = None) -> dict[str, str]:
         "span_scrub": _oracle_span_scrub(sf_dir),
         "source_token_budget": ORACLE_SOURCE_TOKEN_BUDGET,
         "ann_topk_batch": ORACLE_ANN_TOPK_BATCH,
+        "line_dedup": _oracle_line_dedup(sf_dir),
+        "unigram_quality": _oracle_unigram_quality(sf_dir),
     }

@@ -599,3 +599,118 @@ def doc_stats(df: DataFrame) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# unigram LM quality scoring: vocab size is deliberately small — the map
+# literal ships inside the plan (2V expressions); a privately-trained
+# KenLM-style model would broadcast a real table instead, same shape
+UNIGRAM_VOCAB_SIZE = 128
+
+
+def unigram_vocab_costs(
+    df: DataFrame, vocab_size: int = UNIGRAM_VOCAB_SIZE, text_col: str = "text"
+) -> tuple[dict, int]:
+    """Corpus unigram model → integer per-token costs, the CCNet-style
+    LM-quality stage with the LM replaced by the corpus's own unigram
+    distribution (no pretrained model ships in this container; the SHAPE
+    — train once, broadcast, score map-side — is the production one).
+
+    Returns ``(costs, oov_cost)``: ``costs[token] = floor(-log2(c/total)
+    · 1000)`` in MILLI-BITS for the ``vocab_size`` most frequent tokens
+    (ties broken by token asc — engine-portable), and the out-of-vocab
+    cost ``floor(log2(total) · 1000)`` (probability 1/total). The float
+    log runs ONCE PER VOCAB TOKEN on the driver (and identically in the
+    Python-golden oracle); everything per-document is integer arithmetic,
+    so scores are hash-stable.
+
+    Scale shape: one explode + hash agg with map-side combine (shuffle
+    bounded by DISTINCT tokens, not corpus tokens), one
+    TakeOrderedAndProject for the top-V, one tiny sum — then scoring is
+    pure map-side."""
+    import math
+
+    toks = tokens_expr(text_col)
+    counts = (
+        df.select(F.explode(toks).alias("t")).groupBy("t").agg(F.count("*").alias("c"))
+    )
+    total = counts.agg(F.sum("c")).collect()[0][0] or 0
+    if total == 0:
+        return {}, 0
+    top = counts.orderBy(F.desc("c"), F.asc("t")).limit(vocab_size).collect()
+    costs = {
+        r["t"]: int(math.floor((math.log2(total) - math.log2(r["c"])) * 1000))
+        for r in top
+    }
+    return costs, int(math.floor(math.log2(total) * 1000))
+
+
+def with_unigram_logloss(
+    df: DataFrame, costs: dict, oov_cost: int, text_col: str = "text"
+) -> DataFrame:
+    """Adds ``unigram_milli_bits`` — the mean per-token cost in
+    milli-bits, floor-divided (integer): high = surprising text (random
+    junk), low = boilerplate of corpus-dominant tokens; the standard
+    LM-quality gate ranks docs by exactly this. NULL/empty text (no
+    tokens) → NULL score (kept; gate separately per the repo NULL
+    policy). Pure map-side: vocab map literal + interpreted fold, no
+    shuffle; swap in a dict-lookup pandas UDF when V grows past plan-size
+    comfort."""
+    toks = tokens_expr(text_col)
+    if costs:
+        pairs = []
+        for t, c in sorted(costs.items()):
+            pairs.extend([F.lit(t), F.lit(int(c))])
+        m = F.create_map(*pairs)
+        cost_of = lambda t: F.coalesce(  # noqa: E731
+            F.element_at(m, t), F.lit(int(oov_cost))
+        ).cast("long")
+    else:
+        cost_of = lambda t: F.lit(int(oov_cost)).cast("long")  # noqa: E731
+    total_cost = F.aggregate(
+        F.transform(toks, cost_of), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    score = F.when(
+        F.size(toks) > 0, total_cost.cast("long") / F.size(toks)
+    )
+    return df.withColumn(
+        "unigram_milli_bits", F.floor(score).cast("long")
+    )
+
+
+def py_unigram_logloss(
+    docs: list, vocab_size: int = UNIGRAM_VOCAB_SIZE
+) -> list:
+    """Python replay for oracle construction: ``docs`` is a list of
+    (id, text); returns (id, unigram_milli_bits|None) — same tokenizer,
+    same vocab selection (count desc, token asc), same driver-side float
+    log, same integer per-doc arithmetic."""
+    import math
+    import re
+    from collections import Counter
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def toks(text):
+        t = (text or "").strip(" ")
+        return ws.sub(" ", t).lower().split(" ") if t else []
+
+    counts: Counter = Counter()
+    for _i, text in docs:
+        counts.update(toks(text))
+    total = sum(counts.values())
+    if total == 0:
+        return [(i, None) for i, _ in docs]
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size]
+    costs = {
+        t: int(math.floor((math.log2(total) - math.log2(c)) * 1000))
+        for t, c in top
+    }
+    oov = int(math.floor(math.log2(total) * 1000))
+    out = []
+    for i, text in docs:
+        ts = toks(text)
+        if not ts:
+            out.append((i, None))
+            continue
+        out.append((i, sum(costs.get(t, oov) for t in ts) // len(ts)))
+    return out

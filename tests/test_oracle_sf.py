@@ -62,6 +62,8 @@ def duck():
         "url_dedup",
         "dup_spans",
         "span_scrub",
+        "line_dedup",
+        "unigram_quality",
         # streaming queries: plain-SQL oracles, but their file-stream
         # staging logic is sf_dir-dependent — exercise it at the second
         # scale too

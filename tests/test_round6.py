@@ -338,6 +338,102 @@ def test_filter_compressible_null_and_empty_pass_through(spark):
     assert {1, 2} <= kept and 3 not in kept  # boilerplate still drops
 
 
+# ---------------------------------------------------------------------------
+# line-level boilerplate removal + unigram LM quality (round-6 additions)
+# ---------------------------------------------------------------------------
+
+
+def _line_docs():
+    nav = "NAV | home | about"
+    return [
+        (1, "a.com", f"article one body\n{nav}\n\nunique tail 1"),
+        (2, "a.com", f"article two body\n{nav}\nunique tail 2"),
+        (3, "a.com", f"{nav}\narticle three body"),
+        # within-doc repetition only — NOT boilerplate (distinct-doc count)
+        (4, "a.com", "solo line\nsolo line\nsolo line"),
+        # b.com has the same nav but only 2 docs — below min_docs, kept
+        (5, "b.com", f"b one\n{nav}"),
+        (6, "b.com", f"b two\n{nav}"),
+        (7, "a.com", None),
+        (None, "a.com", f"{nav}\nnull id row"),
+    ]
+
+
+def test_strip_boilerplate_lines_matches_python_replay(spark):
+    from buildlog_consultant_spark.ops.lines import (
+        py_strip_boilerplate_lines,
+        strip_boilerplate_lines,
+    )
+
+    docs = _line_docs()
+    df = spark.createDataFrame(docs, "doc_id int, source string, text string")
+    got = sorted(
+        (
+            (r["doc_id"], r["text_stripped"], r["n_lines_removed"])
+            for r in strip_boilerplate_lines(df, min_docs=3).collect()
+        ),
+        key=_nkey,
+    )
+    want = sorted(py_strip_boilerplate_lines(docs, min_docs=3), key=_nkey)
+    assert got == want
+    by_id = dict((i, (t, n)) for i, t, n in want)
+    # the nav line is cut from all three a.com docs, empty line survives
+    assert by_id[1] == ("article one body\n\nunique tail 1", 1)
+    assert by_id[3] == ("article three body", 1)
+    # within-doc repetition, sub-threshold source, NULL text, NULL id: kept
+    assert by_id[4][1] == 0 and by_id[5][1] == 0 and by_id[6][1] == 0
+    assert by_id[7] == (None, 0)
+    assert by_id[None][1] == 0
+
+
+def test_line_split_trailing_empty_parity(spark):
+    """Spark split(text, '\\n', -1) must keep trailing empties exactly like
+    Python str.split('\\n') — the replay's split-parity pin."""
+    texts = ["a\nb\n", "\n\n", "x", "", "a\n\nb"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i int, text string")
+    rows = {r["i"]: r["n"] for r in df.select(
+        "i", F.size(F.split(F.col("text"), "\n", -1)).alias("n")).collect()}
+    for i, t in enumerate(texts):
+        assert rows[i] == len(t.split("\n")), (t, rows[i])
+
+
+def test_unigram_logloss_matches_python_replay(spark):
+    from buildlog_consultant_spark.ops import text as text_ops
+
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the the the the"),
+        (3, "zq9 xkcd7 qwfp vvv"),  # junk — every token rare
+        (4, None),
+        (5, ""),
+        (6, "the cat"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    costs, oov = text_ops.unigram_vocab_costs(df, vocab_size=4)
+    got = sorted(
+        (r["doc_id"], r["unigram_milli_bits"])
+        for r in text_ops.with_unigram_logloss(df, costs, oov).collect()
+    )
+    want = sorted(text_ops.py_unigram_logloss(docs, vocab_size=4))
+    assert got == want
+    by_id = dict(got)
+    # boilerplate of the dominant token scores LOWEST, junk HIGHEST
+    assert by_id[2] < by_id[1] < by_id[3]
+    assert by_id[4] is None and by_id[5] is None
+
+
+def test_unigram_vocab_deterministic_tiebreak(spark):
+    from buildlog_consultant_spark.ops import text as text_ops
+
+    df = spark.createDataFrame(
+        [(1, "bb aa bb aa cc")], "doc_id int, text string"
+    )
+    costs, _ = text_ops.unigram_vocab_costs(df, vocab_size=2)
+    # aa and bb tie at 2; cc (count 1) loses; tie kept by token asc
+    assert set(costs) == {"aa", "bb"}
+
+
 def test_streaming_sessions_merge_across_microbatches(spark, tmp_path):
     """The session state MERGES across micro-batches: user 1's three
     events arrive split over two files (two triggers) 10 minutes apart —
