@@ -2428,13 +2428,16 @@ def _oracle_line_dedup(sf_dir: str = None) -> str:
         )
         docs.append((doc_id, source, planted))
     stripped = py_strip_boilerplate_lines(docs, min_docs=3)
+    # sum_stripped_len starts as None so an all-NULL-text group yields
+    # None — matching Spark's SUM over an all-NULL column (review r6 #5)
     stats: dict = {}
     src_of = {i: s for i, s, _t in docs}
     for doc_id, text, n_removed in stripped:
-        s = stats.setdefault(src_of[doc_id], [0, 0, 0])
+        s = stats.setdefault(src_of[doc_id], [0, 0, None])
         s[0] += 1
         s[1] += n_removed
-        s[2] += len(text) if text is not None else 0
+        if text is not None:
+            s[2] = (s[2] or 0) + len(text)
     rows = [
         (src, *vals)
         for src, vals in sorted(
@@ -2482,14 +2485,23 @@ def _oracle_unigram_quality(sf_dir: str = None) -> str:
     lang_of = dict(zip(ids, langs))
     stats: dict = {}
     for i, mb in scores:
-        s = stats.setdefault(lang_of[i], [0, 0, None, None, 0])
+        # min/max/sum all start None: Spark's MIN/MAX/SUM over a group
+        # with zero non-NULL values return NULL, not 0
+        s = stats.setdefault(lang_of[i], [0, 0, None, None, None])
         s[0] += 1
         if mb is not None:
             s[1] += 1
             s[2] = mb if s[2] is None else min(s[2], mb)
             s[3] = mb if s[3] is None else max(s[3], mb)
-            s[4] += mb
-    rows = [(lang, *vals) for lang, vals in sorted(stats.items())]
+            s[4] = (s[4] or 0) + mb
+    # null-safe sort: a NULL lang must not TypeError the whole eagerly-
+    # built oracle dict (review r6 #4)
+    rows = [
+        (lang, *vals)
+        for lang, vals in sorted(
+            stats.items(), key=lambda kv: (kv[0] is not None, kv[0] or "")
+        )
+    ]
     return _values_oracle(
         rows, ["lang", "n_docs", "n_scored", "min_mb", "max_mb", "sum_mb"]
     )

@@ -31,10 +31,13 @@ Semantics:
   * a line repeated only WITHIN one doc is not boilerplate (the count is
     distinct docs, not occurrences);
   * NULL text → NULL ``text_stripped`` (nothing to strip); NULL-id rows
-    pass through untouched (evidence can't join back); NULL source forms
-    its own dedup scope (null-safe semantics via coalesce to a sentinel
-    would MERGE it with a real source — instead the groupBy key keeps
-    NULL as its own group, which Spark groupBy does natively).
+    pass through untouched AND their lines never count toward the
+    threshold (countDistinct ignores NULL ids — a row that can't receive
+    the strip shouldn't be evidence for it; the Python replay mirrors
+    this); NULL source forms its own dedup scope (Spark groupBy keeps
+    NULL as its own group natively, and the join-back is NULL-SAFE on
+    the source so the strip actually reaches that group — a plain
+    equi-join would detect but silently never remove).
 """
 
 from __future__ import annotations
@@ -92,10 +95,16 @@ def strip_boilerplate_lines(
     policy."""
     bp = boilerplate_lines(df, min_docs, text_col, id_col, source_col)
     lp = line_positions(df, text_col, id_col, source_col)
+    # NULL-SAFE on the source: a plain [source, line] equi-join drops the
+    # NULL-source dedup scope — boilerplate there would be detected but
+    # never removed (review r6 finding #1)
     dropped = (
         lp.join(
-            bp.select(source_col, "line"),
-            [source_col, "line"],
+            bp.select(
+                F.col(source_col).alias("_bs"), F.col("line").alias("_bl")
+            ),
+            F.col(source_col).eqNullSafe(F.col("_bs"))
+            & (F.col("line") == F.col("_bl")),
         )
         .groupBy(id_col)
         .agg(F.collect_list("pos").alias("_dropped"))
@@ -144,7 +153,9 @@ def py_strip_boilerplate_lines(docs: list, min_docs: int = 3) -> list:
 
     seen: dict = defaultdict(set)
     for doc_id, source, text in docs:
-        if text is None:
+        # NULL-id docs are not evidence (Spark countDistinct ignores NULL
+        # ids; a row that can't receive the strip shouldn't count for it)
+        if text is None or doc_id is None:
             continue
         for line in set(text.split("\n")):
             if line:

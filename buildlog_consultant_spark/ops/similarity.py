@@ -654,10 +654,20 @@ def ann_topk_int8_batch(
     out_schema = f"query_id long, {id_col} long, qdot long"
 
     def gen(batches):
+        import pandas as pd
+
         for pdf in batches:
             ids_all = pdf[id_col].to_numpy()
             code_vals = pdf["qcodes"].values
-            keep = [i for i, c in enumerate(code_vals) if c is not None]
+            # pd.notna guard: a NULL id arrives as float64 NaN here, and
+            # astype(int64) would silently mint INT64_MIN as a row id —
+            # the single-query endpoints drop NULL-id rows via SQL null
+            # comparison, so the batch kernel must too (review r6 #3)
+            keep = [
+                i
+                for i, c in enumerate(code_vals)
+                if c is not None and pd.notna(ids_all[i])
+            ]
             if not keep:
                 continue
             vids = ids_all[keep].astype(np.int64)

@@ -260,15 +260,15 @@ def scrub_span_duplicated(
     run-merge window) + a join back to the documents relation. The
     per-token containment test is an exists() over that bounded span
     array — O(tokens × spans) per doc, both bounded by doc length."""
+    from .text import orig_tokens_expr
+
     spans = duplicated_spans(df, min_len, text_col, id_col, gram_key=gram_key)
     span_lists = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
     )
-    t = F.trim(F.coalesce(F.col(text_col), F.lit("")))
-    # tokens_expr minus the lower(): identical split → identical positions
-    orig_words = F.when(
-        F.length(t) == 0, F.array().cast("array<string>")
-    ).otherwise(F.split(F.regexp_replace(t, r"\s+", " "), " "))
+    # the case-preserving sibling of tokens_expr — SAME split geometry by
+    # construction (single-sourced in text.py), so positions align 1:1
+    orig_words = orig_tokens_expr(text_col)
     passthrough = (
         df.where(F.col(id_col).isNull())
         .withColumn("text_scrubbed", F.col(text_col))

@@ -21,6 +21,19 @@ STOPWORDS = {
 }
 
 
+def _split_norm_expr(text_col: str, lower: bool):
+    """The ONE split geometry both tokenizers share: trim(coalesce) →
+    ASCII-\\s collapse → (optional lower) → split; empty/NULL → []."""
+    t = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    s = F.regexp_replace(t, r"\s+", " ")
+    if lower:
+        s = F.lower(s)
+    words = F.split(s, " ")
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        words
+    )
+
+
 def tokens_expr(text_col: str = "text"):
     """THE repo whitespace tokenizer, as one shared expression:
     trim(coalesce(text, '')) → ASCII-\\s normalize → lower → split;
@@ -30,11 +43,18 @@ def tokens_expr(text_col: str = "text"):
     there is deliberately a single copy (a drifting inline duplicate
     would surface as an oracle mismatch in a different query than the
     one edited)."""
-    t = F.trim(F.coalesce(F.col(text_col), F.lit("")))
-    words = F.split(F.lower(F.regexp_replace(t, r"\s+", " ")), " ")
-    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
-        words
-    )
+    return _split_norm_expr(text_col, lower=True)
+
+
+def orig_tokens_expr(text_col: str = "text"):
+    """Case-preserving sibling of tokens_expr — built from the SAME
+    split geometry (_split_norm_expr), just without lower(), so its
+    positions align 1:1 with tokens_expr by construction: span token
+    ranges computed on normalized tokens can cut original-case tokens
+    (ops/spans.py::scrub_span_duplicated). Single-sourcing the geometry
+    is load-bearing: a drift between the two splits would silently
+    misalign cut positions (review r6 #7)."""
+    return _split_norm_expr(text_col, lower=False)
 
 
 def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -632,11 +652,14 @@ def unigram_vocab_costs(
     toks = tokens_expr(text_col)
     counts = (
         df.select(F.explode(toks).alias("t")).groupBy("t").agg(F.count("*").alias("c"))
-    )
-    total = counts.agg(F.sum("c")).collect()[0][0] or 0
-    if total == 0:
-        return {}, 0
-    top = counts.orderBy(F.desc("c"), F.asc("t")).limit(vocab_size).collect()
+    ).persist()  # two actions (total + top-V) share ONE corpus scan/shuffle
+    try:
+        total = counts.agg(F.sum("c")).collect()[0][0] or 0
+        if total == 0:
+            return {}, 0
+        top = counts.orderBy(F.desc("c"), F.asc("t")).limit(vocab_size).collect()
+    finally:
+        counts.unpersist()
     costs = {
         r["t"]: int(math.floor((math.log2(total) - math.log2(r["c"])) * 1000))
         for r in top

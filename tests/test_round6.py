@@ -386,6 +386,63 @@ def test_strip_boilerplate_lines_matches_python_replay(spark):
     assert by_id[None][1] == 0
 
 
+def test_strip_boilerplate_null_source_scope_is_stripped(spark):
+    """Review r6 #1: the NULL-source dedup scope must actually be STRIPPED,
+    not just detected — the join-back is null-safe on source."""
+    from buildlog_consultant_spark.ops.lines import (
+        py_strip_boilerplate_lines,
+        strip_boilerplate_lines,
+    )
+
+    docs = [
+        (1, None, "NAV\na"),
+        (2, None, "NAV\nb"),
+        (3, None, "NAV\nc"),
+        (4, "real.com", "NAV\nd"),  # different scope — kept (only 1 doc)
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, source string, text string")
+    got = sorted(
+        (r["doc_id"], r["text_stripped"], r["n_lines_removed"])
+        for r in strip_boilerplate_lines(df, min_docs=3).collect()
+    )
+    assert got == sorted(py_strip_boilerplate_lines(docs, min_docs=3))
+    assert got[:3] == [(1, "a", 1), (2, "b", 1), (3, "c", 1)]
+    assert got[3] == (4, "NAV\nd", 0)
+
+
+def test_strip_boilerplate_null_id_docs_are_not_evidence(spark):
+    """Review r6 #2: a NULL-id doc's lines never count toward min_docs
+    (Spark countDistinct ignores NULL ids; the replay mirrors it)."""
+    from buildlog_consultant_spark.ops.lines import (
+        py_strip_boilerplate_lines,
+        strip_boilerplate_lines,
+    )
+
+    docs = [(1, "s", "NAV\na"), (2, "s", "NAV\nb"), (None, "s", "NAV\nc")]
+    df = spark.createDataFrame(docs, "doc_id int, source string, text string")
+    got = sorted(
+        ((r["doc_id"], r["text_stripped"], r["n_lines_removed"])
+         for r in strip_boilerplate_lines(df, min_docs=3).collect()),
+        key=_nkey,
+    )
+    want = sorted(py_strip_boilerplate_lines(docs, min_docs=3), key=_nkey)
+    assert got == want
+    # only 2 countable docs share NAV — below threshold, nothing stripped
+    assert all(n == 0 for _i, _t, n in got)
+
+
+def test_ann_int8_batch_null_id_corpus_row_never_scores(spark, vec_corpus):
+    """Review r6 #3: a NULL-id corpus row with a VALID vector must be
+    skipped by the batch kernel (NaN id would otherwise mint INT64_MIN)."""
+    v = [float(i) for i in range(16)]
+    withnull = vec_corpus.unionByName(
+        spark.createDataFrame([(None, v)], "vec_id long, embedding array<double>")
+    )
+    got = ann_topk_int8_batch(withnull, vec_corpus.where("vec_id = 3"), k=500, dim=16)
+    ids = {r["vec_id"] for r in got.collect()}
+    assert -(1 << 63) not in ids and None not in ids and len(ids) == 119
+
+
 def test_line_split_trailing_empty_parity(spark):
     """Spark split(text, '\\n', -1) must keep trailing empties exactly like
     Python str.split('\\n') — the replay's split-parity pin."""
