@@ -1996,14 +1996,20 @@ def q_pipeline_lineage(spark, sf_dir):
     try:
         # salt_buckets=1: the lineage contract is what's under test (the
         # salted fan-out has its own dedicated test + query); salting a
-        # 60-doc simulation only multiplies tiny files
-        run_pipeline(
-            spark, pages, out_dir, n_shards=4, shards_per_wave=2,
-            max_waves=1, salt_buckets=1,
-        )
-        run_pipeline(
-            spark, pages, out_dir, n_shards=4, shards_per_wave=2, salt_buckets=1
-        )
+        # 60-doc simulation only multiplies tiny files. Shuffle
+        # partitions pinned to 8 for the same reason the streaming drains
+        # pin state partitions: ~10 agg/write stages over 60 rows spend
+        # their time on 32-task scheduling at local[32] (10.9 s → ~5 s
+        # measured); production sizes this to wave volume.
+        with _stream_state_partitions(spark):
+            run_pipeline(
+                spark, pages, out_dir, n_shards=4, shards_per_wave=2,
+                max_waves=1, salt_buckets=1,
+            )
+            run_pipeline(
+                spark, pages, out_dir, n_shards=4, shards_per_wave=2,
+                salt_buckets=1,
+            )
         rows = (
             spark.read.parquet(f"{out_dir}/_lineage")
             .select("shard", "input_count", "matched_count")
