@@ -1424,6 +1424,63 @@ FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """
 
 
+def q_ann_topk_lsh_batch(spark, sf_dir):
+    """Batched hyperplane-LSH ANN — the bucket-join generalization of
+    ann_topk_lsh to a query TABLE (ops/similarity.py::ann_topk_lsh_batch):
+    the 4 lowest-md5(vec_id) vectors each probe their bucket + hamming-1
+    neighbors via ONE broadcast bucket equi-join (never a per-query job,
+    never a crossJoin against the corpus), per-(query, bucket) candidates
+    capped at the 1024 lowest ids, exact cosine on candidates only, rank
+    output. Oracle: deterministic plane literals → bucket CTE → the same
+    probe/cap/cosine/rank per query in SQL."""
+    from buildlog_consultant_spark.ops.similarity import ann_topk_lsh_batch
+
+    emb = _read_adaptive(spark, f"{sf_dir}/embeddings.parquet")
+    qids = sim_ops.deterministic_pivot_ids(emb, 4, id_col="vec_id")
+    queries = emb.where(F.col("vec_id").isin(qids))
+    return ann_topk_lsh_batch(emb, queries, k=10, n_planes=6)
+
+
+def _oracle_ann_topk_lsh_batch(
+    n_queries: int = 4, n_planes: int = 6, dim: int = 64, max_bucket: int = 1024
+) -> str:
+    probe = " OR ".join(
+        ["b.bucket = q.qbucket"]
+        + [f"b.bucket = xor(q.qbucket, {1 << i})" for i in range(n_planes)]
+    )
+    return f"""
+WITH {_bucket_cte(n_planes, dim)},
+qsel AS (
+  SELECT e.vec_id AS query_id, b.bucket AS qbucket, e.embedding AS qv
+  FROM embeddings e JOIN bucketed b USING (vec_id)
+  ORDER BY md5(CAST(e.vec_id AS VARCHAR)), e.vec_id LIMIT {n_queries}
+),
+cands AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, b.vec_id,
+           row_number() OVER (
+             PARTITION BY q.query_id, b.bucket ORDER BY b.vec_id) AS rn
+    FROM bucketed b, qsel q
+    WHERE b.vec_id <> q.query_id AND ({probe})
+  ) WHERE rn <= {max_bucket}
+),
+scored AS (
+  SELECT c.query_id, e.vec_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                CAST(q.qv AS DOUBLE[])) AS cosine
+  FROM cands c
+  JOIN embeddings e USING (vec_id)
+  JOIN qsel q ON q.query_id = c.query_id
+)
+SELECT query_id,
+       CAST(row_number() OVER (
+         PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank,
+       vec_id
+FROM scored
+QUALIFY rank <= 10
+"""
+
+
 def q_ann_topk_ivf(spark, sf_dir):
     """Approximate top-k via the IVF coarse quantizer (deterministic
     lowest-id pivots, nprobe=4 of 16 cells). Oracle: golden VALUES
@@ -2777,6 +2834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_batch": q_ann_topk_batch,
         "line_dedup": q_line_dedup,
         "unigram_quality": q_unigram_quality,
+        "ann_topk_lsh_batch": q_ann_topk_lsh_batch,
     }
 
 
@@ -2842,4 +2900,5 @@ def oracle_sql(sf_dir: str = None) -> dict[str, str]:
         "ann_topk_batch": ORACLE_ANN_TOPK_BATCH,
         "line_dedup": _oracle_line_dedup(sf_dir),
         "unigram_quality": _oracle_unigram_quality(sf_dir),
+        "ann_topk_lsh_batch": _oracle_ann_topk_lsh_batch(),
     }

@@ -64,6 +64,7 @@ def duck():
         "span_scrub",
         "line_dedup",
         "unigram_quality",
+        "ann_topk_lsh_batch",
         # streaming queries: plain-SQL oracles, but their file-stream
         # staging logic is sf_dir-dependent — exercise it at the second
         # scale too
