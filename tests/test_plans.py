@@ -167,3 +167,91 @@ def test_quality_quantiles_no_corpus_sort_window(spark, pages_path):
     # map-side partial + final hash aggregate below the window
     assert plan.count("HashAggregate") >= 2, plan[:2000]
     assert plan.index("Window") < plan.index("HashAggregate"), plan[:2000]
+
+
+def test_token_budget_per_key_no_whole_key_window(spark):
+    """Round-6 per-key budgets: every Window must be partitioned (never a
+    whole-key running sum in one task for the boundary cut — partitions
+    are (key, bucket), bounded by one bucket of one key), the boundary
+    table must arrive via BroadcastExchange, and corpus rows must be seen
+    by exactly one partial+final hash aggregate pair."""
+    from buildlog_consultant_spark.ops.quota import token_budget_per_key
+
+    d = spark.createDataFrame(
+        [(i, f"s{i % 3}", (i * 13) % 40) for i in range(90)],
+        "doc_id long, source string, w long",
+    )
+    plan = _plan(token_budget_per_key(d, 60, "w", key_col="source"))
+    assert "BroadcastExchange" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+    # every window is PARTITIONED (an unpartitioned windowspecdefinition
+    # starts with an ordering spec — first element carries ASC/DESC —
+    # and would move all rows to one task; the boundary-cut windows must
+    # partition by (key[, bucket]))
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        first = m.group(1).split(",")[0]
+        assert "ASC" not in first and "DESC" not in first, m.group(0)
+
+
+def test_scrub_span_duplicated_no_cartesian_no_corpus_sort(spark):
+    """Round-6 ExactSubstr removal: the scrub plan may only sort inside
+    doc-bounded windows (run merge / span lists) — no global Sort over
+    corpus rows, no cartesian join; the span list arrives via an
+    ObjectHashAggregate (collect_list) keyed per doc."""
+    from buildlog_consultant_spark.ops.spans import scrub_span_duplicated
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 3 + j) % 40}" for j in range(20)))
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    plan = _plan(scrub_span_duplicated(docs, min_len=8))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # every Sort is LOCAL (SortExec prints "Sort [keys], <global>, 0" —
+    # global=false for window/agg-local sorts); a global=true Sort would
+    # be a corpus-wide ordering
+    import re
+
+    for m in re.finditer(r"Sort \[[^\]]*\], (\w+),", plan):
+        assert m.group(1) == "false", m.group(0)
+
+
+def test_ann_topk_lsh_batch_broadcast_probe_join(spark):
+    """Round-6 batched LSH: the probe set joins the corpus bucket table
+    via BroadcastHashJoin on the bucket id — never a crossJoin against
+    the corpus; the final per-query rank window runs over capped
+    candidates only."""
+    import numpy as np
+
+    from buildlog_consultant_spark.ops.similarity import ann_topk_lsh_batch
+
+    rng = np.random.RandomState(5)
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in rng.randn(8)]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = emb.where(F.col("vec_id") < 3)
+    plan = _plan(ann_topk_lsh_batch(emb, queries, k=5, n_planes=4, dim=8))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_strip_boilerplate_lines_single_distinct_agg(spark):
+    """Round-6 line dedup: corpus lines are seen by the distinct-doc
+    aggregate (partial+final) and the join-back — no cartesian, no
+    global sort; the dropped-position lists aggregate per doc."""
+    from buildlog_consultant_spark.ops.lines import strip_boilerplate_lines
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 2}", "NAV\n" + "\n".join(f"body {i} {j}" for j in range(3)))
+         for i in range(12)],
+        "doc_id long, source string, text string",
+    )
+    plan = _plan(strip_boilerplate_lines(docs, min_docs=3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Generate explode") >= 1 or "Generate posexplode" in plan
