@@ -115,6 +115,28 @@ def main() -> None:
     batch = ann_topk_int8_batch(emb64, emb64.where("vec_id < 3"), k=5)
     batch.collect()
 
+    from buildlog_consultant_spark.ops.lines import strip_boilerplate_lines
+    from buildlog_consultant_spark.ops.similarity import ann_topk_lsh_batch
+    from buildlog_consultant_spark.ops.text import (
+        unigram_vocab_costs,
+        with_unigram_logloss,
+    )
+
+    line_docs = spark.createDataFrame(
+        [(i, f"s{i % 2}", "NAV\n" + "\n".join(f"body {i} {j}" for j in range(3)))
+         for i in range(12)],
+        "doc_id long, source string, text string",
+    )
+    lstrip = strip_boilerplate_lines(line_docs, min_docs=3)
+    lstrip.collect()
+    ucosts, uoov = unigram_vocab_costs(docs, vocab_size=16)
+    uni = with_unigram_logloss(docs, ucosts, uoov)
+    uni.collect()
+    lshb = ann_topk_lsh_batch(
+        emb64, emb64.where("vec_id < 3"), k=5, n_planes=4
+    )
+    lshb.collect()
+
     out = [
         "# PLANS — executed plans of the flagship pipeline (local[4], 200-doc fixture corpus)",
         "",
@@ -213,6 +235,25 @@ def main() -> None:
         "## top-k); the only Window runs over bounded candidates per query",
         "```",
         formatted(spark, batch),
+        "```",
+        "",
+        "## strip_boilerplate_lines (round 6) — posexplode line stream, ONE",
+        "## (source, line) distinct-doc hash agg, null-safe join-back,",
+        "## bounded per-doc rebuild",
+        "```",
+        formatted(spark, lstrip),
+        "```",
+        "",
+        "## with_unigram_logloss (round 6) — pure map-side scoring: vocab map",
+        "## literal + integer fold; the training agg ran once at build time",
+        "```",
+        formatted(spark, uni),
+        "```",
+        "",
+        "## ann_topk_lsh_batch (round 6) — broadcast probe bucket-join, capped",
+        "## buckets, exact cosine on candidates, per-query bounded rank window",
+        "```",
+        formatted(spark, lshb),
         "```",
     ]
     Path(__file__).resolve().parent.parent.joinpath("PLANS.md").write_text(
