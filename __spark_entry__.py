@@ -2570,6 +2570,45 @@ def _oracle_unigram_quality(sf_dir: str = None) -> str:
     )
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Sequence PACKING — the concat-and-chop step of LLM pretraining
+    data prep: every doc laid on one global token tape in (md5(id), id)
+    hash order, chopped into 2048-char training sequences; each doc gets
+    its (bin_first, bin_last, bin_offset) assignment — docs straddling a
+    boundary have bin_last > bin_first, exactly like packed pretraining
+    batches. Computed from an EXACT global running sum with NO global
+    sort (ops/quota.py::with_global_cumsum — bucket prefix offsets
+    broadcast + per-bucket bounded windows; the bucketed two-pass
+    technique's fourth instance). Oracle: the naive running-sum window +
+    the same integer chop arithmetic."""
+    from buildlog_consultant_spark.ops.quota import with_sequence_bins
+
+    d = _docs(spark, sf_dir)
+    return with_sequence_bins(d, 2048, "n_chars").select(
+        "doc_id", "bin_first", "bin_last", "bin_offset"
+    )
+
+
+ORACLE_PACK_SEQUENCES = """
+WITH ordered AS (
+  SELECT doc_id, n_chars,
+         SUM(n_chars) OVER (
+           ORDER BY md5(coalesce(CAST(doc_id AS VARCHAR), '')), doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum
+  FROM documents
+)
+SELECT doc_id,
+  CAST(CASE WHEN n_chars = 0 THEN cum // 2048
+            ELSE (cum - n_chars) // 2048 END AS BIGINT) AS bin_first,
+  CAST(CASE WHEN n_chars = 0 THEN cum // 2048
+            ELSE (cum - 1) // 2048 END AS BIGINT) AS bin_last,
+  CAST(CASE WHEN n_chars = 0 THEN cum % 2048
+            ELSE (cum - n_chars) % 2048 END AS BIGINT) AS bin_offset
+FROM ordered
+"""
+
+
 def q_repetition_signals(spark, sf_dir):
     """Gopher-style repetition quality signals aggregated per lang: word /
     word-bigram duplication totals plus the count of docs the repetition
@@ -2835,6 +2874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "unigram_quality": q_unigram_quality,
         "ann_topk_lsh_batch": q_ann_topk_lsh_batch,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -2901,4 +2941,5 @@ def oracle_sql(sf_dir: str = None) -> dict[str, str]:
         "line_dedup": _oracle_line_dedup(sf_dir),
         "unigram_quality": _oracle_unigram_quality(sf_dir),
         "ann_topk_lsh_batch": _oracle_ann_topk_lsh_batch(),
+        "pack_sequences": ORACLE_PACK_SEQUENCES,
     }

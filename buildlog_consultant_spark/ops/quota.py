@@ -292,6 +292,104 @@ def token_budget_per_key_naive(
     return df.withColumn("_cum", cum).where(F.col("_cum") <= max_tokens).drop("_cum")
 
 
+def with_global_cumsum(
+    df: DataFrame,
+    weight_col,
+    id_col: str = "doc_id",
+    bucket_hex_chars: int = 2,
+    out_col: str = "cum_weight",
+) -> DataFrame:
+    """EXACT global running sum of ``weight_col`` in (md5(id), id) hash
+    order, computed WITHOUT a global sort — the fourth instance of the
+    bucketed two-pass technique, this time emitting the cumulative value
+    for EVERY row (token_budget_sample only needed it at the boundary):
+    one (bucket) hash agg over corpus rows, a cumulative window over the
+    tiny bucket table gives each bucket's prefix OFFSET (broadcast), and
+    a running-sum window PARTITIONED BY BUCKET adds within-bucket order —
+    offset + within-bucket sum = the exact global cumsum because the
+    bucket id is a PREFIX of the ordering hash (order-compatible, same
+    argument as key_quota). Every window partition is bounded by one
+    bucket (~corpus/16^chars rows), so per-task work is independent of
+    corpus size. NULL ids hash as ''; NULL weights count 0 (weight
+    contract = token_budget_sample's: non-negative integers)."""
+    w_expr = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    h = _order_hash(id_col)
+    b = F.substring(h, 1, bucket_hex_chars)
+    d = (
+        df.withColumn("_w8", F.coalesce(w_expr.cast("long"), F.lit(0)))
+        .withColumn("_h", h)
+        .withColumn("_b", b)
+    )
+    buckets = d.groupBy("_b").agg(F.sum("_w8").alias("_bw"))
+    w_cum = Window.orderBy("_b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    meta = buckets.select(
+        F.col("_b").alias("_mb"),
+        (F.sum("_bw").over(w_cum) - F.col("_bw")).alias("_off"),
+    )
+    w_run = (
+        Window.partitionBy("_b")
+        .orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.join(F.broadcast(meta), F.col("_b") == F.col("_mb"))
+        .withColumn(out_col, F.col("_off") + F.sum("_w8").over(w_run))
+        .drop("_mb", "_off", "_w8", "_h", "_b")
+    )
+
+
+def with_sequence_bins(
+    df: DataFrame,
+    bin_tokens: int,
+    weight_col,
+    id_col: str = "doc_id",
+    bucket_hex_chars: int = 2,
+) -> DataFrame:
+    """Sequence-PACKING assignment — the concat-and-chop step of LLM
+    pretraining data prep: lay every document out on one global token
+    tape in deterministic (md5(id), id) hash order, then chop the tape
+    into fixed ``bin_tokens``-sized training sequences. Adds:
+
+      * ``bin_first`` / ``bin_last`` — the first/last sequence index the
+        doc's tokens land in (a doc STRADDLES a boundary when they
+        differ — exactly what packed pretraining batches do);
+      * ``bin_offset`` — the doc's start position within ``bin_first``.
+
+    Pure arithmetic over the exact global cumsum (with_global_cumsum —
+    no global sort, windows bounded per hash bucket), so the assignment
+    is engine-portable, rerun-stable, and SQL-replayable: start =
+    cum - w, bin_first = start div L, bin_last = (cum - 1) div L (w > 0);
+    zero-weight docs sit at a point: bin_first = bin_last = cum div L.
+    A writer would repartition by sequence index and emit the packed
+    sequences; the assignment is the shuffle-key-defining step."""
+    if bin_tokens <= 0:
+        raise ValueError(f"bin_tokens must be positive, got {bin_tokens}")
+    w_expr = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    w8 = F.coalesce(w_expr.cast("long"), F.lit(0))
+    d = with_global_cumsum(df, weight_col, id_col, bucket_hex_chars)
+    cum = F.col("cum_weight")
+    start = cum - w8
+    L = F.lit(bin_tokens).cast("long")
+    bin_first = F.when(w8 == 0, _div(cum, L)).otherwise(_div(start, L))
+    bin_last = F.when(w8 == 0, _div(cum, L)).otherwise(_div(cum - 1, L))
+    return (
+        d.withColumn("bin_first", bin_first.cast("long"))
+        .withColumn("bin_last", bin_last.cast("long"))
+        .withColumn(
+            "bin_offset",
+            F.when(w8 == 0, cum % L).otherwise(start % L).cast("long"),
+        )
+    )
+
+
+def _div(a, b):
+    """Integer floor division on non-negative longs (Spark's / is double
+    division; DIV via expr would lose column-expression composability)."""
+    return ((a - (a % b)) / b).cast("long")
+
+
 def key_quota_naive(
     df: DataFrame,
     n_keep: int,

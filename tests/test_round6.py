@@ -339,6 +339,81 @@ def test_filter_compressible_null_and_empty_pass_through(spark):
 
 
 # ---------------------------------------------------------------------------
+# global cumsum + sequence packing (round-6 addition)
+# ---------------------------------------------------------------------------
+
+
+def test_global_cumsum_matches_naive_window(spark):
+    """Bucketed two-pass global running sum == the naive single global
+    window, including NULL id (hashes as ''), zero weights, and NULL
+    weights (count 0)."""
+    import random
+
+    from pyspark.sql import Window
+
+    from buildlog_consultant_spark.ops.quota import (
+        _order_hash,
+        with_global_cumsum,
+    )
+
+    rng = random.Random(9)
+    rows = [(i, rng.randint(0, 40)) for i in range(300)]
+    rows += [(300, 0), (None, 7), (301, None)]
+    d = spark.createDataFrame(rows, "doc_id int, w int")
+    wn = Window.orderBy(_order_hash("doc_id"), "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    naive = d.withColumn(
+        "cum_weight",
+        F.sum(F.coalesce(F.col("w").cast("long"), F.lit(0))).over(wn),
+    )
+    a = sorted((tuple(r) for r in with_global_cumsum(d, "w").collect()), key=_nkey)
+    b = sorted((tuple(r) for r in naive.collect()), key=_nkey)
+    assert a == b
+
+
+def test_sequence_bins_chop_arithmetic(spark):
+    """bin_first/bin_last/bin_offset follow the concat-and-chop rule for
+    every row — straddling docs span consecutive bins; zero-weight docs
+    sit at a point; the tape is gapless (each doc starts where the
+    previous ended)."""
+    import random
+
+    from buildlog_consultant_spark.ops.quota import with_sequence_bins
+
+    rng = random.Random(5)
+    rows = [(i, rng.randint(0, 100)) for i in range(200)] + [(200, 0)]
+    d = spark.createDataFrame(rows, "doc_id int, w int")
+    out = with_sequence_bins(d, 64, "w").collect()
+    starts = {}
+    for r in out:
+        w = r["w"] or 0
+        start = r["cum_weight"] - w
+        if w > 0:
+            assert r["bin_first"] == start // 64
+            assert r["bin_last"] == (r["cum_weight"] - 1) // 64
+            assert r["bin_offset"] == start % 64
+        else:
+            assert r["bin_first"] == r["bin_last"] == r["cum_weight"] // 64
+            assert r["bin_offset"] == r["cum_weight"] % 64
+        starts[start] = r["cum_weight"]
+    # gapless tape: the sorted (start, end) intervals tile [0, total]
+    ivs = sorted((s, e) for s, e in starts.items())
+    pos = 0
+    for s, e in ivs:
+        assert s == pos
+        pos = e
+
+
+def test_sequence_bins_invalid_bin_raises(spark):
+    from buildlog_consultant_spark.ops.quota import with_sequence_bins
+
+    d = spark.createDataFrame([(1, 5)], "doc_id int, w int")
+    with pytest.raises(ValueError, match="bin_tokens"):
+        with_sequence_bins(d, 0, "w")
+
+
+# ---------------------------------------------------------------------------
 # line-level boilerplate removal + unigram LM quality (round-6 additions)
 # ---------------------------------------------------------------------------
 
