@@ -1175,7 +1175,9 @@ def _oracle_near_dup_dedup(sf_dir: str = None) -> str:
     for doc_id, lang in exact_kept:
         if doc_id not in drop:
             counts[lang] = counts.get(lang, 0) + 1
-    rows = sorted(counts.items())
+    rows = sorted(
+        counts.items(), key=lambda kv: (kv[0] is not None, kv[0] or "")
+    )
     vals = ",\n".join(f"('{l}', {n})" for l, n in rows)
     return (
         "SELECT CAST(lang AS VARCHAR) AS lang, CAST(n_kept AS BIGINT) AS n_kept "
@@ -2168,7 +2170,12 @@ def _oracle_compression_ratio(sf_dir: str = None) -> str:
         s[2] += p
         s[3] = p if s[3] is None else min(s[3], p)
         s[4] = p if s[4] is None else max(s[4], p)
-    rows = [(lang, *vals) for lang, vals in sorted(stats.items())]
+    rows = [
+        (lang, *vals)
+        for lang, vals in sorted(
+            stats.items(), key=lambda kv: (kv[0] is not None, kv[0] or "")
+        )
+    ]
     return _values_oracle(
         rows,
         ["lang", "n_docs", "n_kept", "sum_permille", "min_permille", "max_permille"],
