@@ -1178,7 +1178,9 @@ def _oracle_near_dup_dedup(sf_dir: str = None) -> str:
     rows = sorted(
         counts.items(), key=lambda kv: (kv[0] is not None, kv[0] or "")
     )
-    vals = ",\n".join(f"('{l}', {n})" for l, n in rows)
+    # _sql_lit renders None as NULL (a hand-rolled f-string printed the
+    # string 'None' — review r6b #2) and escapes quotes
+    vals = ",\n".join(f"({_sql_lit(l)}, {n})" for l, n in rows)
     return (
         "SELECT CAST(lang AS VARCHAR) AS lang, CAST(n_kept AS BIGINT) AS n_kept "
         f"FROM (VALUES\n{vals}\n) AS t(lang, n_kept)"
@@ -2598,20 +2600,18 @@ def q_pack_sequences(spark, sf_dir):
 
 ORACLE_PACK_SEQUENCES = """
 WITH ordered AS (
-  SELECT doc_id, n_chars,
-         SUM(n_chars) OVER (
+  SELECT doc_id, COALESCE(n_chars, 0) AS w,
+         SUM(COALESCE(n_chars, 0)) OVER (
            ORDER BY md5(coalesce(CAST(doc_id AS VARCHAR), '')), doc_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
          ) AS cum
   FROM documents
 )
 SELECT doc_id,
-  CAST(CASE WHEN n_chars = 0 THEN cum // 2048
-            ELSE (cum - n_chars) // 2048 END AS BIGINT) AS bin_first,
-  CAST(CASE WHEN n_chars = 0 THEN cum // 2048
+  CAST((cum - w) // 2048 AS BIGINT) AS bin_first,
+  CAST(CASE WHEN w = 0 THEN cum // 2048
             ELSE (cum - 1) // 2048 END AS BIGINT) AS bin_last,
-  CAST(CASE WHEN n_chars = 0 THEN cum % 2048
-            ELSE (cum - n_chars) % 2048 END AS BIGINT) AS bin_offset
+  CAST((cum - w) % 2048 AS BIGINT) AS bin_offset
 FROM ordered
 """
 

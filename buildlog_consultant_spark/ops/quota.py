@@ -370,24 +370,28 @@ def with_sequence_bins(
     w8 = F.coalesce(w_expr.cast("long"), F.lit(0))
     d = with_global_cumsum(df, weight_col, id_col, bucket_hex_chars)
     cum = F.col("cum_weight")
+    # start == cum when w8 == 0, so bin_first and bin_offset need no
+    # zero-weight branch; only bin_last does (a zero-weight doc sits at
+    # the point cum, not at cum - 1)
     start = cum - w8
     L = F.lit(bin_tokens).cast("long")
-    bin_first = F.when(w8 == 0, _div(cum, L)).otherwise(_div(start, L))
+    bin_first = _div(start, L)
     bin_last = F.when(w8 == 0, _div(cum, L)).otherwise(_div(cum - 1, L))
     return (
         d.withColumn("bin_first", bin_first.cast("long"))
         .withColumn("bin_last", bin_last.cast("long"))
-        .withColumn(
-            "bin_offset",
-            F.when(w8 == 0, cum % L).otherwise(start % L).cast("long"),
-        )
+        .withColumn("bin_offset", (start % L).cast("long"))
     )
 
 
 def _div(a, b):
-    """Integer floor division on non-negative longs (Spark's / is double
-    division; DIV via expr would lose column-expression composability)."""
-    return ((a - (a % b)) / b).cast("long")
+    """EXACT integer floor division on non-negative longs. a - a%b is
+    exactly divisible by b, and the division runs in decimal(38,0) — a
+    double division here would round past 2^53 and shift bin boundaries
+    by one at crawl-scale tape lengths (the oracle's integer // would
+    not), which is precisely the scale this module claims."""
+    exact = (a - (a % b)).cast("decimal(38,0)")
+    return (exact / b.cast("decimal(38,0)")).cast("long")
 
 
 def key_quota_naive(

@@ -65,6 +65,7 @@ def duck():
         "line_dedup",
         "unigram_quality",
         "ann_topk_lsh_batch",
+        "pack_sequences",
         # streaming queries: plain-SQL oracles, but their file-stream
         # staging logic is sf_dir-dependent — exercise it at the second
         # scale too

@@ -405,6 +405,28 @@ def test_sequence_bins_chop_arithmetic(spark):
         pos = e
 
 
+def test_sequence_bins_exact_past_double_precision(spark):
+    """Review r6b #3: bin arithmetic must stay EXACT past 2^53 — a double
+    division would round the quotient and shift bin boundaries by one at
+    crawl-scale tape lengths. Weights near 2^58; NULL weight counts 0
+    (review r6b #1, the oracle's COALESCE)."""
+    from buildlog_consultant_spark.ops.quota import with_sequence_bins
+
+    big = (1 << 58) + 12345
+    rows = [(1, big), (2, 2048), (3, None), (4, big + 7), (5, 1)]
+    d = spark.createDataFrame(rows, "doc_id int, w long")
+    out = {r["doc_id"]: r for r in with_sequence_bins(d, 2048, "w").collect()}
+    for r in out.values():
+        w = r["w"] or 0
+        start = r["cum_weight"] - w
+        if w > 0:
+            assert r["bin_first"] == start // 2048, r
+            assert r["bin_last"] == (r["cum_weight"] - 1) // 2048, r
+        else:
+            assert r["bin_first"] == r["bin_last"] == r["cum_weight"] // 2048, r
+        assert r["bin_offset"] == start % 2048, r
+
+
 def test_sequence_bins_invalid_bin_raises(spark):
     from buildlog_consultant_spark.ops.quota import with_sequence_bins
 
