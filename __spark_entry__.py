@@ -1045,6 +1045,55 @@ def _oracle_minhash_xx(sf_dir: str = None) -> str:
     )
 
 
+def q_near_dup_verify(spark, sf_dir):
+    """Two-stage near-dup: MinHash-LSH candidates → EXACT 3-shingle
+    Jaccard verification (generate-then-verify — banding recalls cheaply,
+    the exact set Jaccard is what real dedup passes threshold on). Emits
+    every candidate pair with its shared-band count AND its exact
+    jaccard_ppm; verification joins shingle sets onto the (tiny) pair
+    list by id, never a gram-keyed or all-pairs join. Oracle: golden
+    VALUES — the independently recomputed candidate list (same xxhash64
+    banding replay as minhash_near_dups_xx) extended with a pure-Python
+    exact Jaccard over the same shingle sets."""
+    from buildlog_consultant_spark.ops.dedup import minhash_verified_pairs_xx
+
+    d = _docs(spark, sf_dir)
+    return minhash_verified_pairs_xx(d)
+
+
+def _oracle_near_dup_verify(sf_dir: str = None) -> str:
+    import re
+
+    import pyarrow.parquet as pq
+
+    pairs = _minhash_xx_pairs_golden(sf_dir=sf_dir)
+    tbl = pq.read_table(
+        f"{sf_dir or _oracle_sf_dir()}/documents.parquet",
+        columns=["doc_id", "text"],
+    )
+    texts = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    sh_cache: dict[int, set] = {}
+
+    def shingles(doc_id: int) -> set:
+        s = sh_cache.get(doc_id)
+        if s is None:
+            toks = ws.sub(" ", (texts[doc_id] or "").strip(" ")).lower().split(" ")
+            n = len(toks)
+            s = sh_cache[doc_id] = {
+                " ".join(toks[i : i + 3]) for i in range(0, max(n - 3, 0) + 1)
+            }
+        return s
+
+    rows = []
+    for a, b, shared in pairs:
+        sa, sb = shingles(a), shingles(b)
+        # int(double-div) == Spark's cast(long) truncation of the same
+        # IEEE division (operands exact in double at these magnitudes)
+        rows.append((a, b, shared, int(len(sa & sb) * 1000000 / len(sa | sb))))
+    return _values_oracle(rows, ["id_a", "id_b", "shared_bands", "jaccard_ppm"])
+
+
 def q_bpe_token_counts(spark, sf_dir):
     """BPE-ish pre-tokenizer counts per lang (JVM regexp_count; the regex is
     restricted to Java/RE2-identical constructs so DuckDB replays it)."""
@@ -2616,6 +2665,46 @@ FROM ordered
 """
 
 
+def q_source_mixture(spark, sf_dir):
+    """Temperature-scaled data-mixing allocations (alpha = 1/2): each
+    source's share of a 1M-token budget ∝ sqrt(its n_chars total), made
+    EXACT by integer largest-remainder apportionment so the allocations
+    sum to the budget precisely (ops/quota.py::mixture_allocations —
+    IEEE sqrt is correctly rounded in every engine, everything after it
+    is decimal(38,0) integer math). The per-source groupBy is the only
+    corpus-touching operator. Oracle: same sqrt/floor + HUGEINT
+    apportionment in DuckDB (rem DESC, source ASC NULLS FIRST)."""
+    from buildlog_consultant_spark.ops.quota import mixture_allocations
+
+    d = _docs(spark, sf_dir)
+    return mixture_allocations(
+        d, budget=1_000_000, key_col="source", weight_col="n_chars"
+    )
+
+
+ORACLE_SOURCE_MIXTURE = """
+WITH tot AS (
+  SELECT source, CAST(SUM(COALESCE(n_chars, 0)) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+), w AS (
+  SELECT source, tokens,
+         CAST(floor(sqrt(CAST(tokens AS DOUBLE)) * 1000000.0) AS BIGINT) AS wm
+  FROM tot
+), s AS (SELECT SUM(CAST(wm AS HUGEINT)) AS tw FROM w),
+b AS (
+  SELECT source, tokens,
+         CAST((CAST(1000000 AS HUGEINT) * wm) // s.tw AS BIGINT) AS base,
+         (CAST(1000000 AS HUGEINT) * wm) % s.tw AS rem
+  FROM w, s
+), e AS (SELECT 1000000 - SUM(base) AS extra FROM b)
+SELECT source, tokens,
+       CAST(base + CASE WHEN row_number() OVER (
+                ORDER BY rem DESC, source ASC NULLS FIRST) <= e.extra
+            THEN 1 ELSE 0 END AS BIGINT) AS allocation
+FROM b, e
+"""
+
+
 def q_repetition_signals(spark, sf_dir):
     """Gopher-style repetition quality signals aggregated per lang: word /
     word-bigram duplication totals plus the count of docs the repetition
@@ -2882,6 +2971,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_quality": q_unigram_quality,
         "ann_topk_lsh_batch": q_ann_topk_lsh_batch,
         "pack_sequences": q_pack_sequences,
+        "source_mixture": q_source_mixture,
+        "near_dup_verify": q_near_dup_verify,
     }
 
 
@@ -2949,4 +3040,6 @@ def oracle_sql(sf_dir: str = None) -> dict[str, str]:
         "unigram_quality": _oracle_unigram_quality(sf_dir),
         "ann_topk_lsh_batch": _oracle_ann_topk_lsh_batch(),
         "pack_sequences": ORACLE_PACK_SEQUENCES,
+        "source_mixture": ORACLE_SOURCE_MIXTURE,
+        "near_dup_verify": _oracle_near_dup_verify(sf_dir),
     }

@@ -331,6 +331,68 @@ def minhash_near_dup_pairs(
     return _pairs_from_sigs(sigs, min_shared_bands, max_bucket, log_dropped)
 
 
+def minhash_verified_pairs_xx(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 8,
+    k: int = 3,
+    min_shared_bands: int = 2,
+    min_jaccard_ppm: int = 0,
+    dedup_exact_first: bool = True,
+    max_bucket: int | None = 256,
+    log_dropped: bool = True,
+) -> DataFrame:
+    """The full two-stage near-dup pipeline: MinHash-LSH CANDIDATE pairs
+    → EXACT k-shingle Jaccard verification (the classic generate-then-
+    verify shape — banding recalls candidates cheaply but its shared-band
+    count is a noisy similarity proxy; the exact set Jaccard is the
+    decision metric real dedup passes threshold on). Returns
+    (id_a, id_b, shared_bands, jaccard_ppm) for candidates with
+    jaccard_ppm ≥ ``min_jaccard_ppm`` (ppm = ×1e6, floor-of-double — the
+    same integer both DuckDB and a Python replay compute).
+
+    Scale shape: candidate generation is minhash_near_dup_pairs_xx
+    (bucketed, capped — pairs « corpus by construction). Verification
+    never goes back to an all-pairs or gram-keyed join: the distinct-
+    shingle SETS are joined onto the pair list by id, restricted first by
+    a semi-join to candidate ids, so shuffle bytes are
+    O(candidate docs × shingles), not O(corpus). The shingle projection
+    is evaluated once per side (twice total, map-side CPU) — at crawl
+    scale persist it if candidate volume warrants; jaccard_ppm itself is
+    array math on already-joined rows. The union of two non-empty
+    distinct-shingle sets is never empty (every doc has ≥ 1 shingle —
+    NULL text coalesces to the single '' shingle), so the double
+    division cannot hit ANSI divide-by-zero."""
+    src = dedup_exact(df, id_col, text_col) if dedup_exact_first else df
+    sigs = minhash_signatures_xx(src, id_col, text_col, bands, k)
+    pairs = _pairs_from_sigs(sigs, min_shared_bands, max_bucket, log_dropped)
+    sh = src.select(
+        F.col(id_col).alias("id"), F.array_distinct(_shingles(text_col, k)).alias("sh")
+    )
+    cand = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionByName(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sh_c = sh.join(cand, "id", "left_semi")
+    a = sh_c.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh_c.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    # intersection size goes through LONG before the ×1e6 — a doc with
+    # > 2147 distinct shingles would overflow int32 under ANSI otherwise
+    jac = (
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+        * 1000000
+        / F.size(F.array_union("sh_a", "sh_b"))
+    ).cast("long")
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", "shared_bands", jac.alias("jaccard_ppm"))
+        .where(F.col("jaccard_ppm") >= min_jaccard_ppm)
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -774,7 +836,10 @@ def ngram_jaccard(
     b = pair.where(F.col("id") == id_b).select(F.col("sh").alias("sb"))
     return a.crossJoin(b).select(
         (
-            F.size(F.array_intersect("sa", "sb")) * 1000000
+            # long before the ×1e6: > 2147 distinct shingles would
+            # overflow int32 under ANSI (same guard as
+            # minhash_verified_pairs_xx)
+            F.size(F.array_intersect("sa", "sb")).cast("long") * 1000000
             / F.size(F.array_union("sa", "sb"))
         ).cast("long").alias("jaccard_ppm")
     )

@@ -394,6 +394,125 @@ def _div(a, b):
     return (exact / b.cast("decimal(38,0)")).cast("long")
 
 
+def mixture_allocations(
+    df: DataFrame,
+    budget: int,
+    key_col: str = "source",
+    weight_col=None,
+    weight_scale: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-scaled source-mixing allocations — the data-mixing
+    step of LLM pretraining prep (Pile/CCNet-style: sample sources
+    proportionally to a DAMPED size so one giant crawl source doesn't
+    drown the small curated ones). Given per-key token totals t_k, give
+    each key an integer token allocation a_k with
+
+        a_k  ∝  sqrt(t_k)        (temperature alpha = 1/2)
+        sum(a_k) == budget       exactly (largest-remainder method)
+
+    Everything after the corpus-touching aggregate is EXACT integer /
+    IEEE-deterministic arithmetic, so the allocation table is engine-
+    portable and SQL-replayable:
+
+      * damped weight w_k = floor(sqrt(double(t_k)) * weight_scale) as a
+        LONG — IEEE-754 sqrt is correctly rounded in every engine (JVM
+        strictfp sqrt, C sqrt, numpy), the single multiply rounds once,
+        floor is exact: bit-identical in Spark / DuckDB / Python. alpha
+        is fixed at 1/2 BECAUSE sqrt is the one power with a correctly-
+        rounded guarantee (pow(x, a) is not), which is what makes the
+        contract exact rather than approximate;
+      * base_k = (budget * w_k) div W and remainder r_k = (budget * w_k)
+        mod W with W = sum(w_k), computed in decimal(38,0) — exact far
+        past 2^63 (budget 1e15 × w_k 1e15 = 1e30 « 1e38);
+      * the budget - sum(base_k) leftover units (< #keys) go one each to
+        the keys with the largest r_k, ties broken by key ASC with NULLS
+        FIRST (Spark's ascending default — oracles must say NULLS FIRST
+        explicitly, DuckDB defaults NULLS LAST).
+
+    Scale shape: the groupBy(key) total is the ONLY operator that sees
+    corpus rows (map-side partial agg); every later step runs on the
+    per-key table, which is orders of magnitude smaller than the corpus
+    (web sources / curated subsets, not documents). The final ranking
+    window sorts that table in one task — right for up to ~10^6 keys; a
+    per-DOMAIN allocation at crawl scale would swap it for the bucketed
+    ranker (key_quota's technique) without touching the contract.
+
+    W == 0 (every key's total is 0/NULL) allocates 0 everywhere rather
+    than dividing by zero. NULL keys form a normal group. ``weight_col``
+    None counts rows instead of summing a weight. Returns one row per
+    key: (key, tokens, allocation)."""
+    if budget < 0:
+        raise ValueError(f"budget must be non-negative, got {budget}")
+    if weight_col is None:
+        t_agg = F.count("*")
+    else:
+        w_expr = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+        t_agg = F.coalesce(F.sum(w_expr.cast("long")), F.lit(0))
+    tot = df.groupBy(key_col).agg(t_agg.cast("long").alias("tokens"))
+    wm = F.floor(
+        F.sqrt(F.col("tokens").cast("double")) * F.lit(float(weight_scale))
+    ).cast("long")
+    w = tot.select(key_col, "tokens", wm.alias("_wm"))
+    dec = "decimal(38,0)"
+    totals = w.agg(F.sum(F.col("_wm").cast(dec)).alias("_W"))
+    prod = F.lit(budget).cast(dec) * F.col("_wm").cast(dec)
+    b = (
+        w.crossJoin(F.broadcast(totals))
+        .withColumn("_rem", F.when(F.col("_W") > 0, prod % F.col("_W")))
+        .withColumn(
+            "_base",
+            F.when(
+                F.col("_W") > 0,
+                ((prod - F.col("_rem")) / F.col("_W")).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+    )
+    extra = b.agg(
+        (F.lit(budget) - F.coalesce(F.sum("_base"), F.lit(0))).alias("_extra")
+    )
+    # ranking window over the per-key table only (see docstring). In the
+    # W == 0 degenerate _rem is NULL and _extra == budget, but the
+    # outer W > 0 guard on `allocation` pins every key to 0 regardless
+    # of rank, so the rank order of NULL remainders is immaterial.
+    w_rank = Window.orderBy(
+        F.col("_rem").desc_nulls_last(), F.col(key_col).asc_nulls_first()
+    )
+    out = (
+        b.crossJoin(F.broadcast(extra))
+        .withColumn("_rn", F.row_number().over(w_rank))
+        .withColumn(
+            "allocation",
+            F.when(F.col("_W") > 0,
+                   F.col("_base")
+                   + F.when(F.col("_rn") <= F.col("_extra"), 1).otherwise(0))
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+    )
+    return out.select(key_col, "tokens", "allocation")
+
+
+def mixture_allocations_py(totals: list, budget: int, weight_scale: int = 1_000_000) -> list:
+    """Pure-Python replay of mixture_allocations over [(key, tokens)] —
+    the oracle/property-test reference. Same IEEE sqrt, same integer
+    apportionment, same (rem DESC, key ASC NULLS FIRST) tie order."""
+    import math
+
+    w = [(k, t, int(math.floor(math.sqrt(float(t)) * weight_scale))) for k, t in totals]
+    W = sum(x for _, _, x in w)
+    if W == 0:
+        return sorted(((k, t, 0) for k, t, _ in w), key=lambda r: (r[0] is not None, r[0]))
+    base = {k: (budget * x) // W for k, _, x in w}
+    rem = {k: (budget * x) % W for k, _, x in w}
+    extra = budget - sum(base.values())
+    order = sorted(w, key=lambda r: (-rem[r[0]], r[0] is not None, r[0]))
+    winners = {k for k, _, _ in order[:extra]}
+    return sorted(
+        ((k, t, base[k] + (1 if k in winners else 0)) for k, t, _ in w),
+        key=lambda r: (r[0] is not None, r[0]),
+    )
+
+
 def key_quota_naive(
     df: DataFrame,
     n_keep: int,

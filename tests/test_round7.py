@@ -1,0 +1,201 @@
+"""Round-6 session-2 tests: temperature-scaled mixture allocations
+(exact largest-remainder apportionment) and the two-stage MinHash →
+exact-Jaccard verified near-dup pipeline."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from buildlog_consultant_spark.ops.dedup import (
+    minhash_near_dup_pairs_xx,
+    minhash_verified_pairs_xx,
+)
+from buildlog_consultant_spark.ops.quota import (
+    mixture_allocations,
+    mixture_allocations_py,
+)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pyspark.sql import SparkSession
+
+    yield (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+
+
+def _nkey(t):
+    return tuple((v is None, v) for v in t)
+
+
+# ---------------------------------------------------------------------------
+# mixture_allocations
+# ---------------------------------------------------------------------------
+
+
+def _mix_rows():
+    # skewed totals, a NULL key, a zero-weight key, and NULL weights
+    return (
+        [("big", 1_000_000)] * 3
+        + [("mid", 10_000)] * 5
+        + [("small", 37)] * 2
+        + [("zero", 0)] * 4
+        + [(None, 123)] * 2
+        + [("nullw", None)] * 3
+    )
+
+
+def test_mixture_sums_exactly_to_budget(spark):
+    df = spark.createDataFrame(_mix_rows(), "source string, w long")
+    for budget in (0, 1, 7, 999_983, 10**12):
+        out = mixture_allocations(df, budget, key_col="source", weight_col="w")
+        got = {r["source"]: r["allocation"] for r in out.collect()}
+        assert sum(got.values()) == budget, budget
+        assert all(v >= 0 for v in got.values())
+
+
+def test_mixture_matches_python_replay(spark):
+    df = spark.createDataFrame(_mix_rows(), "source string, w long")
+    out = mixture_allocations(df, 999_983, key_col="source", weight_col="w")
+    got = sorted(
+        ((r["source"], r["tokens"], r["allocation"]) for r in out.collect()),
+        key=lambda r: (r[0] is not None, r[0]),
+    )
+    totals: dict = {}
+    for k, w in _mix_rows():
+        totals[k] = totals.get(k, 0) + (w or 0)
+    want = mixture_allocations_py(sorted(totals.items(), key=_nkey), 999_983)
+    assert got == want
+
+
+def test_mixture_sqrt_damping_direction(spark):
+    # alpha = 1/2 gives the small source MORE than proportional share
+    df = spark.createDataFrame(
+        [("a", 1_000_000), ("b", 10_000)], "source string, w long"
+    )
+    out = {
+        r["source"]: r["allocation"]
+        for r in mixture_allocations(df, 1_000_000, weight_col="w").collect()
+    }
+    # proportional would give b ~9901; sqrt-damped gives b 1e3/(1e3+1e2) ≈ 90909
+    assert out["b"] > 50_000
+    assert out["a"] + out["b"] == 1_000_000
+    assert out["a"] > out["b"]  # damped, not flattened
+
+
+def test_mixture_hand_computed_largest_remainder(spark):
+    # totals 4 and 9 → weights 2e6 and 3e6 → shares of 7: base 2 and 4,
+    # leftover 1 goes to the larger remainder (a: 7*2/5 = 2.8 → rem .8)
+    df = spark.createDataFrame([("a", 4), ("b", 9)], "source string, w long")
+    out = {
+        r["source"]: r["allocation"]
+        for r in mixture_allocations(df, 7, weight_col="w").collect()
+    }
+    assert out == {"a": 3, "b": 4}
+
+
+def test_mixture_all_zero_weights(spark):
+    df = spark.createDataFrame([("a", 0), ("b", 0)], "source string, w long")
+    out = mixture_allocations(df, 100, weight_col="w").collect()
+    assert {r["allocation"] for r in out} == {0}
+
+
+def test_mixture_count_mode_and_negative_budget(spark):
+    df = spark.createDataFrame([("a", 1), ("a", 2), ("b", 3)], "source string, w long")
+    out = {
+        r["source"]: r["tokens"]
+        for r in mixture_allocations(df, 10, key_col="source").collect()
+    }
+    assert out == {"a": 2, "b": 1}  # weight_col None counts rows
+    with pytest.raises(ValueError):
+        mixture_allocations(df, -1)
+
+
+def test_mixture_py_replay_ties_and_nulls():
+    # equal remainders break by key ASC NULLS FIRST
+    rows = mixture_allocations_py([(None, 4), ("a", 4), ("b", 4)], 7)
+    assert [r[0] for r in rows] == [None, "a", "b"]
+    # 7*1/3 each → base 2, rem equal → leftover 1 to NULL (first in order)
+    assert [r[2] for r in rows] == [3, 2, 2]
+    assert mixture_allocations_py([("a", 0)], 5) == [("a", 0, 0)]
+
+
+# ---------------------------------------------------------------------------
+# minhash_verified_pairs_xx
+# ---------------------------------------------------------------------------
+
+
+def _near_dup_docs():
+    base = " ".join(f"w{i}" for i in range(40))
+    near = " ".join(f"w{i}" for i in range(38)) + " x98 x99"  # ~0.9 jaccard
+    far = " ".join(f"z{i}" for i in range(40))
+    return [
+        (1, base),
+        (2, near),
+        (3, base),  # exact dup of 1 → collapsed by the pre-pass
+        (4, far),
+        (5, "tiny doc"),
+    ]
+
+
+def test_verified_pairs_jaccard_value(spark):
+    df = spark.createDataFrame(_near_dup_docs(), "doc_id long, text string")
+    out = minhash_verified_pairs_xx(df, min_shared_bands=1).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard_ppm"] for r in out}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs  # exact dup collapsed before banding
+    # hand-computed exact jaccard of the (1, 2) shingle sets
+    def sh(text):
+        toks = text.lower().split(" ")
+        return {" ".join(toks[i : i + 3]) for i in range(max(len(toks) - 3, 0) + 1)}
+
+    sa, sb = sh(_near_dup_docs()[0][1]), sh(_near_dup_docs()[1][1])
+    want = int(len(sa & sb) * 1000000 / len(sa | sb))
+    assert pairs[(1, 2)] == want
+    assert want > 800_000
+
+
+def test_verified_pairs_threshold_filters(spark):
+    df = spark.createDataFrame(_near_dup_docs(), "doc_id long, text string")
+    all_pairs = minhash_verified_pairs_xx(df, min_shared_bands=1).collect()
+    kept = minhash_verified_pairs_xx(
+        df, min_shared_bands=1, min_jaccard_ppm=800_000
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in kept} == {
+        (r["id_a"], r["id_b"]) for r in all_pairs if r["jaccard_ppm"] >= 800_000
+    }
+    assert {(r["id_a"], r["id_b"]) for r in kept} == {(1, 2)}
+
+
+def test_verified_pairs_extend_candidates_exactly(spark):
+    # same candidate set and shared_bands as the unverified op
+    df = spark.createDataFrame(_near_dup_docs(), "doc_id long, text string")
+    cand = {
+        (r["id_a"], r["id_b"]): r["shared_bands"]
+        for r in minhash_near_dup_pairs_xx(df, min_shared_bands=1).collect()
+    }
+    ver = {
+        (r["id_a"], r["id_b"]): r["shared_bands"]
+        for r in minhash_verified_pairs_xx(df, min_shared_bands=1).collect()
+    }
+    assert cand == ver
+
+
+def test_verified_pairs_null_text_no_ansi_error(spark):
+    # NULL text → single '' shingle; union never empty → no divide-by-zero
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "a b c")], "doc_id long, text string"
+    )
+    out = minhash_verified_pairs_xx(df, min_shared_bands=1).collect()
+    # the two NULL-text docs are exact dups → collapsed; no pair survives
+    assert out == []
+    out2 = minhash_verified_pairs_xx(
+        df, min_shared_bands=1, dedup_exact_first=False
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard_ppm"] for r in out2}
+    assert got == {(1, 2): 1_000_000}
