@@ -2705,6 +2705,52 @@ FROM b, e
 """
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Bloom-prefiltered incremental dedup — the daily-crawl-vs-corpus
+    shape: a batch derived from the md5(id)-split docs (first hex char
+    0-3), where second hex char 0-7 keeps the ORIGINAL text (a planted
+    exact dup of the corpus copy) and 8-f gets ' §new§' appended
+    (genuinely new). New-doc detection builds a Bloom filter over the
+    BATCH keys (the small side), applies it map-side to the corpus scan,
+    then confirms exactly — the result is exactly the null-safe
+    anti-join the oracle computes (ops/bloom.py). Per-source counts of
+    new docs."""
+    from buildlog_consultant_spark.ops.bloom import incremental_new_docs
+
+    d = _docs(spark, sf_dir)
+    h = F.md5(F.coalesce(F.col("doc_id").cast("string"), F.lit("")))
+    batch = d.where(F.substring(h, 1, 1).isin("0", "1", "2", "3")).withColumn(
+        "text",
+        F.when(
+            F.substring(h, 2, 1).isin(*"01234567"), F.col("text")
+        ).otherwise(F.concat(F.col("text"), F.lit(" §new§"))),
+    )
+    new = incremental_new_docs(batch, d)
+    return new.groupBy("source").agg(
+        F.count("*").alias("n_new"), F.min("doc_id").alias("min_new_id")
+    )
+
+
+ORACLE_INCREMENTAL_DEDUP = """
+WITH b AS (
+  SELECT source, doc_id,
+         CASE WHEN substring(md5(COALESCE(CAST(doc_id AS VARCHAR), '')), 2, 1)
+                   IN ('0','1','2','3','4','5','6','7')
+              THEN text ELSE text || ' §new§' END AS text
+  FROM documents
+  WHERE substring(md5(COALESCE(CAST(doc_id AS VARCHAR), '')), 1, 1)
+        IN ('0','1','2','3')
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_new,
+       MIN(doc_id) AS min_new_id
+FROM b
+WHERE NOT EXISTS (
+  SELECT 1 FROM documents c WHERE c.text IS NOT DISTINCT FROM b.text
+)
+GROUP BY source
+"""
+
+
 def q_repetition_signals(spark, sf_dir):
     """Gopher-style repetition quality signals aggregated per lang: word /
     word-bigram duplication totals plus the count of docs the repetition
@@ -2973,6 +3019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "source_mixture": q_source_mixture,
         "near_dup_verify": q_near_dup_verify,
+        "incremental_dedup": q_incremental_dedup,
     }
 
 
@@ -3042,4 +3089,5 @@ def oracle_sql(sf_dir: str = None) -> dict[str, str]:
         "pack_sequences": ORACLE_PACK_SEQUENCES,
         "source_mixture": ORACLE_SOURCE_MIXTURE,
         "near_dup_verify": _oracle_near_dup_verify(sf_dir),
+        "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
     }

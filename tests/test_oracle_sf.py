@@ -66,6 +66,9 @@ def duck():
         "unigram_quality",
         "ann_topk_lsh_batch",
         "pack_sequences",
+        "near_dup_verify",
+        "incremental_dedup",
+        "source_mixture",
         # streaming queries: plain-SQL oracles, but their file-stream
         # staging logic is sf_dir-dependent — exercise it at the second
         # scale too

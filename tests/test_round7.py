@@ -186,6 +186,103 @@ def test_verified_pairs_extend_candidates_exactly(spark):
     assert cand == ver
 
 
+# ---------------------------------------------------------------------------
+# bloom incremental dedup
+# ---------------------------------------------------------------------------
+
+
+def _naive_new(batch, corpus):
+    return batch.join(
+        corpus.select(F.col("text").alias("_t")),
+        F.col("text").eqNullSafe(F.col("_t")),
+        "left_anti",
+    )
+
+
+def test_bloom_equals_naive_anti_join(spark):
+    from buildlog_consultant_spark.ops.bloom import incremental_new_docs
+
+    corpus = spark.createDataFrame(
+        [(i, f"doc {i % 50}") for i in range(200)] + [(999, None)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(1000, "doc 7"), (1001, "brand new"), (1002, None), (1003, "other new")],
+        "doc_id long, text string",
+    )
+    got = sorted(r["doc_id"] for r in incremental_new_docs(batch, corpus).collect())
+    want = sorted(r["doc_id"] for r in _naive_new(batch, corpus).collect())
+    assert got == want == [1001, 1003]  # NULL-text batch doc IS a dup of NULL
+
+
+def test_bloom_no_false_negatives_tiny_filter(spark):
+    # m_bits=64 (one word) saturates — every batch doc collides, but the
+    # exact confirm join still yields exactly the naive answer
+    from buildlog_consultant_spark.ops.bloom import incremental_new_docs
+
+    corpus = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(100)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(200 + i, f"doc {i * 2}" if i % 3 else f"fresh {i}") for i in range(60)],
+        "doc_id long, text string",
+    )
+    got = sorted(r["doc_id"] for r in incremental_new_docs(batch, corpus, m_bits=64, k=2).collect())
+    want = sorted(r["doc_id"] for r in _naive_new(batch, corpus).collect())
+    assert got == want
+
+
+def test_bloom_empty_sides(spark):
+    from buildlog_consultant_spark.ops.bloom import incremental_new_docs
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    corpus = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    assert incremental_new_docs(empty, corpus).collect() == []
+    out = incremental_new_docs(corpus, empty).collect()
+    assert [r["doc_id"] for r in out] == [1]  # empty corpus → all new
+
+
+def test_bloom_build_bounded_and_probe_jvm_only(spark):
+    from buildlog_consultant_spark.ops.bloom import (
+        bloom_build,
+        bloom_might_contain,
+        incremental_new_docs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(500)], "doc_id long, text string"
+    )
+    words = bloom_build(df, F.md5("text"), m_bits=1 << 12, k=4)
+    assert len(words) == (1 << 12) // 64
+    # every inserted key tests positive (no false negatives)
+    hits = df.where(
+        bloom_might_contain(words, F.md5("text"), m_bits=1 << 12, k=4)
+    ).count()
+    assert hits == 500
+    # probe plan: corpus-side filter is pure JVM (element_at + masks),
+    # no UDF/python eval, no cartesian
+    import io
+    import contextlib
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        incremental_new_docs(df, df).explain("formatted")
+    txt = buf.getvalue()
+    assert "element_at" in txt
+    assert "CartesianProduct" not in txt
+    assert "BatchEvalPython" not in txt and "ArrowEvalPython" not in txt
+
+
+def test_bloom_param_validation(spark):
+    from buildlog_consultant_spark.ops.bloom import bloom_build
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        bloom_build(df, F.md5("text"), m_bits=0)
+    with pytest.raises(ValueError):
+        bloom_build(df, F.md5("text"), k=0)
+
+
 def test_verified_pairs_null_text_no_ansi_error(spark):
     # NULL text → single '' shingle; union never empty → no divide-by-zero
     df = spark.createDataFrame(
