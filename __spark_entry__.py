@@ -2705,6 +2705,64 @@ FROM b, e
 """
 
 
+def q_mixture_sample(spark, sf_dir):
+    """End-to-end temperature-scaled mixture sampling — the composition
+    capstone: mixture_allocations turns a 60k-char global budget into
+    exact sqrt-damped per-source allocations, token_budget_from_table
+    keeps each source's (md5(id), id)-hash-ordered prefix under ITS
+    allocation (ops/quota.py::mixture_sample). Per-source kept-doc
+    count, kept chars, and min kept id; chars_kept ≤ allocation by the
+    prefix rule. Oracle: the source_mixture apportionment CTE feeding a
+    per-key QUALIFY-style running-sum prefix."""
+    from buildlog_consultant_spark.ops.quota import mixture_sample
+
+    d = _docs(spark, sf_dir)
+    kept = mixture_sample(d, budget=60_000, key_col="source", weight_col="n_chars")
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum(F.coalesce(F.col("n_chars"), F.lit(0))).alias("chars_kept"),
+        F.min("doc_id").alias("min_kept_id"),
+    )
+
+
+ORACLE_MIXTURE_SAMPLE = """
+WITH tot AS (
+  SELECT source, CAST(SUM(COALESCE(n_chars, 0)) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+), w AS (
+  SELECT source, tokens,
+         CAST(floor(sqrt(CAST(tokens AS DOUBLE)) * 1000000.0) AS BIGINT) AS wm
+  FROM tot
+), s AS (SELECT SUM(CAST(wm AS HUGEINT)) AS tw FROM w),
+b AS (
+  SELECT source, tokens,
+         CAST((CAST(60000 AS HUGEINT) * wm) // s.tw AS BIGINT) AS base,
+         (CAST(60000 AS HUGEINT) * wm) % s.tw AS rem
+  FROM w, s
+), e AS (SELECT 60000 - SUM(base) AS extra FROM b),
+alloc AS (
+  SELECT source,
+         CAST(base + CASE WHEN row_number() OVER (
+                  ORDER BY rem DESC, source ASC NULLS FIRST) <= e.extra
+              THEN 1 ELSE 0 END AS BIGINT) AS budget
+  FROM b, e
+), ranked AS (
+  SELECT d.source, d.doc_id, COALESCE(d.n_chars, 0) AS w8,
+         SUM(COALESCE(d.n_chars, 0)) OVER (
+           PARTITION BY d.source
+           ORDER BY md5(COALESCE(CAST(d.doc_id AS VARCHAR), '')), d.doc_id
+           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents d
+)
+SELECT r.source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(r.w8) AS BIGINT) AS chars_kept,
+       MIN(r.doc_id) AS min_kept_id
+FROM ranked r JOIN alloc a ON r.source IS NOT DISTINCT FROM a.source
+WHERE r.cum <= a.budget
+GROUP BY r.source
+"""
+
+
 def q_incremental_dedup(spark, sf_dir):
     """Bloom-prefiltered incremental dedup — the daily-crawl-vs-corpus
     shape: a batch derived from the md5(id)-split docs (first hex char
@@ -3020,6 +3078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mixture": q_source_mixture,
         "near_dup_verify": q_near_dup_verify,
         "incremental_dedup": q_incremental_dedup,
+        "mixture_sample": q_mixture_sample,
     }
 
 
@@ -3090,4 +3149,5 @@ def oracle_sql(sf_dir: str = None) -> dict[str, str]:
         "source_mixture": ORACLE_SOURCE_MIXTURE,
         "near_dup_verify": _oracle_near_dup_verify(sf_dir),
         "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
+        "mixture_sample": ORACLE_MIXTURE_SAMPLE,
     }

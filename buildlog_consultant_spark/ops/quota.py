@@ -226,6 +226,59 @@ def token_budget_per_key(
     documents within every source."""
     if max_tokens < 0:
         return df.limit(0)
+    return _token_budget_keyed(
+        df, F.lit(max_tokens).cast("long"), None,
+        weight_col, key_col, id_col, bucket_hex_chars,
+    )
+
+
+def token_budget_from_table(
+    df: DataFrame,
+    budgets: DataFrame,
+    weight_col,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    budget_col: str = "budget",
+    bucket_hex_chars: int = 2,
+) -> DataFrame:
+    """`token_budget_per_key` with a DIFFERENT budget per key, read from
+    ``budgets`` (key_col, budget_col) — the shape a mixture pipeline
+    actually needs: allocations differ per source. Semantics per key are
+    exactly the scalar version's prefix rule at that key's budget
+    (test-pinned: constant table == scalar endpoint bit-for-bit).
+
+    Budget-table contract: one row per key (duplicate keys would
+    double-join the scan — not checked, caller owns it). Keys ABSENT
+    from the table, and keys whose budget is NULL, contribute NOTHING —
+    the NULL budget propagates through every ``<=`` comparison as
+    false — unlike budget 0, which still keeps leading zero-weight docs
+    under the prefix rule. Negative budgets also keep nothing (the
+    running sum is never negative). The join of budgets onto the bucket
+    metadata is key-table-sized and broadcast with it; the corpus-side
+    plan is unchanged from the scalar endpoint."""
+    b_key = F.col(f"_bt.{key_col}")
+    budget_expr = F.col(f"_bt.{budget_col}").cast("long")
+    return _token_budget_keyed(
+        df, budget_expr, budgets.alias("_bt"),
+        weight_col, key_col, id_col, bucket_hex_chars, b_key,
+    )
+
+
+def _token_budget_keyed(
+    df: DataFrame,
+    budget_expr,
+    budgets: DataFrame | None,
+    weight_col,
+    key_col: str,
+    id_col: str,
+    bucket_hex_chars: int,
+    budgets_key=None,
+) -> DataFrame:
+    """Shared body of token_budget_per_key / token_budget_from_table.
+    ``budget_expr`` must be resolvable on the bucket-metadata table —
+    a literal, or a column of ``budgets`` (joined null-safely on the
+    key; the left join leaves absent keys' budget NULL, which keeps
+    nothing)."""
     w_expr = F.col(weight_col) if isinstance(weight_col, str) else weight_col
     h = _order_hash(id_col)
     b = F.substring(h, 1, bucket_hex_chars)
@@ -247,16 +300,22 @@ def token_budget_per_key(
         (F.sum("_bw").over(w_cum) - F.col("_bw")).alias("_before"),
         F.col("_bw"),
     )
+    if budgets is not None:
+        meta = meta.join(
+            budgets, F.col("_mk").eqNullSafe(budgets_key), "left"
+        )
+    meta = meta.select("_mk", "_mb", "_before", "_bw", budget_expr.alias("_budget"))
     # null-safe on the key (same reason as key_quota: a plain equi-join
     # would silently drop the NULL-key budget group)
     dd = d.join(
         F.broadcast(meta),
         F.col(key_col).eqNullSafe(F.col("_mk")) & (F.col("_b") == F.col("_mb")),
     ).drop("_mk", "_mb")
-    keep_full = dd.where(F.col("_before") + F.col("_bw") <= max_tokens)
+    limit = F.col("_budget")
+    keep_full = dd.where(F.col("_before") + F.col("_bw") <= limit)
     boundary = dd.where(
-        (F.col("_before") <= max_tokens)
-        & (F.col("_before") + F.col("_bw") > max_tokens)
+        (F.col("_before") <= limit)
+        & (F.col("_before") + F.col("_bw") > limit)
     )
     w_run = (
         Window.partitionBy(key_col, "_b")
@@ -265,9 +324,40 @@ def token_budget_per_key(
     )
     keep_boundary = boundary.withColumn(
         "_cum", F.sum("_w8").over(w_run)
-    ).where(F.col("_before") + F.col("_cum") <= max_tokens).drop("_cum")
-    drop_cols = ("_w8", "_h", "_b", "_before", "_bw")
+    ).where(F.col("_before") + F.col("_cum") <= limit).drop("_cum")
+    drop_cols = ("_w8", "_h", "_b", "_before", "_bw", "_budget")
     return keep_full.unionByName(keep_boundary).drop(*drop_cols)
+
+
+def mixture_sample(
+    df: DataFrame,
+    budget: int,
+    key_col: str = "source",
+    weight_col="n_chars",
+    id_col: str = "doc_id",
+    weight_scale: int = 1_000_000,
+    bucket_hex_chars: int = 2,
+) -> DataFrame:
+    """End-to-end temperature-scaled mixture sampling — the composition
+    the two building blocks exist for: `mixture_allocations` turns a
+    global token budget into exact per-source allocations (sqrt-damped,
+    largest-remainder), and `token_budget_from_table` keeps each
+    source's (md5(id), id)-hash-ordered prefix under ITS allocation.
+    Returns the sampled corpus rows (original schema).
+
+    Two corpus scans by construction (one for per-source totals, one for
+    the selection) — at crawl scale the totals scan is the cheap one
+    (map-side partial agg over two columns; column pruning keeps text
+    bytes out of it). The allocation table is #sources-sized and rides
+    the broadcast the selection already does."""
+    alloc = mixture_allocations(
+        df, budget, key_col=key_col, weight_col=weight_col,
+        weight_scale=weight_scale,
+    ).select(key_col, F.col("allocation").alias("budget"))
+    return token_budget_from_table(
+        df, alloc, weight_col, key_col=key_col, id_col=id_col,
+        bucket_hex_chars=bucket_hex_chars,
+    )
 
 
 def token_budget_per_key_naive(

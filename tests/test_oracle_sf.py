@@ -69,6 +69,7 @@ def duck():
         "near_dup_verify",
         "incremental_dedup",
         "source_mixture",
+        "mixture_sample",
         # streaming queries: plain-SQL oracles, but their file-stream
         # staging logic is sf_dir-dependent — exercise it at the second
         # scale too

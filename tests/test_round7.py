@@ -187,6 +187,76 @@ def test_verified_pairs_extend_candidates_exactly(spark):
 
 
 # ---------------------------------------------------------------------------
+# token_budget_from_table / mixture_sample
+# ---------------------------------------------------------------------------
+
+
+def _budget_corpus(spark):
+    rows = [(i, ["a", "b", "c", None][i % 4], (i * 37) % 100) for i in range(200)]
+    return spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+
+
+def test_budget_table_constant_equals_scalar(spark):
+    from buildlog_consultant_spark.ops.quota import (
+        token_budget_from_table,
+        token_budget_per_key,
+    )
+
+    df = _budget_corpus(spark)
+    for budget in (0, 137, 500, 10**9):
+        bud = df.select("source").distinct().withColumn("budget", F.lit(budget))
+        a = sorted(r["doc_id"] for r in token_budget_from_table(df, bud, "n_chars").collect())
+        b = sorted(r["doc_id"] for r in token_budget_per_key(df, budget, "n_chars").collect())
+        assert a == b, budget
+
+
+def test_budget_table_per_key_matches_naive(spark):
+    from buildlog_consultant_spark.ops.quota import (
+        token_budget_from_table,
+        token_budget_per_key_naive,
+    )
+
+    df = _budget_corpus(spark)
+    # 'c' absent from the table; NULL key budgeted; NULL budget for 'b'
+    bud = spark.createDataFrame(
+        [("a", 300), ("b", None), (None, 700)], "source string, budget long"
+    )
+    got: dict = {}
+    for r in token_budget_from_table(df, bud, "n_chars").collect():
+        got.setdefault(r["source"], []).append(r["doc_id"])
+    # absent key and NULL-budget key contribute nothing
+    assert "c" not in got and "b" not in got
+    for key, budget in (("a", 300), (None, 700)):
+        sub = df.where(F.col("source").eqNullSafe(F.lit(key)))
+        want = sorted(
+            r["doc_id"]
+            for r in token_budget_per_key_naive(sub, budget, "n_chars").collect()
+        )
+        assert sorted(got.get(key, [])) == want, key
+
+
+def test_mixture_sample_respects_allocations(spark):
+    from buildlog_consultant_spark.ops.quota import (
+        mixture_allocations,
+        mixture_sample,
+    )
+
+    df = _budget_corpus(spark)
+    alloc = {
+        r["source"]: r["allocation"]
+        for r in mixture_allocations(df, 1000, weight_col="n_chars").collect()
+    }
+    kept = (
+        mixture_sample(df, 1000, weight_col="n_chars")
+        .groupBy("source")
+        .agg(F.sum("n_chars").alias("c"))
+        .collect()
+    )
+    for r in kept:
+        assert r["c"] <= alloc[r["source"]], r["source"]
+
+
+# ---------------------------------------------------------------------------
 # bloom incremental dedup
 # ---------------------------------------------------------------------------
 
