@@ -2705,6 +2705,80 @@ FROM b, e
 """
 
 
+def q_nb_classifier(spark, sf_dir):
+    """Trained Naive-Bayes language classifier (the supervised-classifier
+    pipeline stage; fastText's SQL-replayable analog): train integer
+    milli-bit token log-odds for lang=='en' on the EVEN-doc_id half,
+    score the held-out ODD half map-side via the broadcast weight map
+    (ops/classifier.py — train once / broadcast / score, the 100 TB
+    shape). Per-lang n, n_pred_en, min/max integer score. Oracle:
+    Python-golden replay (same tokenizer, vocab, smoothing, driver-side
+    log2, integer fold)."""
+    from buildlog_consultant_spark.ops.classifier import (
+        nb_token_weights,
+        with_nb_score,
+    )
+
+    d = _docs(spark, sf_dir)
+    label = F.col("lang") == "en"
+    train = d.where(F.col("doc_id") % 2 == 0)
+    held = d.where(F.col("doc_id") % 2 == 1)
+    weights, prior = nb_token_weights(train, label)
+    scored = with_nb_score(held, weights, prior)
+    return scored.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("nb_predicted"), 1).otherwise(0)).alias("n_pred_en"),
+        F.min("nb_milli_bits").alias("min_score"),
+        F.max("nb_milli_bits").alias("max_score"),
+    )
+
+
+def _oracle_nb_classifier(sf_dir: str = None) -> str:
+    import pyarrow.parquet as pq
+
+    from buildlog_consultant_spark.ops.classifier import py_nb_train_score
+
+    tbl = pq.read_table(
+        f"{sf_dir or _oracle_sf_dir()}/documents.parquet",
+        columns=["doc_id", "lang", "text"],
+    )
+    rows = list(
+        zip(
+            tbl["doc_id"].to_pylist(),
+            tbl["lang"].to_pylist(),
+            tbl["text"].to_pylist(),
+        )
+    )
+    # NULL doc_id is excluded from BOTH halves (Spark's `% 2` on NULL)
+    train = [(lang == "en", text) for i, lang, text in rows if i is not None and i % 2 == 0]
+    held = [(i, text) for i, _lang, text in rows if i is not None and i % 2 == 1]
+    scored = dict(
+        (i, (s, p)) for i, s, p in py_nb_train_score(train, held)
+    )
+    agg: dict = {}
+    for i, lang, _text in rows:
+        if i is None or i % 2 != 1:
+            continue
+        s, p = scored[i]
+        cur = agg.get(lang)
+        if cur is None:
+            agg[lang] = [1, int(p), s, s]
+        else:
+            cur[0] += 1
+            cur[1] += int(p)
+            cur[2] = min(cur[2], s)
+            cur[3] = max(cur[3], s)
+    out = [
+        (lang, n, np, lo, hi)
+        for lang, (n, np, lo, hi) in sorted(
+            agg.items(), key=lambda kv: (kv[0] is not None, kv[0])
+        )
+    ]
+    return _values_oracle(
+        out, ["lang", "n", "n_pred_en", "min_score", "max_score"]
+    )
+
+
 def q_mixture_sample(spark, sf_dir):
     """End-to-end temperature-scaled mixture sampling — the composition
     capstone: mixture_allocations turns a 60k-char global budget into
@@ -3079,6 +3153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_verify": q_near_dup_verify,
         "incremental_dedup": q_incremental_dedup,
         "mixture_sample": q_mixture_sample,
+        "nb_classifier": q_nb_classifier,
     }
 
 
@@ -3150,4 +3225,5 @@ def oracle_sql(sf_dir: str = None) -> dict[str, str]:
         "near_dup_verify": _oracle_near_dup_verify(sf_dir),
         "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
         "mixture_sample": ORACLE_MIXTURE_SAMPLE,
+        "nb_classifier": _oracle_nb_classifier(sf_dir),
     }

@@ -70,6 +70,7 @@ def duck():
         "incremental_dedup",
         "source_mixture",
         "mixture_sample",
+        "nb_classifier",
         # streaming queries: plain-SQL oracles, but their file-stream
         # staging logic is sf_dir-dependent — exercise it at the second
         # scale too

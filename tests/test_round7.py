@@ -187,6 +187,75 @@ def test_verified_pairs_extend_candidates_exactly(spark):
 
 
 # ---------------------------------------------------------------------------
+# naive-bayes classifier
+# ---------------------------------------------------------------------------
+
+
+def _nb_corpus():
+    return [
+        (1, "en", "the cat sat on the mat"),
+        (2, "en", "the dog and the cat"),
+        (3, "fr", "le chat et le chien"),
+        (4, "fr", "le chien dort"),
+        (5, "en", "a cat and a dog"),
+        (6, "fr", "le chat dort"),
+        (7, None, None),
+        (8, "en", ""),
+    ]
+
+
+def test_nb_spark_matches_python_replay(spark):
+    from buildlog_consultant_spark.ops.classifier import (
+        nb_token_weights,
+        py_nb_train_score,
+        with_nb_score,
+    )
+
+    df = spark.createDataFrame(_nb_corpus(), "doc_id long, lang string, text string")
+    label = F.col("lang") == "en"
+    weights, prior = nb_token_weights(df, label, vocab_size=8)
+    got = {
+        r["doc_id"]: (r["nb_milli_bits"], r["nb_predicted"])
+        for r in with_nb_score(df, weights, prior).collect()
+    }
+    train = [(lang == "en", text) for _i, lang, text in _nb_corpus()]
+    score = [(i, text) for i, _lang, text in _nb_corpus()]
+    want = {i: (s, p) for i, s, p in py_nb_train_score(train, score, vocab_size=8)}
+    assert got == want
+    # sanity: an en-token doc scores positive, an fr-token doc negative
+    assert got[1][1] is True and got[3][1] is False
+
+
+def test_nb_tokenless_doc_scores_prior(spark):
+    from buildlog_consultant_spark.ops.classifier import (
+        nb_token_weights,
+        with_nb_score,
+    )
+
+    df = spark.createDataFrame(_nb_corpus(), "doc_id long, lang string, text string")
+    weights, prior = nb_token_weights(df, F.col("lang") == "en")
+    got = {
+        r["doc_id"]: r["nb_milli_bits"]
+        for r in with_nb_score(df, weights, prior).collect()
+    }
+    assert got[7] == prior and got[8] == prior  # NULL and empty text
+
+
+def test_nb_empty_training(spark):
+    from buildlog_consultant_spark.ops.classifier import (
+        nb_token_weights,
+        with_nb_score,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, lang string, text string")
+    weights, prior = nb_token_weights(empty, F.col("lang") == "en")
+    assert weights == {} and prior == 0
+    df = spark.createDataFrame(_nb_corpus(), "doc_id long, lang string, text string")
+    out = with_nb_score(df, weights, prior).collect()
+    assert all(r["nb_milli_bits"] == 0 and r["nb_predicted"] is False for r in out)
+
+
+# ---------------------------------------------------------------------------
 # token_budget_from_table / mixture_sample
 # ---------------------------------------------------------------------------
 
