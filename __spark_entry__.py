@@ -967,6 +967,9 @@ def q_minhash_near_dups_xx(spark, sf_dir):
     return dedup_ops.minhash_near_dup_pairs_xx(d)
 
 
+_minhash_golden_cache: dict = {}
+
+
 def _minhash_xx_pairs_golden(
     bands: int = 8, k: int = 3, min_shared: int = 2, max_bucket: int = 256,
     sf_dir: str = None,
@@ -978,6 +981,14 @@ def _minhash_xx_pairs_golden(
     import pyarrow.parquet as pq
 
     from buildlog_consultant_spark.ops.xxh64 import xxh64
+
+    # FOUR oracle builders replay this O(shingles × bands) pure-Python
+    # banding with identical arguments per oracle_sql() call — memoize on
+    # the RESOLVED sf_dir (the env-var default must not leak across dirs)
+    ck = (bands, k, min_shared, max_bucket, sf_dir or _oracle_sf_dir())
+    cached = _minhash_golden_cache.get(ck)
+    if cached is not None:
+        return cached
 
     ws = re.compile(r"[ \t\n\x0b\f\r]+")
     tbl = pq.read_table(
@@ -1025,9 +1036,11 @@ def _minhash_xx_pairs_golden(
         for x in range(len(ids)):
             for y in range(x + 1, len(ids)):
                 pair_counts[(ids[x], ids[y])] += 1
-    return sorted(
+    out = sorted(
         (a, b, c) for (a, b), c in pair_counts.items() if c >= min_shared
     )
+    _minhash_golden_cache[ck] = out
+    return out
 
 
 def _oracle_minhash_xx(sf_dir: str = None) -> str:
@@ -2682,7 +2695,14 @@ def q_source_mixture(spark, sf_dir):
     )
 
 
-ORACLE_SOURCE_MIXTURE = """
+def _mixture_alloc_cte(budget: int) -> str:
+    """The ONE sqrt/HUGEINT largest-remainder apportionment SQL (shared
+    by ORACLE_SOURCE_MIXTURE and ORACLE_MIXTURE_SAMPLE — review r6
+    finding: two hand-maintained copies drift). Produces CTE ``alloc``
+    (source, tokens, allocation). Guards tw = 0 (every source total
+    0/NULL): allocations are all 0, mirroring mixture_allocations' _W > 0
+    guard, instead of a division-by-zero error."""
+    return f"""
 WITH tot AS (
   SELECT source, CAST(SUM(COALESCE(n_chars, 0)) AS BIGINT) AS tokens
   FROM documents GROUP BY source
@@ -2692,17 +2712,29 @@ WITH tot AS (
   FROM tot
 ), s AS (SELECT SUM(CAST(wm AS HUGEINT)) AS tw FROM w),
 b AS (
-  SELECT source, tokens,
-         CAST((CAST(1000000 AS HUGEINT) * wm) // s.tw AS BIGINT) AS base,
-         (CAST(1000000 AS HUGEINT) * wm) % s.tw AS rem
+  SELECT source, tokens, s.tw,
+         CASE WHEN s.tw > 0
+              THEN CAST((CAST({budget} AS HUGEINT) * wm) // s.tw AS BIGINT)
+              ELSE 0 END AS base,
+         CASE WHEN s.tw > 0
+              THEN (CAST({budget} AS HUGEINT) * wm) % s.tw
+              ELSE NULL END AS rem
   FROM w, s
-), e AS (SELECT 1000000 - SUM(base) AS extra FROM b)
-SELECT source, tokens,
-       CAST(base + CASE WHEN row_number() OVER (
-                ORDER BY rem DESC, source ASC NULLS FIRST) <= e.extra
-            THEN 1 ELSE 0 END AS BIGINT) AS allocation
-FROM b, e
-"""
+), e AS (SELECT {budget} - SUM(base) AS extra FROM b),
+alloc AS (
+  SELECT source, tokens,
+         CAST(CASE WHEN tw > 0
+              THEN base + CASE WHEN row_number() OVER (
+                       ORDER BY rem DESC, source ASC NULLS FIRST) <= e.extra
+                   THEN 1 ELSE 0 END
+              ELSE 0 END AS BIGINT) AS allocation
+  FROM b, e
+)"""
+
+
+ORACLE_SOURCE_MIXTURE = (
+    _mixture_alloc_cte(1_000_000) + "\nSELECT source, tokens, allocation FROM alloc"
+)
 
 
 def q_nb_classifier(spark, sf_dir):
@@ -2749,15 +2781,27 @@ def _oracle_nb_classifier(sf_dir: str = None) -> str:
             tbl["text"].to_pylist(),
         )
     )
-    # NULL doc_id is excluded from BOTH halves (Spark's `% 2` on NULL)
-    train = [(lang == "en", text) for i, lang, text in rows if i is not None and i % 2 == 0]
-    held = [(i, text) for i, _lang, text in rows if i is not None and i % 2 == 1]
+    import math
+
+    # NULL doc_id is excluded from BOTH halves (Spark's `% 2` on NULL);
+    # Spark % is the TRUNCATED-division remainder (sign of the dividend:
+    # -3 % 2 = -1, excluded from both halves), which Python's floored %
+    # is not — math.fmod matches Spark
+    def _rem2(i):
+        return int(math.fmod(i, 2))
+
+    train = [
+        (lang == "en", text)
+        for i, lang, text in rows
+        if i is not None and _rem2(i) == 0
+    ]
+    held = [(i, text) for i, _lang, text in rows if i is not None and _rem2(i) == 1]
     scored = dict(
         (i, (s, p)) for i, s, p in py_nb_train_score(train, held)
     )
     agg: dict = {}
     for i, lang, _text in rows:
-        if i is None or i % 2 != 1:
+        if i is None or _rem2(i) != 1:
             continue
         s, p = scored[i]
         cur = agg.get(lang)
@@ -2799,28 +2843,8 @@ def q_mixture_sample(spark, sf_dir):
     )
 
 
-ORACLE_MIXTURE_SAMPLE = """
-WITH tot AS (
-  SELECT source, CAST(SUM(COALESCE(n_chars, 0)) AS BIGINT) AS tokens
-  FROM documents GROUP BY source
-), w AS (
-  SELECT source, tokens,
-         CAST(floor(sqrt(CAST(tokens AS DOUBLE)) * 1000000.0) AS BIGINT) AS wm
-  FROM tot
-), s AS (SELECT SUM(CAST(wm AS HUGEINT)) AS tw FROM w),
-b AS (
-  SELECT source, tokens,
-         CAST((CAST(60000 AS HUGEINT) * wm) // s.tw AS BIGINT) AS base,
-         (CAST(60000 AS HUGEINT) * wm) % s.tw AS rem
-  FROM w, s
-), e AS (SELECT 60000 - SUM(base) AS extra FROM b),
-alloc AS (
-  SELECT source,
-         CAST(base + CASE WHEN row_number() OVER (
-                  ORDER BY rem DESC, source ASC NULLS FIRST) <= e.extra
-              THEN 1 ELSE 0 END AS BIGINT) AS budget
-  FROM b, e
-), ranked AS (
+ORACLE_MIXTURE_SAMPLE = _mixture_alloc_cte(60_000) + """,
+ranked AS (
   SELECT d.source, d.doc_id, COALESCE(d.n_chars, 0) AS w8,
          SUM(COALESCE(d.n_chars, 0)) OVER (
            PARTITION BY d.source
@@ -2832,7 +2856,7 @@ SELECT r.source, CAST(COUNT(*) AS BIGINT) AS n_kept,
        CAST(SUM(r.w8) AS BIGINT) AS chars_kept,
        MIN(r.doc_id) AS min_kept_id
 FROM ranked r JOIN alloc a ON r.source IS NOT DISTINCT FROM a.source
-WHERE r.cum <= a.budget
+WHERE r.cum <= a.allocation
 GROUP BY r.source
 """
 

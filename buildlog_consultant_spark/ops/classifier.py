@@ -47,11 +47,16 @@ def nb_token_weights(
     """Train on ``df`` with boolean Column ``label`` (NULL counts as
     false). Returns ``(weights, prior)`` — milli-bit integer log-odds
     for the ``vocab_size`` most frequent tokens (ties by token asc) and
-    the doc-count prior. Two driver-bounded collects: the V-row top
-    list and a 1-row totals aggregate; the per-token counts shuffle is
-    bounded by distinct tokens, never corpus tokens."""
+    the doc-count prior. ONE corpus scan: each doc also emits a NULL
+    sentinel token (tokens_expr is never NULL, so the sentinel survives
+    NULL/empty text), whose per-class counts ARE the doc counts — the
+    three driver-bounded collects (1-row totals, 1-row doc counts,
+    V-row top list) all run on the persisted per-token table, whose
+    shuffle is bounded by distinct tokens, never corpus tokens."""
     lab = F.coalesce(label, F.lit(False))
-    toks = tokens_expr(text_col)
+    toks = F.concat(
+        F.array(F.lit(None).cast("string")), tokens_expr(text_col)
+    )
     counts = (
         df.select(F.explode(toks).alias("t"), lab.alias("_l"))
         .groupBy("t")
@@ -59,26 +64,24 @@ def nb_token_weights(
             F.sum(F.when(F.col("_l"), 1).otherwise(0)).alias("c1"),
             F.sum(F.when(F.col("_l"), 0).otherwise(1)).alias("c0"),
         )
-    ).persist()  # totals + top-V share one corpus scan/shuffle
+    ).persist()  # totals + doc counts + top-V share one corpus scan
     try:
-        tot = counts.agg(
+        real = counts.where(F.col("t").isNotNull())
+        tot = real.agg(
             F.coalesce(F.sum("c1"), F.lit(0)).alias("n1"),
             F.coalesce(F.sum("c0"), F.lit(0)).alias("n0"),
         ).collect()[0]
         n1, n0 = tot["n1"], tot["n0"]
+        sent = counts.where(F.col("t").isNull()).collect()
+        d1 = sent[0]["c1"] if sent else 0
+        d0 = sent[0]["c0"] if sent else 0
         top = (
-            counts.orderBy(F.desc(F.col("c1") + F.col("c0")), F.asc("t"))
+            real.orderBy(F.desc(F.col("c1") + F.col("c0")), F.asc("t"))
             .limit(vocab_size)
             .collect()
         )
     finally:
         counts.unpersist()
-    d = df.agg(
-        F.sum(F.when(lab, 1).otherwise(0)).alias("d1"),
-        F.count(F.lit(1)).alias("d"),
-    ).collect()[0]
-    d1 = d["d1"] or 0
-    d0 = (d["d"] or 0) - d1
     weights = {
         r["t"]: int(
             math.floor(
