@@ -255,3 +255,95 @@ def test_strip_boilerplate_lines_single_distinct_agg(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Generate explode") >= 1 or "Generate posexplode" in plan
+
+
+def test_bloom_probe_filter_on_scan_no_python_eval(spark):
+    """Round-6 bloom incremental dedup: the corpus-side membership test
+    must be a plain Filter of JVM expressions (element_at + bit masks)
+    directly above the corpus relation — no Python eval node, no
+    cartesian, and the confirm join over the surviving rows only."""
+    from buildlog_consultant_spark.ops.bloom import incremental_new_docs
+
+    corpus = spark.createDataFrame(
+        [(i, f"doc {i % 20}") for i in range(100)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(200, "doc 3"), (201, "fresh")], "doc_id long, text string"
+    )
+    plan = _plan(incremental_new_docs(batch, corpus))
+    assert "element_at" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_budget_from_table_broadcast_and_partitioned_windows(spark):
+    """Round-6 per-key budget TABLE: same plan bar as the scalar
+    endpoint — boundary metadata (now carrying the per-key budget)
+    arrives via BroadcastExchange, every window is partitioned, no
+    cartesian."""
+    import re
+
+    from buildlog_consultant_spark.ops.quota import token_budget_from_table
+
+    d = spark.createDataFrame(
+        [(i, f"s{i % 3}", (i * 13) % 40) for i in range(90)],
+        "doc_id long, source string, w long",
+    )
+    bud = spark.createDataFrame(
+        [("s0", 40), ("s1", 80), ("s2", 0)], "source string, budget long"
+    )
+    plan = _plan(token_budget_from_table(d, bud, "w", key_col="source"))
+    assert "BroadcastExchange" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        first = m.group(1).split(",")[0]
+        assert "ASC" not in first and "DESC" not in first, m.group(0)
+
+
+def test_verified_pairs_no_cartesian_semi_join_restricts(spark):
+    """Round-6 verified near-dups: the exact-Jaccard verification joins
+    shingle sets onto the candidate pair list by id — never an all-pairs
+    join; the candidate-id restriction is a semi join."""
+    from buildlog_consultant_spark.ops.dedup import minhash_verified_pairs_xx
+
+    base = " ".join(f"w{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " x"), (3, "zz " * 20)],
+        "doc_id long, text string",
+    )
+    plan = _plan(minhash_verified_pairs_xx(docs, min_shared_bands=1))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan, plan[:2000]
+
+
+def test_nb_training_single_corpus_scan(spark):
+    """Round-6 NB classifier: training aggregates (token counts + doc
+    counts via the NULL sentinel + top-V) must share ONE corpus
+    scan/shuffle — the persisted per-token table is what the three
+    collects read; the training plan itself has exactly one Generate
+    (explode) site and one partial+final agg pair over corpus rows."""
+    from pyspark.sql import functions as FF
+
+    from buildlog_consultant_spark.ops.classifier import nb_token_weights
+    from buildlog_consultant_spark.ops.text import tokens_expr
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "fr", f"tok{i % 5} common") for i in range(40)],
+        "doc_id long, lang string, text string",
+    )
+    # plan shape of the counts lineage (pre-collect): one explode, one
+    # partial+final hash agg pair
+    lab = FF.coalesce(FF.col("lang") == "en", FF.lit(False))
+    toks = FF.concat(FF.array(FF.lit(None).cast("string")), tokens_expr("text"))
+    counts = (
+        df.select(FF.explode(toks).alias("t"), lab.alias("_l"))
+        .groupBy("t")
+        .agg(FF.count("*").alias("c"))
+    )
+    plan = _plan(counts)
+    assert plan.count("Generate explode") == 1, plan[:2000]
+    assert plan.count("HashAggregate") == 2, plan[:2000]
+    # and the real entry point trains without error on the same data
+    weights, prior = nb_token_weights(df, FF.col("lang") == "en", vocab_size=4)
+    assert len(weights) <= 4 and isinstance(prior, int)
