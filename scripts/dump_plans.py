@@ -137,6 +137,28 @@ def main() -> None:
     )
     lshb.collect()
 
+    from buildlog_consultant_spark.ops.bloom import incremental_new_docs
+    from buildlog_consultant_spark.ops.classifier import (
+        nb_token_weights,
+        with_nb_score,
+    )
+    from buildlog_consultant_spark.ops.dedup import minhash_verified_pairs_xx
+    from buildlog_consultant_spark.ops.quota import mixture_sample
+
+    bloom_batch = spark.createDataFrame(
+        [(200 + i, f"w{(i * 7) % 23} fresh {i % 4}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    inc = incremental_new_docs(bloom_batch, docs)
+    inc.collect()
+    mix = mixture_sample(weights, 300, key_col="source", weight_col="w")
+    mix.collect()
+    ver = minhash_verified_pairs_xx(span_docs, min_shared_bands=1)
+    ver.collect()
+    nbw, nbp = nb_token_weights(docs, F.col("lang") == "en", vocab_size=16)
+    nb = with_nb_score(docs, nbw, nbp)
+    nb.collect()
+
     out = [
         "# PLANS — executed plans of the flagship pipeline (local[4], 200-doc fixture corpus)",
         "",
@@ -254,6 +276,33 @@ def main() -> None:
         "## buckets, exact cosine on candidates, per-query bounded rank window",
         "```",
         formatted(spark, lshb),
+        "```",
+        "",
+        "## incremental_new_docs (round 6) — the Bloom membership test is a",
+        "## JVM Filter (element_at + bit masks) directly above the corpus",
+        "## scan; the confirm anti-join sees only surviving rows",
+        "```",
+        formatted(spark, inc),
+        "```",
+        "",
+        "## mixture_sample (round 6) — allocations (per-key groupBy + tiny",
+        "## apportionment) broadcast into the per-key SUM-boundary selection;",
+        "## corpus-side plan identical to token_budget_per_key",
+        "```",
+        formatted(spark, mix),
+        "```",
+        "",
+        "## minhash_verified_pairs_xx (round 6) — banding lineage computed",
+        "## once (AQE exchange reuse); shingle sets LeftSemi-restricted to",
+        "## candidate ids before the pair join; no cartesian",
+        "```",
+        formatted(spark, ver),
+        "```",
+        "",
+        "## with_nb_score (round 6) — pure map-side scoring via the broadcast",
+        "## weight-map literal; training's explode+hash-agg ran at build time",
+        "```",
+        formatted(spark, nb),
         "```",
     ]
     Path(__file__).resolve().parent.parent.joinpath("PLANS.md").write_text(
