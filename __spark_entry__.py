@@ -2823,6 +2823,59 @@ def _oracle_nb_classifier(sf_dir: str = None) -> str:
     )
 
 
+def q_domain_stats(spark, sf_dir):
+    """Registered-domain (eTLD+1 approximation) rollup — the view domain
+    quotas and robots policies key on. The corpus carries no hosts, so
+    the query PLANTS six deterministic host shapes per doc-group (www/
+    blog subdomains of a .com, a shop. subdomain and the bare cc-SLD
+    site of a .co.uk, a news. subdomain of a .com.au, and single-label
+    'localhost'); registered_domain (ops/web.py) collapses them via the
+    SAME regex string the DuckDB oracle runs (Java regex ∩ RE2 — no
+    backrefs/lookaround). Per-domain n_docs / distinct n_hosts /
+    min_id."""
+    from buildlog_consultant_spark.ops.web import domain_stats
+
+    d = _docs(spark, sf_dir)
+    g = F.expr("CAST(doc_id DIV 6 AS STRING)")
+    v = F.col("doc_id") % 6
+    host = (
+        F.when(v == 0, F.concat(F.lit("WWW.Site"), g, F.lit(".COM")))
+        .when(v == 1, F.concat(F.lit("blog.site"), g, F.lit(".com")))
+        .when(v == 2, F.concat(F.lit("shop.site"), g, F.lit(".co.uk")))
+        .when(v == 3, F.concat(F.lit("site"), g, F.lit(".co.uk")))
+        .when(v == 4, F.concat(F.lit("news.portal"), g, F.lit(".com.au")))
+        .otherwise(F.lit("localhost"))
+    )
+    return domain_stats(d.withColumn("host", host))
+
+
+def _oracle_domain_stats() -> str:
+    from buildlog_consultant_spark.ops.web import REG_DOMAIN_PATTERN
+
+    return f"""
+WITH hosts AS (
+  SELECT doc_id,
+         lower(CASE CAST(doc_id % 6 AS INT)
+           WHEN 0 THEN 'WWW.Site' || CAST(doc_id // 6 AS VARCHAR) || '.COM'
+           WHEN 1 THEN 'blog.site' || CAST(doc_id // 6 AS VARCHAR) || '.com'
+           WHEN 2 THEN 'shop.site' || CAST(doc_id // 6 AS VARCHAR) || '.co.uk'
+           WHEN 3 THEN 'site' || CAST(doc_id // 6 AS VARCHAR) || '.co.uk'
+           WHEN 4 THEN 'news.portal' || CAST(doc_id // 6 AS VARCHAR) || '.com.au'
+           ELSE 'localhost' END) AS h
+  FROM documents
+), rd AS (
+  SELECT doc_id, h,
+         CASE WHEN regexp_extract(h, '{REG_DOMAIN_PATTERN}', 0) = '' THEN h
+              ELSE regexp_extract(h, '{REG_DOMAIN_PATTERN}', 0) END AS reg_domain
+  FROM hosts
+)
+SELECT reg_domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT h) AS BIGINT) AS n_hosts,
+       MIN(doc_id) AS min_id
+FROM rd GROUP BY reg_domain
+"""
+
+
 def q_mixture_sample(spark, sf_dir):
     """End-to-end temperature-scaled mixture sampling — the composition
     capstone: mixture_allocations turns a 60k-char global budget into
@@ -3178,6 +3231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "mixture_sample": q_mixture_sample,
         "nb_classifier": q_nb_classifier,
+        "domain_stats": q_domain_stats,
     }
 
 
@@ -3250,4 +3304,5 @@ def oracle_sql(sf_dir: str = None) -> dict[str, str]:
         "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
         "mixture_sample": ORACLE_MIXTURE_SAMPLE,
         "nb_classifier": _oracle_nb_classifier(sf_dir),
+        "domain_stats": _oracle_domain_stats(),
     }

@@ -146,3 +146,60 @@ def dedup_by_canonical_url(
     )
     kept = dedupable.join(keep, dedupable[id_col] == keep["_keep_id"], "left_semi")
     return kept.unionByName(passthrough).drop("_canon")
+
+
+# eTLD+1 approximation: a compact common-cc-SLD alternation instead of
+# the full Public Suffix List (thousands of entries, updated upstream —
+# shipping it would be data, not code; the alternation covers the
+# dominant two-level suffixes and degrades to last-2-labels elsewhere,
+# which is exactly what a crawl pipeline wants from a DEPENDENCY-FREE
+# approximation). Leftmost-match semantics pick the SHORTEST suffix
+# position that still anchors at $: for a.b.co.uk the first matchable
+# start is 'b.co.uk' (3-label branch), for a.b.c.d it is 'c.d'.
+# Identical in Java regex (Spark) and RE2 (DuckDB) — no backrefs, no
+# lookaround, so the same string is both the operator and the oracle.
+REG_DOMAIN_PATTERN = (
+    r"[^.]+\.(?:co\.(?:uk|jp|nz|za|in|kr)"
+    r"|com\.(?:au|br|cn|mx|tw|sg|hk|ar)"
+    r"|org\.(?:uk|au)|ac\.uk|gov\.uk|net\.au)$"
+    r"|[^.]+\.[^.]+$"
+)
+
+
+def registered_domain(host) -> Column:
+    """Registered domain (eTLD+1 approximation, see REG_DOMAIN_PATTERN)
+    of a hostname Column: 'blog.site.co.uk' → 'site.co.uk',
+    'www.site.com' → 'site.com'. Single-label hosts (no dot —
+    'localhost', IP-less intranet names) fall back to the host itself;
+    NULL stays NULL. Pure scan-side JVM expression — the per-domain
+    groupBy this feeds is the only shuffle, keyed on a low-cardinality
+    string (domains « hosts « URLs)."""
+    h = F.lower(F.col(host) if isinstance(host, str) else host)
+    m = F.regexp_extract(h, REG_DOMAIN_PATTERN, 0)
+    return F.when(h.isNull(), F.lit(None).cast("string")).otherwise(
+        F.when(m == "", h).otherwise(m)
+    )
+
+
+def domain_stats(
+    df: DataFrame, host_col: str = "host", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-registered-domain rollup — the crawl-side view domain quotas
+    and robots policies key on: (reg_domain, n_docs, n_hosts, min_id).
+    ONE hash agg over corpus rows (map-side combined); distinct hosts
+    per domain are counted exactly (bounded: hosts per reg-domain is
+    crawl-limited, and countDistinct within a domain group is a
+    two-phase hash agg, not a sort)."""
+    return (
+        df.select(
+            registered_domain(host_col).alias("reg_domain"),
+            F.lower(F.col(host_col)).alias("_host"),
+            F.col(id_col),
+        )
+        .groupBy("reg_domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("_host").alias("n_hosts"),
+            F.min(id_col).alias("min_id"),
+        )
+    )

@@ -71,6 +71,7 @@ def duck():
         "source_mixture",
         "mixture_sample",
         "nb_classifier",
+        "domain_stats",
         # streaming queries: plain-SQL oracles, but their file-stream
         # staging logic is sf_dir-dependent — exercise it at the second
         # scale too

@@ -187,6 +187,86 @@ def test_verified_pairs_extend_candidates_exactly(spark):
 
 
 # ---------------------------------------------------------------------------
+# registered domain / domain stats
+# ---------------------------------------------------------------------------
+
+
+def test_registered_domain_mapping(spark):
+    from buildlog_consultant_spark.ops.web import registered_domain
+
+    cases = [
+        ("www.site.com", "site.com"),
+        ("blog.a.b.site.com", "site.com"),
+        ("shop.site.co.uk", "site.co.uk"),
+        ("site.co.uk", "site.co.uk"),
+        ("news.portal.com.au", "portal.com.au"),
+        ("SITE.Co.UK", "site.co.uk"),  # lowercased first
+        ("localhost", "localhost"),  # single label → itself
+        ("co.uk", "co.uk"),  # bare suffix → itself (documented approx)
+        ("x.gov.uk", "x.gov.uk"),
+        ("deep.x.gov.uk", "x.gov.uk"),
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _e) in enumerate(cases)], "i int, host string"
+    )
+    got = {
+        r["i"]: r["rd"]
+        for r in df.select("i", registered_domain("host").alias("rd")).collect()
+    }
+    for i, (h, expect) in enumerate(cases):
+        assert got[i] == expect, (h, got[i], expect)
+
+
+def test_registered_domain_regex_matches_duckdb(spark):
+    # the SAME pattern string must behave identically under RE2
+    import duckdb
+
+    from buildlog_consultant_spark.ops.web import REG_DOMAIN_PATTERN
+
+    hosts = [
+        "www.site.com", "blog.a.b.site.com", "shop.site.co.uk",
+        "site.co.uk", "news.portal.com.au", "localhost", "co.uk",
+        "deep.x.gov.uk", "a.b.c.d.e",
+    ]
+    con = duckdb.connect()
+    for h in hosts:
+        duck = con.execute(
+            "SELECT regexp_extract(?, ?, 0)", [h, REG_DOMAIN_PATTERN]
+        ).fetchone()[0]
+        from buildlog_consultant_spark.ops.web import registered_domain
+
+        spark_rd = (
+            spark.range(1)
+            .select(registered_domain(F.lit(h)).alias("rd"))
+            .collect()[0]["rd"]
+        )
+        assert spark_rd == (duck if duck != "" else h), (h, spark_rd, duck)
+
+
+def test_domain_stats_rollup(spark):
+    from buildlog_consultant_spark.ops.web import domain_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "www.site.com"),
+            (2, "blog.site.com"),
+            (3, "www.site.com"),
+            (4, "other.co.uk"),
+            (5, None),
+        ],
+        "doc_id long, host string",
+    )
+    got = {
+        r["reg_domain"]: (r["n_docs"], r["n_hosts"], r["min_id"])
+        for r in domain_stats(df).collect()
+    }
+    assert got["site.com"] == (3, 2, 1)
+    assert got["other.co.uk"] == (1, 1, 4)
+    assert got[None] == (1, 0, 5)  # NULL host → NULL domain group
+
+
+# ---------------------------------------------------------------------------
 # naive-bayes classifier
 # ---------------------------------------------------------------------------
 
