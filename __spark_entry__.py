@@ -1988,7 +1988,10 @@ def q_quality_quantiles(spark, sf_dir):
     return text_ops.quality_quantiles(_docs(spark, sf_dir))
 
 
-ORACLE_QUALITY_QUANTILES = """
+# the ONE scored+ranked quality CTE (shared by ORACLE_QUALITY_QUANTILES
+# and ORACLE_QUALITY_GATE_AUTO — same single-sourcing rationale as
+# _mixture_alloc_cte: duplicated oracle SQL drifts)
+_QUALITY_RANKED_CTE = """
 WITH scored AS (
   SELECT lang, doc_id, 50
      + LEAST(50, CAST(floor(length(coalesce(text, '')) / 20.0) AS BIGINT))
@@ -2001,7 +2004,9 @@ WITH scored AS (
          row_number() OVER (PARTITION BY lang ORDER BY quality, doc_id) AS rn,
          COUNT(*) OVER (PARTITION BY lang) AS n
   FROM scored
-)
+)"""
+
+ORACLE_QUALITY_QUANTILES = _QUALITY_RANKED_CTE + """
 SELECT lang, CAST(p AS INT) AS p, quality
 FROM ranked, (VALUES (25), (50), (75), (95)) t(p)
 WHERE rn = (p * n + 99) // 100
@@ -2823,6 +2828,66 @@ def _oracle_nb_classifier(sf_dir: str = None) -> str:
     )
 
 
+def q_quality_gate_auto(spark, sf_dir):
+    """AUTO-TUNED quality gate (ops/text.py::filter_quality_auto): keep
+    docs whose quality ≥ their lang's exact nearest-rank p25 — the
+    per-language thresholding real pipelines run instead of a global
+    constant. Thresholds come from the ≤101-bin histogram two-pass
+    (quality_quantiles' shape); the langs-sized threshold table joins
+    back by broadcast. Per-lang kept count + min kept quality."""
+    d = _docs(spark, sf_dir)
+    kept = text_ops.filter_quality_auto(d, p=25)
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_kept"),
+        F.min("quality").alias("min_kept_quality"),
+    )
+
+
+ORACLE_QUALITY_GATE_AUTO = _QUALITY_RANKED_CTE + """,
+thr AS (
+  SELECT lang, quality AS threshold FROM ranked
+  WHERE rn = (25 * n + 99) // 100
+)
+SELECT s.lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       MIN(s.quality) AS min_kept_quality
+FROM scored s JOIN thr t ON s.lang IS NOT DISTINCT FROM t.lang
+WHERE s.quality >= t.threshold
+GROUP BY s.lang
+"""
+
+
+def q_source_overlap(spark, sf_dir):
+    """Inter-source 3-gram overlap matrix (ops/overlap.py) — the corpus
+    analytics view mixture design and contamination review key on: for
+    every source pair, the count of shared DISTINCT shingles and the
+    exact integer Jaccard over the distinct-gram sets, under the
+    ubiquitous-gram cutoff (grams in > 64 sources are stopword-analogs
+    and excluded by contract). One distinct (source, gram) agg touches
+    corpus grams; pairs are emitted map-side from bounded per-gram
+    source arrays — never a self-join. Oracle: Python-golden replay."""
+    from buildlog_consultant_spark.ops.overlap import source_gram_overlap
+
+    d = _docs(spark, sf_dir)
+    return source_gram_overlap(d)
+
+
+def _oracle_source_overlap(sf_dir: str = None) -> str:
+    import pyarrow.parquet as pq
+
+    from buildlog_consultant_spark.ops.overlap import py_source_gram_overlap
+
+    tbl = pq.read_table(
+        f"{sf_dir or _oracle_sf_dir()}/documents.parquet",
+        columns=["source", "text"],
+    )
+    rows = py_source_gram_overlap(
+        list(zip(tbl["source"].to_pylist(), tbl["text"].to_pylist()))
+    )
+    return _values_oracle(
+        rows, ["src_a", "src_b", "shared_grams", "jaccard_ppm"]
+    )
+
+
 def q_domain_stats(spark, sf_dir):
     """Registered-domain (eTLD+1 approximation) rollup — the view domain
     quotas and robots policies key on. The corpus carries no hosts, so
@@ -3232,6 +3297,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "nb_classifier": q_nb_classifier,
         "domain_stats": q_domain_stats,
+        "quality_gate_auto": q_quality_gate_auto,
+        "source_overlap": q_source_overlap,
     }
 
 
@@ -3305,4 +3372,6 @@ def oracle_sql(sf_dir: str = None) -> dict[str, str]:
         "mixture_sample": ORACLE_MIXTURE_SAMPLE,
         "nb_classifier": _oracle_nb_classifier(sf_dir),
         "domain_stats": _oracle_domain_stats(),
+        "quality_gate_auto": ORACLE_QUALITY_GATE_AUTO,
+        "source_overlap": _oracle_source_overlap(sf_dir),
     }

@@ -605,6 +605,42 @@ def quality_quantiles(
     )
 
 
+def quality_auto_threshold(
+    df: DataFrame, p: int = 25, text_col: str = "text"
+) -> DataFrame:
+    """(lang, threshold): the per-lang nearest-rank p-th percentile
+    quality score — `quality_quantiles`' histogram two-pass at a single
+    p (same exact order-statistic contract, same scale shape: the only
+    corpus-touching operator is the ≤101-bins-per-lang histogram agg)."""
+    return quality_quantiles(df, ps=(p,), text_col=text_col).select(
+        "lang", F.col("quality").alias("threshold")
+    )
+
+
+def filter_quality_auto(
+    df: DataFrame, p: int = 25, text_col: str = "text"
+) -> DataFrame:
+    """AUTO-TUNED quality gate — the thresholding real pipelines run
+    ("drop the worst quartile per language") instead of a hand-picked
+    constant: keep docs whose quality ≥ their lang's p-th percentile.
+    By nearest-rank construction the kept fraction per lang is ≥
+    (100−p)% (ties at the threshold keep everything equal to it).
+
+    The threshold table is langs-sized → broadcast join (null-safe:
+    NULL lang is its own percentile group, mirroring the groupBy);
+    corpus rows are touched by the histogram agg and the final filter
+    scan only. Returns the kept rows with `quality` attached."""
+    d = with_quality_score(df, text_col)
+    thr = quality_auto_threshold(df, p, text_col).select(
+        F.col("lang").alias("_tl"), "threshold"
+    )
+    return (
+        d.join(F.broadcast(thr), F.col("lang").eqNullSafe(F.col("_tl")), "left")
+        .where(F.col("quality") >= F.col("threshold"))
+        .drop("_tl", "threshold")
+    )
+
+
 def doc_stats(df: DataFrame) -> DataFrame:
     """Per-lang corpus stats — all-integer outputs for exact oracle parity."""
     d = with_token_count(df)

@@ -72,6 +72,8 @@ def duck():
         "mixture_sample",
         "nb_classifier",
         "domain_stats",
+        "quality_gate_auto",
+        "source_overlap",
         # streaming queries: plain-SQL oracles, but their file-stream
         # staging logic is sf_dir-dependent — exercise it at the second
         # scale too

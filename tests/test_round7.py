@@ -515,3 +515,109 @@ def test_verified_pairs_null_text_no_ansi_error(spark):
     ).collect()
     got = {(r["id_a"], r["id_b"]): r["jaccard_ppm"] for r in out2}
     assert got == {(1, 2): 1_000_000}
+
+
+# ---------------------------------------------------------------------------
+# source overlap / auto quality gate
+# ---------------------------------------------------------------------------
+
+
+def _overlap_docs():
+    return [
+        ("a", "w1 w2 w3 w4 w5"),
+        ("b", "w1 w2 w3 x1 x2"),
+        ("c", "z1 z2 z3 z4 z5"),
+        ("a", "w3 w4 w5 w6"),
+        (None, "w1 w2 w3 w4"),  # NULL source excluded from pairs
+    ]
+
+
+def test_source_overlap_matches_replay(spark):
+    from buildlog_consultant_spark.ops.overlap import (
+        py_source_gram_overlap,
+        source_gram_overlap,
+    )
+
+    df = spark.createDataFrame(_overlap_docs(), "source string, text string")
+    got = sorted(
+        (r["src_a"], r["src_b"], r["shared_grams"], r["jaccard_ppm"])
+        for r in source_gram_overlap(df).collect()
+    )
+    want = py_source_gram_overlap(_overlap_docs())
+    assert got == want
+    assert any(p[:2] == ("a", "b") for p in got)  # w1w2w3 shared
+    assert not any(p[0] is None or p[1] is None for p in got)
+
+
+def test_source_overlap_hash64_equivalent(spark):
+    from buildlog_consultant_spark.ops.overlap import source_gram_overlap
+
+    df = spark.createDataFrame(_overlap_docs(), "source string, text string")
+    s = sorted(tuple(r) for r in source_gram_overlap(df, gram_key="string").collect())
+    h = sorted(tuple(r) for r in source_gram_overlap(df, gram_key="hash64").collect())
+    assert s == h
+    with pytest.raises(ValueError):
+        source_gram_overlap(df, gram_key="md5")
+
+
+def test_source_overlap_ubiquitous_cutoff(spark):
+    from buildlog_consultant_spark.ops.overlap import (
+        py_source_gram_overlap,
+        source_gram_overlap,
+    )
+
+    # 'c1 c2 c3' gram is in ALL three sources → excluded at max 2
+    docs = [
+        ("a", "c1 c2 c3 a1"),
+        ("b", "c1 c2 c3 b1"),
+        ("c", "c1 c2 c3"),
+    ]
+    df = spark.createDataFrame(docs, "source string, text string")
+    got = sorted(
+        tuple(r) for r in source_gram_overlap(df, max_sources_per_gram=2).collect()
+    )
+    want = py_source_gram_overlap(docs, max_sources_per_gram=2)
+    assert got == [tuple(w) for w in want]
+    # the all-source shingle 'c1 c2 c3' must not contribute anywhere
+    for _a, _b, shared, _j in got:
+        assert shared <= 2
+
+
+def test_quality_gate_auto_keeps_at_least_three_quarters(spark):
+    from buildlog_consultant_spark.ops.text import (
+        filter_quality_auto,
+        with_quality_score,
+    )
+
+    rows = [
+        (i, ["en", "fr", None][i % 3], ("word " * ((i % 17) + 1)).strip())
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    total = {
+        r["lang"]: r["n"]
+        for r in df.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    kept = {
+        r["lang"]: r["n"]
+        for r in filter_quality_auto(df, p=25)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    # nearest-rank p25 keeps >= 75% per lang (ties at threshold kept),
+    # incl. the NULL-lang group
+    for lang, n in total.items():
+        assert kept[lang] >= (3 * n) // 4, (lang, kept.get(lang), n)
+    # and the gate equals the manual threshold computation
+    scored = with_quality_score(df)
+    for lang in total:
+        qs = sorted(
+            r["quality"]
+            for r in scored.where(F.col("lang").eqNullSafe(F.lit(lang))).collect()
+        )
+        import math
+
+        thr = qs[math.ceil(25 * len(qs) / 100) - 1]
+        want = sum(1 for q in qs if q >= thr)
+        assert kept[lang] == want, lang
