@@ -38,6 +38,26 @@ from .text import tokens_expr
 NB_VOCAB_SIZE = 128
 
 
+def nb_token_counts(df: DataFrame, label, text_col: str = "text") -> DataFrame:
+    """The training lineage: per-token (t, c1, c0) class counts, plus
+    one NULL-sentinel row per doc whose counts ARE the per-class doc
+    counts. Split out of `nb_token_weights` so the single-corpus-scan
+    plan shape (one explode, one partial+final hash-agg pair) is
+    assertable on the REAL lineage, not a test replica."""
+    lab = F.coalesce(label, F.lit(False))
+    toks = F.concat(
+        F.array(F.lit(None).cast("string")), tokens_expr(text_col)
+    )
+    return (
+        df.select(F.explode(toks).alias("t"), lab.alias("_l"))
+        .groupBy("t")
+        .agg(
+            F.sum(F.when(F.col("_l"), 1).otherwise(0)).alias("c1"),
+            F.sum(F.when(F.col("_l"), 0).otherwise(1)).alias("c0"),
+        )
+    )
+
+
 def nb_token_weights(
     df: DataFrame,
     label,
@@ -53,18 +73,8 @@ def nb_token_weights(
     three driver-bounded collects (1-row totals, 1-row doc counts,
     V-row top list) all run on the persisted per-token table, whose
     shuffle is bounded by distinct tokens, never corpus tokens."""
-    lab = F.coalesce(label, F.lit(False))
-    toks = F.concat(
-        F.array(F.lit(None).cast("string")), tokens_expr(text_col)
-    )
-    counts = (
-        df.select(F.explode(toks).alias("t"), lab.alias("_l"))
-        .groupBy("t")
-        .agg(
-            F.sum(F.when(F.col("_l"), 1).otherwise(0)).alias("c1"),
-            F.sum(F.when(F.col("_l"), 0).otherwise(1)).alias("c0"),
-        )
-    ).persist()  # totals + doc counts + top-V share one corpus scan
+    counts = nb_token_counts(df, label, text_col).persist()
+    # totals + doc counts + top-V share one corpus scan
     try:
         real = counts.where(F.col("t").isNotNull())
         tot = real.agg(

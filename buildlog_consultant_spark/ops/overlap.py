@@ -46,7 +46,10 @@ def source_gram_overlap(
     (src_a < src_b) sharing ≥ ``min_shared`` distinct k-shingles, under
     the ubiquitous-gram cutoff (module doc). jaccard_ppm =
     floor(shared · 1e6 / (|A| + |B| − shared)) over DISTINCT gram sets —
-    exact integer arithmetic. NULL sources are excluded (a NULL key
+    floor-of-double with operands exact in double below 2^53 (the
+    near_dup_verify convention: Spark's cast(long) and Python's int()
+    truncate the same IEEE division; shared·1e6 < 2^53 holds for any
+    per-source distinct-gram count below ~9e9). NULL sources are excluded (a NULL key
     can't order in a pair and carries no source identity)."""
     if gram_key not in ("string", "hash64"):
         raise ValueError(f"gram_key must be 'string' or 'hash64', got {gram_key!r}")

@@ -634,8 +634,11 @@ def filter_quality_auto(
     thr = quality_auto_threshold(df, p, text_col).select(
         F.col("lang").alias("_tl"), "threshold"
     )
+    # inner, not left: every lang in df (incl. NULL) produced a
+    # threshold row, and a left join's unmatched rows would be dropped
+    # by the >= filter anyway — inner states the actual contract
     return (
-        d.join(F.broadcast(thr), F.col("lang").eqNullSafe(F.col("_tl")), "left")
+        d.join(F.broadcast(thr), F.col("lang").eqNullSafe(F.col("_tl")), "inner")
         .where(F.col("quality") >= F.col("threshold"))
         .drop("_tl", "threshold")
     )

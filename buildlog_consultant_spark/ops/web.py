@@ -176,9 +176,9 @@ def registered_domain(host) -> Column:
     string (domains « hosts « URLs)."""
     h = F.lower(F.col(host) if isinstance(host, str) else host)
     m = F.regexp_extract(h, REG_DOMAIN_PATTERN, 0)
-    return F.when(h.isNull(), F.lit(None).cast("string")).otherwise(
-        F.when(m == "", h).otherwise(m)
-    )
+    # NULL host needs no guard: regexp_extract(NULL) is NULL, so the
+    # m == '' test is null (not true) and otherwise(m) yields NULL
+    return F.when(m == "", h).otherwise(m)
 
 
 def domain_stats(

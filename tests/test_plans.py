@@ -325,22 +325,19 @@ def test_nb_training_single_corpus_scan(spark):
     (explode) site and one partial+final agg pair over corpus rows."""
     from pyspark.sql import functions as FF
 
-    from buildlog_consultant_spark.ops.classifier import nb_token_weights
-    from buildlog_consultant_spark.ops.text import tokens_expr
+    from buildlog_consultant_spark.ops.classifier import (
+        nb_token_counts,
+        nb_token_weights,
+    )
 
     df = spark.createDataFrame(
         [(i, "en" if i % 2 else "fr", f"tok{i % 5} common") for i in range(40)],
         "doc_id long, lang string, text string",
     )
-    # plan shape of the counts lineage (pre-collect): one explode, one
+    # plan shape of the REAL counts lineage (the DataFrame
+    # nb_token_weights persists and collects from): one explode, one
     # partial+final hash agg pair
-    lab = FF.coalesce(FF.col("lang") == "en", FF.lit(False))
-    toks = FF.concat(FF.array(FF.lit(None).cast("string")), tokens_expr("text"))
-    counts = (
-        df.select(FF.explode(toks).alias("t"), lab.alias("_l"))
-        .groupBy("t")
-        .agg(FF.count("*").alias("c"))
-    )
+    counts = nb_token_counts(df, FF.col("lang") == "en")
     plan = _plan(counts)
     assert plan.count("Generate explode") == 1, plan[:2000]
     assert plan.count("HashAggregate") == 2, plan[:2000]
