@@ -2828,6 +2828,30 @@ def _oracle_nb_classifier(sf_dir: str = None) -> str:
     )
 
 
+def q_latest_snapshot(spark, sf_dir):
+    """CDC/upsert snapshot compaction (ops/snapshot.py::latest_by_key):
+    current state per user from the append-only events table — the row
+    with the greatest (ts, event_id), via ONE struct-max aggregate
+    (map-side partial combine keeps shuffle bytes ≈ keys, not events;
+    the window formulation would per-key-sort every version). Emits
+    (user_id, event_id, ts, event_type) — no raw doubles (driver-hash
+    rule)."""
+    from buildlog_consultant_spark.ops.snapshot import latest_by_key
+
+    ev = _read_adaptive(spark, f"{sf_dir}/events.parquet")
+    return latest_by_key(ev, key_col="user_id").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+
+
+ORACLE_LATEST_SNAPSHOT = """
+SELECT user_id, event_id, ts, event_type
+FROM events
+QUALIFY row_number() OVER (
+  PARTITION BY user_id ORDER BY ts DESC NULLS LAST, event_id DESC) = 1
+"""
+
+
 def q_quality_gate_auto(spark, sf_dir):
     """AUTO-TUNED quality gate (ops/text.py::filter_quality_auto): keep
     docs whose quality ≥ their lang's exact nearest-rank p25 — the
@@ -3299,6 +3323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": q_domain_stats,
         "quality_gate_auto": q_quality_gate_auto,
         "source_overlap": q_source_overlap,
+        "latest_snapshot": q_latest_snapshot,
     }
 
 
@@ -3374,4 +3399,5 @@ def oracle_sql(sf_dir: str = None) -> dict[str, str]:
         "domain_stats": _oracle_domain_stats(),
         "quality_gate_auto": ORACLE_QUALITY_GATE_AUTO,
         "source_overlap": _oracle_source_overlap(sf_dir),
+        "latest_snapshot": ORACLE_LATEST_SNAPSHOT,
     }

@@ -74,6 +74,7 @@ def duck():
         "domain_stats",
         "quality_gate_auto",
         "source_overlap",
+        "latest_snapshot",
         # streaming queries: plain-SQL oracles, but their file-stream
         # staging logic is sf_dir-dependent — exercise it at the second
         # scale too

@@ -621,3 +621,49 @@ def test_quality_gate_auto_keeps_at_least_three_quarters(spark):
         thr = qs[math.ceil(25 * len(qs) / 100) - 1]
         want = sum(1 for q in qs if q >= thr)
         assert kept[lang] == want, lang
+
+
+# ---------------------------------------------------------------------------
+# latest-by-key snapshot
+# ---------------------------------------------------------------------------
+
+
+def test_latest_by_key_matches_window_formulation(spark):
+    from buildlog_consultant_spark.ops.snapshot import latest_by_key
+
+    rows = [
+        (1, 10, "2024-01-01 10:00:00", "a"),
+        (2, 10, "2024-01-01 11:00:00", "b"),  # later ts wins
+        (3, 11, "2024-01-01 09:00:00", "c"),
+        (4, 11, "2024-01-01 09:00:00", "d"),  # ts tie → higher id wins
+        (5, None, "2024-01-01 08:00:00", "e"),  # NULL key is a group
+        (6, 12, None, "f"),  # NULL ts loses to any real ts
+        (7, 12, "2024-01-01 07:00:00", "g"),
+        (8, 13, None, "h"),  # all-NULL ts key → highest id survives
+        (9, 13, None, "i"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        r["user_id"]: r["event_id"]
+        for r in latest_by_key(df, key_col="user_id").collect()
+    }
+    assert got == {10: 2, 11: 4, None: 5, 12: 7, 13: 9}
+
+
+def test_latest_by_key_preserves_schema_and_is_single_agg(spark):
+    from buildlog_consultant_spark.ops.snapshot import latest_by_key
+
+    df = spark.createDataFrame(
+        [(1, 5, "2024-01-01 10:00:00", "a", 1.5, "p")],
+        "event_id long, user_id long, ts string, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = latest_by_key(df, key_col="user_id")
+    assert out.columns == df.columns
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # Map-side partial combine before the one key exchange (shuffle
+    # bytes ~ keys, not events); no window (per-key sort of versions).
+    assert "partial_max" in plan, plan[:1500]
+    assert plan.count("Exchange") == 1, plan[:1500]
+    assert "Window" not in plan, plan[:1500]
