@@ -2852,6 +2852,41 @@ QUALIFY row_number() OVER (
 """
 
 
+def q_funnel(spark, sf_dir):
+    """Ordered funnel view→click→purchase (ops/funnel.py::funnel_times):
+    per user the earliest-completion chain timestamps — t_click is the
+    min click STRICTLY after t_view, t_purchase the min purchase
+    strictly after t_click. K conditional min-aggs chained by K user-key
+    joins; no window, no per-user event sort, step tables shrink
+    monotonically. Emits (user_id, t_view, t_click, t_purchase)."""
+    from buildlog_consultant_spark.ops.funnel import funnel_times
+
+    ev = _read_adaptive(spark, f"{sf_dir}/events.parquet")
+    return funnel_times(ev, ("view", "click", "purchase"))
+
+
+ORACLE_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t_view
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+  GROUP BY e.user_id
+)
+SELECT s1.user_id, s1.t_view, s2.t_click, s3.t_purchase
+FROM s1
+LEFT JOIN s2 ON s1.user_id = s2.user_id
+LEFT JOIN s3 ON s1.user_id = s3.user_id
+"""
+
+
 def q_quality_gate_auto(spark, sf_dir):
     """AUTO-TUNED quality gate (ops/text.py::filter_quality_auto): keep
     docs whose quality ≥ their lang's exact nearest-rank p25 — the
@@ -3324,6 +3359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_gate_auto": q_quality_gate_auto,
         "source_overlap": q_source_overlap,
         "latest_snapshot": q_latest_snapshot,
+        "funnel": q_funnel,
     }
 
 
@@ -3400,4 +3436,5 @@ def oracle_sql(sf_dir: str = None) -> dict[str, str]:
         "quality_gate_auto": ORACLE_QUALITY_GATE_AUTO,
         "source_overlap": _oracle_source_overlap(sf_dir),
         "latest_snapshot": ORACLE_LATEST_SNAPSHOT,
+        "funnel": ORACLE_FUNNEL,
     }

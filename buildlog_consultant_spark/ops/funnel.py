@@ -1,0 +1,102 @@
+"""Ordered funnel analysis over an append-only event stream — "of the
+users who VIEWED, how many then CLICKED, then PURCHASED, in that
+order?" — the conversion primitive every product/log pipeline computes.
+
+Semantics (strict-order, earliest-completion): per user,
+``t_1 = min(ts | type = step_1)`` and
+``t_k = min(ts | type = step_k AND ts > t_{k-1})`` — each step must
+happen STRICTLY after the earliest completion of the previous step.
+Earliest-completion is the standard greedy funnel definition and is
+what makes the whole computation aggregate-shaped: the greedy prefix
+choice is optimal (if any ordered chain exists, one starting at the
+earliest t_1 exists), so no per-user event-sequence scan is needed.
+
+Scale shape: K conditional min-aggregates chained by K equi-joins on
+the user key — NO window, NO per-user sort, NO collect_list. Each agg
+is map-side combinable (a hot user partial-aggregates to one row per
+partition before the exchange), and the step tables shrink
+monotonically (step-k users ⊆ step-k-1 users), so every join after the
+first is against a strictly smaller right side — AQE picks
+broadcast/shuffle-hash as the survivor count allows. Contrast the
+window formulation (sort every user's full event history) or a
+sessionize-then-scan UDF: both shuffle and sort event-grain data per
+key; this shape shuffles events once per step, pre-combined to
+user-grain.
+
+NULL policy: a NULL user id forms a group in step 1 (groupBy
+semantics) but can never advance — equi-joins drop NULL keys on both
+engines — so it reports as "entered, never converted". NULL timestamps
+are ignored by min() on both engines and cannot satisfy ``ts > t``.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_times(
+    events: DataFrame,
+    steps: Sequence[str] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """One row per user who completed step 1: (user, t_<step1>,
+    t_<step2>, ...); t_<stepK> is NULL where the user never completed
+    step K after t_<stepK-1>. Column names are ``t_<step>`` (steps must
+    be distinct)."""
+    if len(set(steps)) != len(steps) or not steps:
+        raise ValueError("steps must be non-empty and distinct")
+    out_cols = [f"t_{s}" for s in steps]
+
+    reached = (
+        events.where(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias(out_cols[0]))
+    )
+    acc = reached
+    for step, prev_col, col in zip(steps[1:], out_cols, out_cols[1:]):
+        nxt = (
+            events.where(F.col(type_col) == step)
+            .join(reached.select(user_col, prev_col), user_col)
+            .where(F.col(ts_col) > F.col(prev_col))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias(col))
+        )
+        acc = acc.join(nxt, user_col, "left")
+        # next step's "strictly after" anchor joins against the users
+        # who reached THIS step (smaller table), not the step-1 set
+        reached = acc.where(F.col(col).isNotNull()).select(user_col, col)
+    return acc
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: Sequence[str] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Funnel summary: one row per step with the number of users whose
+    ordered chain reached it — the conversion table. A single count-agg
+    over funnel_times' user-grain output (bounded by users, not
+    events)."""
+    times = funnel_times(events, steps, user_col, ts_col, type_col)
+    aggs = [
+        F.count(f"t_{s}").alias(f"n_{s}") for s in steps
+    ]
+    wide = times.agg(*aggs)
+    pairs = []
+    for i, s in enumerate(steps):
+        pairs.append(F.struct(
+            F.lit(i + 1).alias("step"),
+            F.lit(s).alias("event_type"),
+            F.col(f"n_{s}").alias("n_users"),
+        ))
+    return (
+        wide.select(F.explode(F.array(*pairs)).alias("r"))
+        .select("r.step", "r.event_type", "r.n_users")
+    )

@@ -75,6 +75,7 @@ def duck():
         "quality_gate_auto",
         "source_overlap",
         "latest_snapshot",
+        "funnel",
         # streaming queries: plain-SQL oracles, but their file-stream
         # staging logic is sf_dir-dependent — exercise it at the second
         # scale too

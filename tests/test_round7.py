@@ -667,3 +667,90 @@ def test_latest_by_key_preserves_schema_and_is_single_agg(spark):
     assert "partial_max" in plan, plan[:1500]
     assert plan.count("Exchange") == 1, plan[:1500]
     assert "Window" not in plan, plan[:1500]
+
+
+# ---------------------------------------------------------------------------
+# ordered funnel
+# ---------------------------------------------------------------------------
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_funnel_times_strict_order_semantics(spark):
+    from buildlog_consultant_spark.ops.funnel import funnel_times
+
+    T = "2024-01-01 00:00:0{}"
+    rows = [
+        # full chain
+        (1, 1, T.format(1), "view"),
+        (2, 1, T.format(2), "click"),
+        (3, 1, T.format(3), "purchase"),
+        # click BEFORE view ignored; click AT t_view ignored (strict >)
+        (4, 2, T.format(1), "click"),
+        (5, 2, T.format(2), "view"),
+        (6, 2, T.format(2), "click"),
+        (7, 2, T.format(4), "click"),
+        # purchase before click → chain stops at click
+        (8, 3, T.format(1), "view"),
+        (9, 3, T.format(2), "purchase"),
+        (10, 3, T.format(3), "click"),
+        # never viewed → absent entirely
+        (11, 4, T.format(1), "click"),
+        (12, 4, T.format(2), "purchase"),
+        # NULL user enters step 1 but can never advance (join drops NULLs)
+        (13, None, T.format(1), "view"),
+        (14, None, T.format(2), "click"),
+        # NULL ts can't anchor or satisfy strictly-after
+        (15, 5, None, "view"),
+        (16, 5, T.format(1), "view"),
+        (17, 5, None, "click"),
+    ]
+    got = {
+        r["user_id"]: (
+            str(r["t_view"]),
+            str(r["t_click"]),
+            str(r["t_purchase"]),
+        )
+        for r in funnel_times(_ev(spark, rows)).collect()
+    }
+    s = "2024-01-01 00:00:0{}"
+    assert set(got) == {1, 2, 3, None, 5}
+    assert got[1] == (s.format(1), s.format(2), s.format(3))
+    assert got[2] == (s.format(2), s.format(4), "None")
+    assert got[3] == (s.format(1), s.format(3), "None")
+    assert got[None] == (s.format(1), "None", "None")
+    assert got[5] == (s.format(1), "None", "None")
+
+
+def test_funnel_counts_and_plan_shape(spark):
+    from buildlog_consultant_spark.ops.funnel import (
+        funnel_counts,
+        funnel_times,
+    )
+
+    T = "2024-01-01 00:00:0{}"
+    rows = [
+        (1, 1, T.format(1), "view"),
+        (2, 1, T.format(2), "click"),
+        (3, 1, T.format(3), "purchase"),
+        (4, 2, T.format(1), "view"),
+        (5, 2, T.format(2), "click"),
+        (6, 3, T.format(1), "view"),
+    ]
+    ev = _ev(spark, rows)
+    got = {
+        r["step"]: (r["event_type"], r["n_users"])
+        for r in funnel_counts(ev).collect()
+    }
+    assert got == {1: ("view", 3), 2: ("click", 2), 3: ("purchase", 1)}
+    plan = (
+        funnel_times(ev)._jdf.queryExecution().executedPlan().toString()
+    )
+    # aggregate-shaped: conditional min-aggs with map-side combine,
+    # never a per-user event-history window/sort
+    assert "Window" not in plan, plan[:1500]
+    assert "partial_min" in plan, plan[:1500]
