@@ -2887,6 +2887,34 @@ LEFT JOIN s3 ON s1.user_id = s3.user_id
 """
 
 
+def q_kmv_distinct(spark, sf_dir):
+    """KMV distinct-shingle sketch per source (ops/sketch.py): the
+    mergeable cardinality estimator standing in for an unaffordable
+    COUNT(DISTINCT) shuffle — bounded k-min-distinct accumulator in a
+    mapInPandas partial (one row per key per partition), one exchange
+    of ≤ k longs per key per map task, exact-integer Bar-Yossef
+    estimate. Emits (source, n_mins, est_distinct) — all integers."""
+    from buildlog_consultant_spark.ops.sketch import kmv_distinct_shingles
+
+    d = _docs(spark, sf_dir)
+    return kmv_distinct_shingles(d, k=64)
+
+
+def _oracle_kmv_distinct(sf_dir: str = None) -> str:
+    import pyarrow.parquet as pq
+
+    from buildlog_consultant_spark.ops.sketch import py_kmv_distinct
+
+    tbl = pq.read_table(
+        f"{sf_dir or _oracle_sf_dir()}/documents.parquet",
+        columns=["source", "text"],
+    )
+    rows = py_kmv_distinct(
+        list(zip(tbl["source"].to_pylist(), tbl["text"].to_pylist())), k=64
+    )
+    return _values_oracle(rows, ["source", "n_mins", "est_distinct"])
+
+
 def q_quality_gate_auto(spark, sf_dir):
     """AUTO-TUNED quality gate (ops/text.py::filter_quality_auto): keep
     docs whose quality ≥ their lang's exact nearest-rank p25 — the
@@ -3360,6 +3388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": q_source_overlap,
         "latest_snapshot": q_latest_snapshot,
         "funnel": q_funnel,
+        "kmv_distinct": q_kmv_distinct,
     }
 
 
@@ -3437,4 +3466,5 @@ def oracle_sql(sf_dir: str = None) -> dict[str, str]:
         "source_overlap": _oracle_source_overlap(sf_dir),
         "latest_snapshot": ORACLE_LATEST_SNAPSHOT,
         "funnel": ORACLE_FUNNEL,
+        "kmv_distinct": _oracle_kmv_distinct(sf_dir),
     }

@@ -76,6 +76,7 @@ def duck():
         "source_overlap",
         "latest_snapshot",
         "funnel",
+        "kmv_distinct",
         # streaming queries: plain-SQL oracles, but their file-stream
         # staging logic is sf_dir-dependent — exercise it at the second
         # scale too

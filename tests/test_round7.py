@@ -754,3 +754,100 @@ def test_funnel_counts_and_plan_shape(spark):
     # never a per-user event-history window/sort
     assert "Window" not in plan, plan[:1500]
     assert "partial_min" in plan, plan[:1500]
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct sketch
+# ---------------------------------------------------------------------------
+
+
+def _kmv_docs(n_docs=60, vocab=500):
+    # deterministic pseudo-corpus: doc i picks 30 words from a rolling
+    # window of the vocab, so sources share some shingles but not all
+    rows = []
+    for i in range(n_docs):
+        words = [f"w{(i * 17 + j * j) % vocab}" for j in range(30)]
+        rows.append((f"s{i % 3}", " ".join(words)))
+    rows.append((None, None))  # NULL key group with NULL text
+    rows.append(("s0", None))  # NULL text → single '' shingle
+    return rows
+
+
+def test_kmv_matches_python_replay_and_partitioning_invariant(spark):
+    from buildlog_consultant_spark.ops.sketch import (
+        kmv_distinct_shingles,
+        py_kmv_distinct,
+    )
+
+    rows = _kmv_docs()
+    df = spark.createDataFrame(rows, "source string, text string")
+    want = {
+        k: (n, est) for k, n, est in py_kmv_distinct(rows, k=16)
+    }
+    for parts in (1, 7):
+        got = {
+            r["source"]: (r["n_mins"], r["est_distinct"])
+            for r in kmv_distinct_shingles(
+                df.repartition(parts), k=16
+            ).collect()
+        }
+        assert got == want, parts
+
+
+def test_kmv_exact_below_k_and_estimate_above_k(spark):
+    from buildlog_consultant_spark.ops.sketch import (
+        kmv_distinct_shingles,
+        py_kmv_distinct,
+    )
+
+    rows = _kmv_docs()
+    # exact distinct per key from the replay tokenizer
+    import re
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def sh(text):
+        toks = ws.sub(" ", (text or "").strip(" ")).lower().split(" ")
+        return {
+            " ".join(toks[i : i + 3]) for i in range(max(len(toks) - 3, 0) + 1)
+        }
+
+    exact: dict = {}
+    for k, t in rows:
+        exact.setdefault(k, set()).update(sh(t))
+    exact = {k: len(v) for k, v in exact.items()}
+
+    df = spark.createDataFrame(rows, "source string, text string")
+    # huge k → sketch holds everything → exact answer
+    got = {
+        r["source"]: r["est_distinct"]
+        for r in kmv_distinct_shingles(df, k=100_000).collect()
+    }
+    assert got == exact
+    # k=64 estimator within 35% of exact for the large keys
+    est = {
+        r["source"]: r["est_distinct"]
+        for r in kmv_distinct_shingles(df, k=64).collect()
+    }
+    assert est == {
+        k: e for k, _, e in py_kmv_distinct(rows, k=64)
+    }
+    for k, x in exact.items():
+        if x > 200:
+            assert abs(est[k] - x) <= 0.35 * x, (k, est[k], x)
+
+
+def test_kmv_estimate_py_edges():
+    from buildlog_consultant_spark.ops.sketch import (
+        INT64_MAX,
+        kmv_estimate_py,
+    )
+
+    assert kmv_estimate_py([], 8) == 0
+    assert kmv_estimate_py([5, 9], 8) == 2  # below k → exact
+    # tiny k-th min → estimate overflows int64 → clamped
+    assert kmv_estimate_py(list(range(1, 9)), 8) == INT64_MAX
+    # uniform spacing sanity: u_k at 1/1000 of the space → est ≈ 7000
+    uk = (1 << 64) // 1000
+    mins = [uk * (i + 1) // 8 for i in range(8)]
+    assert kmv_estimate_py(mins, 8) == 7 * (1 << 64) // uk
