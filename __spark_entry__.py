@@ -2915,6 +2915,30 @@ def _oracle_kmv_distinct(sf_dir: str = None) -> str:
     return _values_oracle(rows, ["source", "n_mins", "est_distinct"])
 
 
+def q_pagerank(spark, sf_dir):
+    """Integer PageRank over the planted deterministic link graph
+    (ops/graph.py): 5 fixed Pregel-shaped iterations — cached
+    src-partitioned edges, one equi-join + one map-side-combinable sum
+    per round, exact ppb floor arithmetic (no float drift between
+    engines). Emits (node, in_deg, rank_ppb) — all integers."""
+    from buildlog_consultant_spark.ops.graph import pagerank
+
+    d = _docs(spark, sf_dir)
+    return pagerank(d)
+
+
+def _oracle_pagerank(sf_dir: str = None) -> str:
+    import pyarrow.parquet as pq
+
+    from buildlog_consultant_spark.ops.graph import py_pagerank
+
+    tbl = pq.read_table(
+        f"{sf_dir or _oracle_sf_dir()}/documents.parquet", columns=["doc_id"]
+    )
+    rows = py_pagerank(tbl["doc_id"].to_pylist())
+    return _values_oracle(rows, ["node", "in_deg", "rank_ppb"])
+
+
 def q_quality_gate_auto(spark, sf_dir):
     """AUTO-TUNED quality gate (ops/text.py::filter_quality_auto): keep
     docs whose quality ≥ their lang's exact nearest-rank p25 — the
@@ -3389,6 +3413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_snapshot": q_latest_snapshot,
         "funnel": q_funnel,
         "kmv_distinct": q_kmv_distinct,
+        "pagerank": q_pagerank,
     }
 
 
@@ -3467,4 +3492,5 @@ def oracle_sql(sf_dir: str = None) -> dict[str, str]:
         "latest_snapshot": ORACLE_LATEST_SNAPSHOT,
         "funnel": ORACLE_FUNNEL,
         "kmv_distinct": _oracle_kmv_distinct(sf_dir),
+        "pagerank": _oracle_pagerank(sf_dir),
     }

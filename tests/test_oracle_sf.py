@@ -77,6 +77,7 @@ def duck():
         "latest_snapshot",
         "funnel",
         "kmv_distinct",
+        "pagerank",
         # streaming queries: plain-SQL oracles, but their file-stream
         # staging logic is sf_dir-dependent — exercise it at the second
         # scale too

@@ -851,3 +851,60 @@ def test_kmv_estimate_py_edges():
     uk = (1 << 64) // 1000
     mins = [uk * (i + 1) // 8 for i in range(8)]
     assert kmv_estimate_py(mins, 8) == 7 * (1 << 64) // uk
+
+
+# ---------------------------------------------------------------------------
+# integer PageRank on the planted graph
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_matches_python_replay(spark):
+    from buildlog_consultant_spark.ops.graph import pagerank, py_pagerank
+
+    ids = list(range(37))
+    df = spark.createDataFrame(
+        [(i,) for i in ids] + [(None,)], "doc_id long"
+    )
+    got = sorted(
+        (r["node"], r["in_deg"], r["rank_ppb"])
+        for r in pagerank(df).collect()
+    )
+    assert got == py_pagerank(ids + [None])
+    # NULL id excluded from the graph
+    assert len(got) == 37
+
+
+def test_pagerank_invariants(spark):
+    from buildlog_consultant_spark.ops.graph import (
+        OUT_DEG,
+        pagerank,
+        planted_edges,
+        py_pagerank,
+    )
+
+    n = 25
+    rows = py_pagerank(list(range(n)))
+    ranks = [r for _, _, r in rows]
+    # floor-division mass loss only: sum within n+100 ppb of 1e9
+    assert 10**9 - (n + 100) * 10 <= sum(ranks) <= 10**9
+    # in-degree mass conservation: total in_deg == n * OUT_DEG
+    assert sum(d for _, d, _ in rows) == n * OUT_DEG
+    # rank correlates with in-degree on the planted graph: the max-rank
+    # node has >= the median in-degree
+    by_rank = sorted(rows, key=lambda r: -r[2])
+    degs = sorted(d for _, d, _ in rows)
+    assert by_rank[0][1] >= degs[len(degs) // 2]
+    # no self-loops in the planted edges
+    df = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edges = planted_edges(df, n).collect()
+    assert len(edges) == n * OUT_DEG
+    assert all(e["src"] != e["dst"] for e in edges)
+    assert all(0 <= e["dst"] < n for e in edges)
+
+
+def test_pagerank_zero_iters_is_uniform_base(spark):
+    from buildlog_consultant_spark.ops.graph import pagerank
+
+    df = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    got = {r["node"]: r["rank_ppb"] for r in pagerank(df, iters=0).collect()}
+    assert got == {i: 10**8 for i in range(10)}
