@@ -2939,6 +2939,67 @@ def _oracle_pagerank(sf_dir: str = None) -> str:
     return _values_oracle(rows, ["node", "in_deg", "rank_ppb"])
 
 
+def q_scd2_intervals(spark, sf_dir):
+    """SCD2 history build (ops/snapshot.py::history_intervals): every
+    version of every user stamped with [valid_from, valid_to) via
+    lead(ts) over (user, ts ASC NULLS FIRST, event_id) — the per-key
+    sort is inherent (each version needs its successor) and bounded by
+    versions-per-key. Emits (user_id, event_id, valid_from,
+    valid_to)."""
+    from buildlog_consultant_spark.ops.snapshot import history_intervals
+
+    ev = _read_adaptive(spark, f"{sf_dir}/events.parquet")
+    return history_intervals(ev).select(
+        "user_id", "event_id", "valid_from", "valid_to"
+    )
+
+
+ORACLE_SCD2_INTERVALS = """
+SELECT user_id, event_id, ts AS valid_from,
+       lead(ts) OVER (
+         PARTITION BY user_id
+         ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
+       ) AS valid_to
+FROM events
+"""
+
+
+def q_events_rollup(spark, sf_dir):
+    """OLAP ROLLUP over events — (event_type, day) / (event_type) /
+    grand-total aggregates in ONE pass: Expand writes 3 grouping-set
+    copies map-side, then a single partial+final hash agg (contrast 3
+    separate scans+aggs; at 100 TB the scan dominates, so one pass is
+    the win — Expand's 3x row fan-out is combined map-side before the
+    exchange). gid is Spark's grouping_id bit vector (1 = column
+    aggregated), identical to DuckDB's GROUPING(a, b). Emits integer
+    cents (round(value*100) convention, no raw doubles)."""
+    ev = _read_adaptive(spark, f"{sf_dir}/events.parquet")
+    day = F.to_date("ts").alias("day")
+    return (
+        ev.rollup("event_type", day)
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n"),
+            F.min("event_id").alias("min_event_id"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "sum_value_cents"
+            ),
+        )
+    )
+
+
+ORACLE_EVENTS_ROLLUP = """
+SELECT event_type, CAST(ts AS DATE) AS day,
+       CAST(GROUPING(event_type, CAST(ts AS DATE)) AS BIGINT) AS gid,
+       COUNT(*) AS n,
+       MIN(event_id) AS min_event_id,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS sum_value_cents
+FROM events
+GROUP BY ROLLUP (event_type, CAST(ts AS DATE))
+"""
+
+
 def q_quality_gate_auto(spark, sf_dir):
     """AUTO-TUNED quality gate (ops/text.py::filter_quality_auto): keep
     docs whose quality ≥ their lang's exact nearest-rank p25 — the
@@ -3414,6 +3475,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "kmv_distinct": q_kmv_distinct,
         "pagerank": q_pagerank,
+        "scd2_intervals": q_scd2_intervals,
+        "events_rollup": q_events_rollup,
     }
 
 
@@ -3493,4 +3556,6 @@ def oracle_sql(sf_dir: str = None) -> dict[str, str]:
         "funnel": ORACLE_FUNNEL,
         "kmv_distinct": _oracle_kmv_distinct(sf_dir),
         "pagerank": _oracle_pagerank(sf_dir),
+        "scd2_intervals": ORACLE_SCD2_INTERVALS,
+        "events_rollup": ORACLE_EVENTS_ROLLUP,
     }

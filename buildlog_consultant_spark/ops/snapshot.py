@@ -29,7 +29,7 @@ its (tiebreak-max) row rather than disappearing."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -53,3 +53,37 @@ def latest_by_key(
     return win.select(
         key_col, *[F.col(f"_w.{c}").alias(c) for c in payload]
     ).select(*df.columns)
+
+
+def history_intervals(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """SCD2 (slowly-changing-dimension type 2) history build — the
+    complement of latest_by_key: EVERY version of a key, stamped with
+    its validity interval [valid_from, valid_to); the newest version
+    stays open (NULL valid_to). This is what an Iceberg/Hudi
+    MERGE-with-history target or a point-in-time-join dimension holds.
+
+    Scale shape: one window — lead(ts) over (key, ts ASC NULLS FIRST,
+    tiebreak ASC). Unlike snapshot compaction (where the agg
+    formulation avoids it), the per-key sort is INHERENT here: each
+    version needs its successor, so every version of a key must meet
+    in order. The partition is bounded by versions-per-key (small and
+    roughly uniform for CDC streams); a pathologically hot key would
+    need range-bucketed interval stitching, out of scope.
+
+    Determinism/NULLs: ordering pins NULLS FIRST on ts (Spark's ASC
+    default — the SQL oracle must say NULLS FIRST explicitly because
+    DuckDB defaults NULLS LAST) and breaks ts ties by the id, so
+    intervals are engine-portable whenever (ts, tiebreak) is unique
+    per key. A NULL-ts version sorts oldest (valid_from NULL, closed
+    by the first real version). NULL keys form one history group."""
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc_nulls_first(), F.col(tiebreak_col).asc_nulls_first()
+    )
+    return df.withColumn("valid_from", F.col(ts_col)).withColumn(
+        "valid_to", F.lead(ts_col).over(w)
+    )

@@ -78,6 +78,8 @@ def duck():
         "funnel",
         "kmv_distinct",
         "pagerank",
+        "scd2_intervals",
+        "events_rollup",
         # streaming queries: plain-SQL oracles, but their file-stream
         # staging logic is sf_dir-dependent — exercise it at the second
         # scale too

@@ -908,3 +908,94 @@ def test_pagerank_zero_iters_is_uniform_base(spark):
     df = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
     got = {r["node"]: r["rank_ppb"] for r in pagerank(df, iters=0).collect()}
     assert got == {i: 10**8 for i in range(10)}
+
+
+# ---------------------------------------------------------------------------
+# SCD2 history intervals / rollup
+# ---------------------------------------------------------------------------
+
+
+def test_history_intervals_semantics(spark):
+    from buildlog_consultant_spark.ops.snapshot import history_intervals
+
+    T = "2024-01-01 00:00:0{}"
+    rows = [
+        (1, 10, T.format(1), "a"),
+        (2, 10, T.format(3), "b"),
+        (3, 10, T.format(3), "c"),  # ts tie → ordered by event_id
+        (4, 10, None, "d"),  # NULL ts sorts OLDEST
+        (5, 11, T.format(5), "e"),  # single version → open interval
+        (6, None, T.format(1), "f"),  # NULL key is one history group
+        (7, None, T.format(2), "g"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        r["event_id"]: (str(r["valid_from"]), str(r["valid_to"]))
+        for r in history_intervals(df).collect()
+    }
+    s = "2024-01-01 00:00:0{}"
+    assert got[4] == ("None", s.format(1))  # NULL-ts version closed first
+    assert got[1] == (s.format(1), s.format(3))
+    assert got[2] == (s.format(3), s.format(3))  # tie: 2 precedes 3
+    assert got[3] == (s.format(3), "None")  # newest stays open
+    assert got[5] == (s.format(5), "None")
+    assert got[6] == (s.format(1), s.format(2))
+    assert got[7] == (s.format(2), "None")
+
+
+def test_history_intervals_chain_invariant(spark):
+    # on real data: per key, exactly one open interval; valid_to of any
+    # closed interval equals some version's valid_from of the same key
+    from buildlog_consultant_spark.ops.snapshot import history_intervals
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = history_intervals(ev).select("user_id", "valid_from", "valid_to")
+    n_keys = ev.select("user_id").distinct().count()
+    assert out.where(F.col("valid_to").isNull()).count() == n_keys
+    dangling = (
+        out.where(F.col("valid_to").isNotNull())
+        .alias("a")
+        .join(
+            out.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.valid_to") == F.col("b.valid_from")),
+            "left_anti",
+        )
+        .count()
+    )
+    assert dangling == 0
+
+
+def test_events_rollup_gid_and_single_pass_plan(spark):
+    rows = [
+        (1, "2024-01-01 10:00:00", "view", 1.0),
+        (2, "2024-01-01 11:00:00", "view", 2.0),
+        (3, "2024-01-02 10:00:00", "click", 4.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    day = F.to_date("ts").alias("day")
+    out = ev.rollup("event_type", day).agg(
+        F.grouping_id().alias("gid"), F.count("*").alias("n")
+    )
+    got = {
+        (r["event_type"], str(r["day"])): (r["gid"], r["n"])
+        for r in out.collect()
+    }
+    assert got[("view", "2024-01-01")] == (0, 2)
+    assert got[("view", "None")] == (1, 2)  # day aggregated → low bit
+    assert got[("click", "None")] == (1, 1)
+    assert got[(None, "None")] == (3, 3)  # grand total: both bits
+    plan = (
+        out._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    # ONE scan: Expand fans the grouping sets map-side into a single
+    # partial+final hash agg — not one scan+agg per grouping set
+    assert plan.count("Expand") == 1, plan[:1500]
+    assert plan.count("HashAggregate") == 2, plan[:1500]
