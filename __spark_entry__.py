@@ -3000,6 +3000,39 @@ GROUP BY ROLLUP (event_type, CAST(ts AS DATE))
 """
 
 
+def q_rate_anomaly(spark, sf_dir):
+    """Event-rate spike detection (ops/anomaly.py::rate_spikes): hours
+    where a type's count strictly exceeds 2x its trailing-24h mean.
+    One corpus hash agg (type, hour, n); RANGE window on the integer
+    epoch-hour over the AGGREGATE only, so calendar gaps count as zero
+    traffic; young series (< 24 h of history) never alert. All-integer
+    rule: n*24 > 2*sum_prev."""
+    from buildlog_consultant_spark.ops.anomaly import rate_spikes
+
+    ev = _read_adaptive(spark, f"{sf_dir}/events.parquet")
+    return rate_spikes(ev, num=2, den=1, window=24)
+
+
+ORACLE_RATE_ANOMALY = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS _idx
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY 1, 2
+), w AS (
+  SELECT event_type, hour, n,
+         CAST(COALESCE(SUM(n) OVER (
+           PARTITION BY event_type ORDER BY _idx
+           RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS sum_prev,
+         _idx - MIN(_idx) OVER (PARTITION BY event_type) AS _age
+  FROM hourly
+)
+SELECT event_type, hour, n, sum_prev
+FROM w WHERE _age >= 24 AND n * 24 > 2 * sum_prev
+"""
+
+
 def q_quality_gate_auto(spark, sf_dir):
     """AUTO-TUNED quality gate (ops/text.py::filter_quality_auto): keep
     docs whose quality ≥ their lang's exact nearest-rank p25 — the
@@ -3477,6 +3510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "scd2_intervals": q_scd2_intervals,
         "events_rollup": q_events_rollup,
+        "rate_anomaly": q_rate_anomaly,
     }
 
 
@@ -3558,4 +3592,5 @@ def oracle_sql(sf_dir: str = None) -> dict[str, str]:
         "pagerank": _oracle_pagerank(sf_dir),
         "scd2_intervals": ORACLE_SCD2_INTERVALS,
         "events_rollup": ORACLE_EVENTS_ROLLUP,
+        "rate_anomaly": ORACLE_RATE_ANOMALY,
     }

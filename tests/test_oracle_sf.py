@@ -80,6 +80,7 @@ def duck():
         "pagerank",
         "scd2_intervals",
         "events_rollup",
+        "rate_anomaly",
         # streaming queries: plain-SQL oracles, but their file-stream
         # staging logic is sf_dir-dependent — exercise it at the second
         # scale too

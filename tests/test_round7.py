@@ -999,3 +999,96 @@ def test_events_rollup_gid_and_single_pass_plan(spark):
     # partial+final hash agg — not one scan+agg per grouping set
     assert plan.count("Expand") == 1, plan[:1500]
     assert plan.count("HashAggregate") == 2, plan[:1500]
+
+
+# ---------------------------------------------------------------------------
+# rate anomaly
+# ---------------------------------------------------------------------------
+
+
+def _spike_events(spark):
+    # type "a": 1 event/hour for 30 hours, then 10 events in hour 30;
+    # type "b": young series (10 hours) with a huge hour — never eligible;
+    # a NULL-ts event and a NULL-type series for policy coverage
+    rows = []
+    eid = 0
+    for h in range(30):
+        rows.append((eid, h, "a"))
+        eid += 1
+    for _ in range(9):  # 9 events in hour 30 vs trailing mean 1
+        rows.append((eid, 30, "a"))
+        eid += 1
+    for h in range(10):
+        rows.append((eid, h, "b"))
+        eid += 1
+    rows.append((eid, 9, "b"))
+    eid += 1
+    for _ in range(50):
+        rows.append((eid, 9, "b"))
+        eid += 1
+    rows.append((eid, None, "a"))
+    eid += 1
+    for h in range(26):
+        rows.append((eid, h, None))
+        eid += 1
+    df = spark.createDataFrame(rows, "event_id long, h int, event_type string")
+    return df.select(
+        "event_id",
+        "event_type",
+        F.when(
+            F.col("h").isNotNull(),
+            F.expr("timestamp '2024-01-01 00:00:00' + make_interval(0,0,0,0,h,0,0)"),
+        ).alias("ts"),
+    )
+
+
+def test_rate_spikes_plants_and_policies(spark):
+    from buildlog_consultant_spark.ops.anomaly import rate_spikes
+
+    out = rate_spikes(_spike_events(spark), num=2, den=1, window=24)
+    got = {
+        (r["event_type"], str(r["hour"])): (r["n"], r["sum_prev"])
+        for r in out.collect()
+    }
+    # the planted hour-30 spike: n=9, trailing 24h sum=24 (hours 6..29)
+    assert got[("a", "2024-01-02 06:00:00")] == (9, 24)
+    # young series "b" (10 hours of history) never alerts
+    assert not any(t == "b" for t, _ in got)
+    # NULL type is a normal series; its uniform 1/hour never spikes
+    assert not any(t is None for t, _ in got)
+    assert len(got) == 1
+
+
+def test_rate_spikes_gap_counts_as_zero(spark):
+    from buildlog_consultant_spark.ops.anomaly import rate_spikes
+
+    # 25 quiet hours, a 23-hour gap, then 2 events in one hour: the
+    # trailing-24h sum is ONLY the 1 event at gap start → spike; a
+    # ROWS-based window would have averaged the full quiet history
+    rows = [(i, i, "a") for i in range(25)] + [(100, 48, "a"), (101, 48, "a")]
+    df = spark.createDataFrame(
+        rows, "event_id long, h int, event_type string"
+    ).select(
+        "event_id",
+        "event_type",
+        F.expr("timestamp '2024-01-01 00:00:00' + make_interval(0,0,0,0,h,0,0)").alias("ts"),
+    )
+    out = rate_spikes(df, num=2, den=1, window=24).collect()
+    got = {(r["event_type"], str(r["hour"])): (r["n"], r["sum_prev"]) for r in out}
+    assert got[("a", "2024-01-03 00:00:00")] == (2, 1)
+
+
+def test_rate_spikes_single_corpus_agg_plan(spark):
+    from buildlog_consultant_spark.ops.anomaly import rate_spikes
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = (
+        rate_spikes(ev)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    # one partial+final hash agg touches the corpus; windows run over
+    # the (type, hour) aggregate only
+    assert plan.count("HashAggregate") == 2, plan[:2000]
