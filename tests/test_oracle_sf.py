@@ -46,6 +46,13 @@ def duck():
     con.close()
 
 
+def _row_key(row):
+    # None-safe total order (NULLs can share a column with dates etc.,
+    # which raw tuple comparison rejects) — same spirit as the driver's
+    # repr-based sort
+    return tuple((v is None, repr(v)) for v in row)
+
+
 @pytest.mark.parametrize(
     "name",
     [
@@ -95,7 +102,9 @@ def test_golden_oracle_follows_sf_dir(spark, duck, name):
     sdf = entry.queries()[name](spark, SF_DIR)
     # driver semantics: sort columns by name, then compare sorted row values
     cols = sorted(sdf.columns)
-    spark_rows = sorted(tuple(r) for r in sdf.select(*cols).collect())
+    spark_rows = sorted(
+        (tuple(r) for r in sdf.select(*cols).collect()), key=_row_key
+    )
 
     sql = entry.oracle_sql(sf_dir=SF_DIR)[name]
     cur = duck.execute(sql)
@@ -103,7 +112,9 @@ def test_golden_oracle_follows_sf_dir(spark, duck, name):
     ora = cur.fetchall()
     assert sorted(ora_names) == cols
     order = [ora_names.index(c) for c in cols]
-    oracle_rows = sorted(tuple(row[i] for i in order) for row in ora)
+    oracle_rows = sorted(
+        (tuple(row[i] for i in order) for row in ora), key=_row_key
+    )
 
     assert len(spark_rows) == len(oracle_rows)
     assert spark_rows == oracle_rows
