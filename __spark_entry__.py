@@ -2944,13 +2944,14 @@ def q_scd2_intervals(spark, sf_dir):
     version of every user stamped with [valid_from, valid_to) via
     lead(ts) over (user, ts ASC NULLS FIRST, event_id) — the per-key
     sort is inherent (each version needs its successor) and bounded by
-    versions-per-key. Emits (user_id, event_id, valid_from,
-    valid_to)."""
+    versions-per-key. Emits (user_id, event_id, valid_from, valid_to,
+    is_current) — openness is the is_current flag, NOT NULL valid_to
+    (a successor with NULL ts also leaves valid_to NULL)."""
     from buildlog_consultant_spark.ops.snapshot import history_intervals
 
     ev = _read_adaptive(spark, f"{sf_dir}/events.parquet")
     return history_intervals(ev).select(
-        "user_id", "event_id", "valid_from", "valid_to"
+        "user_id", "event_id", "valid_from", "valid_to", "is_current"
     )
 
 
@@ -2959,7 +2960,11 @@ SELECT user_id, event_id, ts AS valid_from,
        lead(ts) OVER (
          PARTITION BY user_id
          ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
-       ) AS valid_to
+       ) AS valid_to,
+       lead(1) OVER (
+         PARTITION BY user_id
+         ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
+       ) IS NULL AS is_current
 FROM events
 """
 

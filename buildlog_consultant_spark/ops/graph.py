@@ -76,8 +76,13 @@ def pagerank(
 ) -> DataFrame:
     """(node, in_deg, rank_ppb) — exact-integer PageRank after
     ``iters`` rounds on the planted graph over the non-NULL ids."""
-    nodes = docs.where(F.col(id_col).isNotNull()).select(
-        F.col(id_col).cast("long").alias("node")
+    # .distinct() pins the documented node contract (the python replay
+    # dedupes via set()): a duplicate id would otherwise double-count
+    # its contribution every round and inflate n — diverging silently.
+    nodes = (
+        docs.where(F.col(id_col).isNotNull())
+        .select(F.col(id_col).cast("long").alias("node"))
+        .distinct()
     )
     n = nodes.count()
     if n == 0:
@@ -120,6 +125,12 @@ def pagerank(
             F.col("rank").alias("rank_ppb"),
         )
     )
+    # Materialize node-grain output (≤ one row per corpus id) so the
+    # cached edge partitions can be released NOW — returning a lazy
+    # frame would pin the edge cache for the session lifetime (each
+    # invocation leaking another copy into executor storage memory).
+    out = out.localCheckpoint(eager=True)
+    edges.unpersist()
     return out
 
 

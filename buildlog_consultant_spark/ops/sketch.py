@@ -103,6 +103,9 @@ def kmv_distinct_shingles(
     """Per-key estimated distinct shingle count:
     (key, n_mins, est_distinct). ``n_mins`` is the sketch fill (= exact
     distinct count when < k)."""
+    # the key travels through two mapInPandas stages — declare its REAL
+    # type (a hardcoded "string" would Arrow-mismatch any non-string key)
+    key_t = df.schema[key_col].dataType.simpleString()
     hashed = df.select(
         F.col(key_col).alias("_k"),
         F.explode(_shingles(text_col, shingle_k)).alias("_g"),
@@ -111,7 +114,7 @@ def kmv_distinct_shingles(
         F.xxhash64(F.col("_g")).bitwiseXOR(F.lit(_SIGN)).alias("_h"),
     )
     partial = hashed.mapInPandas(
-        _kmv_partial(k), schema="_k string, _mins array<long>"
+        _kmv_partial(k), schema=f"_k {key_t}, _mins array<long>"
     )
     merged = partial.groupBy("_k").agg(
         F.slice(
@@ -135,7 +138,7 @@ def kmv_distinct_shingles(
             )
 
     return merged.mapInPandas(
-        est_batch, schema="_k string, n_mins long, est_distinct long"
+        est_batch, schema=f"_k {key_t}, n_mins long, est_distinct long"
     ).withColumnRenamed("_k", key_col)
 
 

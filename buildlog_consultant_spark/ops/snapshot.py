@@ -80,10 +80,18 @@ def history_intervals(
     DuckDB defaults NULLS LAST) and breaks ts ties by the id, so
     intervals are engine-portable whenever (ts, tiebreak) is unique
     per key. A NULL-ts version sorts oldest (valid_from NULL, closed
-    by the first real version). NULL keys form one history group."""
+    by the first real version). NULL keys form one history group.
+
+    Openness is signaled by ``is_current`` (the key's LAST version),
+    NOT by ``valid_to IS NULL``: a version whose successor has NULL ts
+    also gets NULL valid_to (= the successor's unknown valid_from), so
+    a key with 2+ NULL-ts versions has several NULL-valid_to rows but
+    exactly one is_current row."""
     w = Window.partitionBy(key_col).orderBy(
         F.col(ts_col).asc_nulls_first(), F.col(tiebreak_col).asc_nulls_first()
     )
-    return df.withColumn("valid_from", F.col(ts_col)).withColumn(
-        "valid_to", F.lead(ts_col).over(w)
+    return (
+        df.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w))
+        .withColumn("is_current", F.lead(F.lit(1)).over(w).isNull())
     )

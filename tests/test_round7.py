@@ -661,7 +661,12 @@ def test_latest_by_key_preserves_schema_and_is_single_agg(spark):
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     out = latest_by_key(df, key_col="user_id")
     assert out.columns == df.columns
-    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = (
+        out._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
     # Map-side partial combine before the one key exchange (shuffle
     # bytes ~ keys, not events); no window (per-key sort of versions).
     assert "partial_max" in plan, plan[:1500]
@@ -792,6 +797,29 @@ def test_kmv_matches_python_replay_and_partitioning_invariant(spark):
             ).collect()
         }
         assert got == want, parts
+
+
+def test_kmv_non_string_key_column(spark):
+    # the mapInPandas schemas derive the key type from the input — a
+    # bigint key (with a NULL) must round-trip, not Arrow-mismatch
+    from buildlog_consultant_spark.ops.sketch import (
+        kmv_distinct_shingles,
+        py_kmv_distinct,
+    )
+
+    rows = [
+        (7, "a b c d e"),
+        (7, "a b c x y"),
+        (9, "p q r s"),
+        (None, "a b c"),
+    ]
+    df = spark.createDataFrame(rows, "grp long, text string")
+    got = {
+        r["grp"]: (r["n_mins"], r["est_distinct"])
+        for r in kmv_distinct_shingles(df, k=8, key_col="grp").collect()
+    }
+    want = {k: (n, est) for k, n, est in py_kmv_distinct(rows, k=8)}
+    assert got == want
 
 
 def test_kmv_exact_below_k_and_estimate_above_k(spark):
@@ -927,32 +955,45 @@ def test_history_intervals_semantics(spark):
         (5, 11, T.format(5), "e"),  # single version → open interval
         (6, None, T.format(1), "f"),  # NULL key is one history group
         (7, None, T.format(2), "g"),
+        (8, 12, None, "h"),  # TWO NULL-ts versions: id=8's successor
+        (9, 12, None, "i"),  # has NULL ts → valid_to NULL but NOT current
+        (10, 12, T.format(4), "j"),
     ]
     df = spark.createDataFrame(
         rows, "event_id long, user_id long, ts string, event_type string"
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     got = {
-        r["event_id"]: (str(r["valid_from"]), str(r["valid_to"]))
+        r["event_id"]: (str(r["valid_from"]), str(r["valid_to"]), r["is_current"])
         for r in history_intervals(df).collect()
     }
     s = "2024-01-01 00:00:0{}"
-    assert got[4] == ("None", s.format(1))  # NULL-ts version closed first
-    assert got[1] == (s.format(1), s.format(3))
-    assert got[2] == (s.format(3), s.format(3))  # tie: 2 precedes 3
-    assert got[3] == (s.format(3), "None")  # newest stays open
-    assert got[5] == (s.format(5), "None")
-    assert got[6] == (s.format(1), s.format(2))
-    assert got[7] == (s.format(2), "None")
+    assert got[4] == ("None", s.format(1), False)  # NULL-ts closed first
+    assert got[1] == (s.format(1), s.format(3), False)
+    assert got[2] == (s.format(3), s.format(3), False)  # tie: 2 precedes 3
+    assert got[3] == (s.format(3), "None", True)  # newest stays open
+    assert got[5] == (s.format(5), "None", True)
+    assert got[6] == (s.format(1), s.format(2), False)
+    assert got[7] == (s.format(2), "None", True)
+    # the review scenario: NULL valid_to does NOT imply current when the
+    # successor's ts is NULL — is_current disambiguates
+    assert got[8] == ("None", "None", False)
+    assert got[9] == ("None", s.format(4), False)
+    assert got[10] == (s.format(4), "None", True)
 
 
 def test_history_intervals_chain_invariant(spark):
-    # on real data: per key, exactly one open interval; valid_to of any
-    # closed interval equals some version's valid_from of the same key
+    # on real data: per key, exactly one current version; valid_to of
+    # any closed interval equals some version's valid_from of the same
+    # key. (NULL-valid_to count == n_keys additionally holds here only
+    # because the sf corpora carry no NULL ts.)
     from buildlog_consultant_spark.ops.snapshot import history_intervals
 
     ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    out = history_intervals(ev).select("user_id", "valid_from", "valid_to")
+    out = history_intervals(ev).select(
+        "user_id", "valid_from", "valid_to", "is_current"
+    )
     n_keys = ev.select("user_id").distinct().count()
+    assert out.where(F.col("is_current")).count() == n_keys
     assert out.where(F.col("valid_to").isNull()).count() == n_keys
     dangling = (
         out.where(F.col("valid_to").isNotNull())
