@@ -159,6 +159,52 @@ def main() -> None:
     nb = with_nb_score(docs, nbw, nbp)
     nb.collect()
 
+    from buildlog_consultant_spark.ops.anomaly import rate_spikes
+    from buildlog_consultant_spark.ops.funnel import funnel_times
+    from buildlog_consultant_spark.ops.graph import pagerank
+    from buildlog_consultant_spark.ops.overlap import source_gram_overlap
+    from buildlog_consultant_spark.ops.sketch import kmv_distinct_shingles
+    from buildlog_consultant_spark.ops.snapshot import (
+        history_intervals,
+        latest_by_key,
+    )
+    from buildlog_consultant_spark.ops.text import filter_quality_auto
+    from buildlog_consultant_spark.ops.web import domain_stats
+
+    hosts = spark.createDataFrame(
+        [(i, f"h{i % 5}.example{'s' * (i % 2)}.com") for i in range(40)],
+        "doc_id long, host string",
+    )
+    dom = domain_stats(hosts)
+    dom.collect()
+    qga = filter_quality_auto(docs)
+    qga.collect()
+    ovl = source_gram_overlap(line_docs, k=2)
+    ovl.collect()
+    ev2 = spark.createDataFrame(
+        [(i, i % 5, f"2024-01-0{1 + i % 3} 0{i % 10}:00:00",
+          ["view", "click", "purchase"][i % 3], float(i % 9))
+         for i in range(60)],
+        "event_id long, user_id long, ts string, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    snap = latest_by_key(ev2)
+    snap.collect()
+    fun = funnel_times(ev2)
+    fun.collect()
+    kmv = kmv_distinct_shingles(line_docs, k=8)
+    kmv.collect()
+    pr = pagerank(docs)  # localCheckpoints internally
+    hist = history_intervals(ev2)
+    hist.collect()
+    roll = ev2.rollup("event_type", F.to_date("ts").alias("day")).agg(
+        F.grouping_id().alias("gid"),
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+    roll.collect()
+    spikes = rate_spikes(ev2, window=4)
+    spikes.collect()
+
     out = [
         "# PLANS — executed plans of the flagship pipeline (local[4], 200-doc fixture corpus)",
         "",
@@ -303,6 +349,68 @@ def main() -> None:
         "## weight-map literal; training's explode+hash-agg ran at build time",
         "```",
         formatted(spark, nb),
+        "```",
+        "",
+        "## domain_stats (round 6) — registered-domain extraction is scan-side;",
+        "## ONE two-phase hash agg (exact distinct hosts inside the domain group)",
+        "```",
+        formatted(spark, dom),
+        "```",
+        "",
+        "## filter_quality_auto (round 6) — histogram two-pass threshold table",
+        "## broadcast joined back; corpus touched by the hash agg + filter only",
+        "```",
+        formatted(spark, qga),
+        "```",
+        "",
+        "## source_gram_overlap (round 6) — one distinct (source, gram) agg,",
+        "## pairs emitted map-side from bounded per-gram arrays; no self-join",
+        "```",
+        formatted(spark, ovl),
+        "```",
+        "",
+        "## latest_by_key (round 6) — snapshot compaction as ONE partial+final",
+        "## max(struct) agg: shuffle bytes ≈ keys, no Window, no per-key sort",
+        "```",
+        formatted(spark, snap),
+        "```",
+        "",
+        "## history_intervals (round 6) — the per-key sort is inherent to SCD2",
+        "## (each version needs its successor); ONE Window, bounded by",
+        "## versions-per-key",
+        "```",
+        formatted(spark, hist),
+        "```",
+        "",
+        "## funnel_times (round 6) — K conditional min-aggs chained by key",
+        "## equi-joins; no Window, no per-user event sort, no collect_list",
+        "```",
+        formatted(spark, fun),
+        "```",
+        "",
+        "## kmv_distinct_shingles (round 6) — bounded MapInPandas partial",
+        "## (≤ k mins per key per partition), ONE exchange of sketch rows",
+        "```",
+        formatted(spark, kmv),
+        "```",
+        "",
+        "## pagerank (round 6) — returned frame is the localCheckpoint scan;",
+        "## per-round plans are one equi-join + one map-side-combinable sum",
+        "## over cached src-partitioned edges (edges unpersisted on return)",
+        "```",
+        formatted(spark, pr),
+        "```",
+        "",
+        "## events ROLLUP (round 6) — ONE Expand + single partial+final hash",
+        "## agg: three grouping sets in one corpus scan",
+        "```",
+        formatted(spark, roll),
+        "```",
+        "",
+        "## rate_spikes (round 6) — corpus touched by ONE hash agg; both",
+        "## RANGE windows run over the (type, hour) aggregate only",
+        "```",
+        formatted(spark, spikes),
         "```",
     ]
     Path(__file__).resolve().parent.parent.joinpath("PLANS.md").write_text(
