@@ -636,16 +636,20 @@ FROM events GROUP BY event_type, hour
 
 
 def _stage_two_batch_events(sf_dir: str) -> Path:
-    """Stage the events table as TWO parquet files with distinct mtimes so
-    the file-stream source (maxFilesPerTrigger=1, mtime-ordered) replays
-    them as two deterministic micro-batches: batch 0 = event_id % 7 == 0,
+    return _stage_two_batch(sf_dir, "events", "event_id")
+
+
+def _stage_two_batch(sf_dir: str, table: str, id_col: str) -> Path:
+    """Stage ``table`` as TWO parquet files with distinct mtimes so the
+    file-stream source (maxFilesPerTrigger=1, mtime-ordered) replays
+    them as two deterministic micro-batches: batch 0 = id % 7 == 0,
     batch 1 = the rest. Cached per resolved sf_dir path."""
     import hashlib
     import os
 
     import pyarrow.parquet as pq
 
-    src = os.path.abspath(f"{sf_dir.rstrip('/')}/events.parquet")
+    src = os.path.abspath(f"{sf_dir.rstrip('/')}/{table}.parquet")
     # key on (path, mtime, size) so a regenerated source file re-stages —
     # a path-only key would silently stream stale batch copies while the
     # SQL oracle reads the fresh table
@@ -653,7 +657,7 @@ def _stage_two_batch_events(sf_dir: str) -> Path:
     key = hashlib.md5(
         f"{src}|{st.st_mtime_ns}|{st.st_size}".encode()
     ).hexdigest()[:12]
-    stage = _CACHE_DIR / f"stream_events2b_{key}"
+    stage = _CACHE_DIR / f"stream_{table}2b_{key}"
     done = stage / "_done"
     if not done.exists():
         import shutil
@@ -662,8 +666,8 @@ def _stage_two_batch_events(sf_dir: str) -> Path:
         shutil.rmtree(tmp, ignore_errors=True)
         tmp.mkdir(parents=True)
         pdf = pq.read_table(src).to_pandas()
-        b0 = pdf[pdf["event_id"] % 7 == 0]
-        b1 = pdf[pdf["event_id"] % 7 != 0]
+        b0 = pdf[pdf[id_col] % 7 == 0]
+        b1 = pdf[pdf[id_col] % 7 != 0]
         import pyarrow as pa
 
         pq.write_table(pa.Table.from_pandas(b0, preserve_index=False), tmp / "batch0.parquet")
@@ -3439,6 +3443,218 @@ FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
 """
 
 
+def q_q5_region_revenue(spark, sf_dir):
+    """TPC-H-Q5-shaped 6-table join pipeline: revenue by nation for
+    region ASIA where the customer and the line's supplier share a
+    nation, orders in 1996. The dims (nation, region) are broadcast
+    explicitly; AQE picks build sides for customer/supplier. Exact
+    cents (round(price*100) convention). Emits (n_name,
+    revenue_cents)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        li.join(
+            o.where(
+                (F.col("o_orderdate") >= F.lit("1996-01-01"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(r.where(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            ).alias("revenue_cents")
+        )
+        .orderBy(F.desc("revenue_cents"), F.asc("n_name"))
+    )
+
+
+ORACLE_Q5 = """
+SELECT n_name,
+       CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue_cents DESC, n_name ASC
+"""
+
+
+def q_collocations(spark, sf_dir):
+    """Collocation mining (ops/colloc.py): top-20 adjacent word pairs
+    by exact-integer association assoc_ppb = c_ab*10^9 DIV (c_a*c_b)
+    (rank-equivalent to PMI at fixed corpus totals — no float log).
+    Two vocab-bounded hash aggs + two vocab-keyed count joins; decimal
+    (38,0) arithmetic so stopword products can't overflow int64.
+    Emits (w1, w2, c_ab, c_a, c_b, assoc_ppb)."""
+    from buildlog_consultant_spark.ops.colloc import collocations
+
+    d = _docs(spark, sf_dir)
+    return collocations(d, min_count=3, k=20)
+
+
+ORACLE_COLLOCATIONS = r"""
+WITH toks AS (
+  SELECT string_split(lower(regexp_replace(trim(coalesce(text, ''), ' '),
+         '[ \t\n\x0b\f\r]+', ' ', 'g')), ' ') AS ts
+  FROM documents
+  WHERE trim(coalesce(text, ''), ' ') <> ''
+), uni AS (
+  SELECT w, COUNT(*) AS c
+  FROM (SELECT unnest(ts) AS w FROM toks) GROUP BY w
+), big0 AS (
+  SELECT unnest(list_transform(range(1, len(ts)),
+                i -> {'w1': ts[i], 'w2': ts[i + 1]})) AS p
+  FROM toks
+), big AS (
+  SELECT p.w1 AS w1, p.w2 AS w2, COUNT(*) AS c_ab
+  FROM big0 GROUP BY 1, 2 HAVING COUNT(*) >= 3
+)
+SELECT w1, w2, CAST(c_ab AS BIGINT) AS c_ab,
+       CAST(ca.c AS BIGINT) AS c_a, CAST(cb.c AS BIGINT) AS c_b,
+       CAST(CAST(c_ab AS HUGEINT) * 1000000000
+            // (CAST(ca.c AS HUGEINT) * cb.c) AS BIGINT) AS assoc_ppb
+FROM big
+JOIN uni ca ON ca.w = w1
+JOIN uni cb ON cb.w = w2
+ORDER BY assoc_ppb DESC, w1 ASC, w2 ASC
+LIMIT 20
+"""
+
+
+def q_cms_heavy(spark, sf_dir):
+    """Count-Min-sketch token-frequency estimates vs exact counts
+    (ops/sketch.py::cms_token_estimates): the overestimate-only
+    mergeable frequency sketch, built as ONE hash agg over the
+    depth-expanded token stream (4 × 256 counter table), probed for a
+    deterministic 16-token set. Emits (token, exact_c, cms_est) with
+    cms_est ≥ exact_c guaranteed."""
+    from buildlog_consultant_spark.ops.sketch import cms_token_estimates
+
+    d = _docs(spark, sf_dir)
+    return cms_token_estimates(d, width=256, depth=4, n_probe=16)
+
+
+def _oracle_cms_heavy(sf_dir: str = None) -> str:
+    import pyarrow.parquet as pq
+
+    from buildlog_consultant_spark.ops.sketch import py_cms_token_estimates
+
+    tbl = pq.read_table(
+        f"{sf_dir or _oracle_sf_dir()}/documents.parquet", columns=["text"]
+    )
+    rows = py_cms_token_estimates(
+        tbl["text"].to_pylist(), width=256, depth=4, n_probe=16
+    )
+    return _values_oracle(rows, ["token", "exact_c", "cms_est"])
+
+
+def q_inverted_index(spark, sf_dir):
+    """Inverted-index build (ops/index.py): per token with df ≥ 2, the
+    document-frequency stats plus the ascending posting list for rare
+    tokens (df ≤ 8; stopword postings are NULL by the cap contract —
+    the list pass is join-restricted to rare tokens so no collect ever
+    exceeds the cap). Emits (token, df_docs, min_doc, max_doc,
+    postings)."""
+    from buildlog_consultant_spark.ops.index import inverted_index
+
+    d = _docs(spark, sf_dir)
+    return inverted_index(d, min_df=2, postings_cap=8)
+
+
+ORACLE_INVERTED_INDEX = r"""
+WITH pairs AS (
+  SELECT DISTINCT doc_id AS doc,
+         unnest(string_split(lower(regexp_replace(trim(coalesce(text, ''), ' '),
+                '[ \t\n\x0b\f\r]+', ' ', 'g')), ' ')) AS token
+  FROM documents
+  WHERE doc_id IS NOT NULL AND trim(coalesce(text, ''), ' ') <> ''
+), stats AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df_docs,
+         MIN(doc) AS min_doc, MAX(doc) AS max_doc
+  FROM pairs GROUP BY token
+), lists AS (
+  SELECT token, string_agg(CAST(doc AS VARCHAR), ',' ORDER BY doc) AS postings
+  FROM pairs
+  WHERE token IN (SELECT token FROM stats WHERE df_docs <= 8)
+  GROUP BY token
+)
+SELECT s.token, df_docs, min_doc, max_doc, l.postings
+FROM stats s LEFT JOIN lists l ON s.token = l.token
+WHERE df_docs >= 2
+"""
+
+
+def q_streaming_kmv(spark, sf_dir):
+    """KMV distinct-shingle sketch maintained BY THE STREAMING ENGINE's
+    state store (streaming/pipeline.py::streaming_kmv,
+    applyInPandasWithState): the documents table staged as two
+    mtime-ordered micro-batches, per-source k-min state merged across
+    them (KMV merge is commutative/associative/idempotent, so the
+    final state equals the batch sketch regardless of batching).
+    Per-batch snapshots land in an append memory sink; the final
+    sketch per key is the max(struct(n_mins, est_distinct)) — both
+    components are nondecreasing over batches. Oracle: the SAME
+    Python-golden replay as the batch kmv_distinct query."""
+    import uuid
+
+    from buildlog_consultant_spark.streaming.pipeline import streaming_kmv
+
+    stage = _stage_two_batch(sf_dir, "documents", "doc_id")
+    sch = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage))
+    )
+    out = streaming_kmv(stream, key_col="source", k=64)
+    name = f"blc_skmv_{uuid.uuid4().hex[:8]}"
+    with _stream_state_partitions(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    snaps = spark.table(name)
+    return (
+        snaps.groupBy("source")
+        .agg(F.max(F.struct("n_mins", "est_distinct")).alias("_m"))
+        .select(
+            "source",
+            F.col("_m.n_mins").alias("n_mins"),
+            F.col("_m.est_distinct").alias("est_distinct"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "classify_kind_counts": q_classify_kind_counts,
@@ -3516,6 +3732,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_intervals": q_scd2_intervals,
         "events_rollup": q_events_rollup,
         "rate_anomaly": q_rate_anomaly,
+        "q5_region_revenue": q_q5_region_revenue,
+        "collocations": q_collocations,
+        "cms_heavy": q_cms_heavy,
+        "inverted_index": q_inverted_index,
+        "streaming_kmv": q_streaming_kmv,
     }
 
 
@@ -3598,4 +3819,9 @@ def oracle_sql(sf_dir: str = None) -> dict[str, str]:
         "scd2_intervals": ORACLE_SCD2_INTERVALS,
         "events_rollup": ORACLE_EVENTS_ROLLUP,
         "rate_anomaly": ORACLE_RATE_ANOMALY,
+        "q5_region_revenue": ORACLE_Q5,
+        "collocations": ORACLE_COLLOCATIONS,
+        "cms_heavy": _oracle_cms_heavy(sf_dir),
+        "inverted_index": ORACLE_INVERTED_INDEX,
+        "streaming_kmv": _oracle_kmv_distinct(sf_dir),
     }

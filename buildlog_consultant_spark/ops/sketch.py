@@ -51,6 +51,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import _shingles
+from .text import tokens_expr
 
 _SIGN = -(1 << 63)
 INT64_MAX = (1 << 63) - 1
@@ -140,6 +141,114 @@ def kmv_distinct_shingles(
     return merged.mapInPandas(
         est_batch, schema=f"_k {key_t}, n_mins long, est_distinct long"
     ).withColumnRenamed("_k", key_col)
+
+
+def _cms_bucket(j: int, word, width: int):
+    """Row-j CMS bucket of a word: pmod(xxhash64(j::long, word), width).
+    The long-first argument order is load-bearing — Spark's multi-arg
+    xxhash64 chains seeds as xxh64(utf8(w), seed=xxh64(le64(j), 42)),
+    which the Python replay reproduces exactly (an int-typed first arg
+    would take the 4-byte path instead)."""
+    return F.pmod(F.xxhash64(F.lit(j).cast("long"), word), F.lit(width))
+
+
+def cms_token_estimates(
+    df: DataFrame,
+    width: int = 256,
+    depth: int = 4,
+    n_probe: int = 16,
+    text_col: str = "text",
+) -> DataFrame:
+    """Count-Min-sketch token-frequency estimates vs exact counts —
+    the OTHER mergeable sketch a crawl pipeline keeps (heavy-hitter /
+    frequency estimation where per-token exact counters don't fit;
+    Cormode & Muthukrishnan 2005). Emits (token, exact_c, cms_est) for
+    a deterministic probe set: the ``n_probe`` distinct tokens with the
+    smallest (xxhash64(token), token). CMS guarantees cms_est ≥ exact_c
+    (overestimate-only) with error ≤ 2N/width at ≥ 1 − 2^-depth
+    probability.
+
+    Scale shape: the sketch build is ONE hash agg over the depth-
+    expanded token stream (map-side fan-out × depth, map-side combined;
+    the agg output is the bounded depth × width counter table). The
+    probe estimate joins n_probe × depth rows against that table —
+    broadcast-sized by construction. Exact counts come from the
+    vocab-bounded unigram agg (at true crawl scale the exact side is
+    the expensive half — that asymmetry is the point of the sketch;
+    here it doubles as the oracle-checked ground truth).
+
+    All counters are exact integers; the whole operator is replayed
+    bit-for-bit by py_cms_token_estimates."""
+    toks = df.select(F.explode(tokens_expr(text_col)).alias("w"))
+    expand = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("int").alias("j"),
+                _cms_bucket(j, F.col("w"), width).alias("b"),
+            )
+            for j in range(depth)
+        ]
+    )
+    cms = (
+        toks.select(F.explode(expand).alias("p"))
+        .groupBy(F.col("p.j").alias("j"), F.col("p.b").alias("b"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    uni = toks.groupBy("w").agg(F.count("*").cast("long").alias("exact_c"))
+    probes = uni.orderBy(F.xxhash64("w").asc(), F.col("w").asc()).limit(
+        n_probe
+    )
+    probed = probes.select(
+        "w", "exact_c", F.explode(expand).alias("p")
+    ).select("w", "exact_c", F.col("p.j").alias("j"), F.col("p.b").alias("b"))
+    return (
+        probed.join(F.broadcast(cms), ["j", "b"])
+        .groupBy("w", "exact_c")
+        .agg(F.min("c").alias("cms_est"))
+        .select(F.col("w").alias("token"), "exact_c", "cms_est")
+    )
+
+
+def py_cms_token_estimates(
+    texts: list, width: int = 256, depth: int = 4, n_probe: int = 16
+) -> list:
+    """Pure-Python golden replay of cms_token_estimates over a list of
+    text values: same tokenizer (ASCII-ws collapse, lower, strip; NULL/
+    empty → no tokens), same chained xxhash64, same probe selection.
+    Returns sorted (token, exact_c, cms_est)."""
+    import re
+    import struct as _struct
+
+    from .xxh64 import xxh64, xxh64_signed
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    counts: dict = {}
+    for text in texts:
+        t = (text or "").strip(" ")
+        if not t:
+            continue
+        for w in ws.sub(" ", t).lower().split(" "):
+            counts[w] = counts.get(w, 0) + 1
+    seeds = [xxh64(_struct.pack("<q", j), 42) for j in range(depth)]
+
+    def bucket(j: int, w: str) -> int:
+        return xxh64_signed(w.encode("utf-8"), seeds[j]) % width
+
+    cms = [[0] * width for _ in range(depth)]
+    for w, c in counts.items():
+        for j in range(depth):
+            cms[j][bucket(j, w)] += c
+    probes = sorted(
+        counts, key=lambda w: (xxh64_signed(w.encode("utf-8")), w)
+    )[:n_probe]
+    return sorted(
+        (
+            w,
+            counts[w],
+            min(cms[j][bucket(j, w)] for j in range(depth)),
+        )
+        for w in probes
+    )
 
 
 def py_kmv_distinct(

@@ -196,6 +196,76 @@ def streaming_dedup(
     return d.dropDuplicates(list(key_cols))
 
 
+def streaming_kmv(
+    stream: DataFrame,
+    key_col: str = "source",
+    text_col: str = "text",
+    k: int = 64,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Per-key KMV distinct-shingle sketch maintained in the STREAMING
+    state store (applyInPandasWithState) — the incremental form of
+    ops/sketch.py::kmv_distinct_shingles: a crawl ingest keeps a
+    running "distinct shingles per source" cardinality without ever
+    re-scanning history.
+
+    Correctness under arbitrary batching: KMV merge (union the hash
+    sets, keep the k smallest) is commutative, associative, and
+    idempotent, so the state after the final micro-batch equals the
+    batch sketch over the full input REGARDLESS of how rows are split
+    into batches or ordered within them. Each invocation emits the
+    key's running (n_mins, est_distinct) snapshot; both are
+    NONDECREASING over batches (fill grows to k, then U(k) only
+    shrinks), so the final sketch per key is selected downstream with
+    one max(struct(n_mins, est_distinct)) agg — the latest_by_key
+    shape, no ordering column needed.
+
+    Scale/state: hashing is JVM-side BEFORE the stateful op (the pandas
+    worker only merges ints); state is ≤ k longs per key — bounded, no
+    watermark required. Estimates share kmv_estimate_py with the batch
+    op and the pure-Python oracle."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..ops.dedup import _shingles
+    from ..ops.sketch import _SIGN, kmv_estimate_py
+
+    key_t = stream.schema[key_col].dataType.simpleString()
+    hashed = stream.select(
+        F.col(key_col).alias("_k"),
+        F.explode(_shingles(text_col, shingle_k)).alias("_g"),
+    ).select(
+        "_k", F.xxhash64(F.col("_g")).bitwiseXOR(F.lit(_SIGN)).alias("_h")
+    )
+
+    def update(key, pdfs, state: GroupState):
+        mins = set(state.get[0]) if state.exists else set()
+        for pdf in pdfs:
+            mins.update(int(v) for v in pdf["_h"])
+        kept = sorted(mins)[:k]
+        state.update((kept,))
+        est = kmv_estimate_py([v + (1 << 63) for v in kept], k)
+        yield pd.DataFrame(
+            {
+                "_k": [key[0]],
+                "n_mins": [len(kept)],
+                "est_distinct": [est],
+            }
+        )
+
+    return (
+        hashed.groupBy("_k")
+        .applyInPandasWithState(
+            update,
+            outputStructType=f"_k {key_t}, n_mins long, est_distinct long",
+            stateStructType="mins array<long>",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        .withColumnRenamed("_k", key_col)
+    )
+
+
 def streaming_kind_counts(
     classified: DataFrame,
     window: str = "10 minutes",

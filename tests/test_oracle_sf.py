@@ -88,6 +88,8 @@ def _row_key(row):
         "scd2_intervals",
         "events_rollup",
         "rate_anomaly",
+        "cms_heavy",
+        "streaming_kmv",
         # streaming queries: plain-SQL oracles, but their file-stream
         # staging logic is sf_dir-dependent — exercise it at the second
         # scale too

@@ -1,0 +1,305 @@
+"""Round-6 batch 4 operators: collocations (exact-integer PMI ranking),
+Count-Min sketch estimates, bounded inverted index, TPC-H-Q5-shaped join
+pipeline, streaming KMV state merge."""
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    yield s
+
+
+# ---------------------------------------------------------------------------
+# collocations
+# ---------------------------------------------------------------------------
+
+
+def test_collocations_exact_counts_and_ranking(spark):
+    from buildlog_consultant_spark.ops.colloc import collocations
+
+    rows = [
+        ("new york new york",),      # "new york" ×2, "york new" ×1
+        ("new york city",),          # "new york" ×1, "york city" ×1
+        ("a b a b a",),              # "a b" ×2, "b a" ×2
+        (None,),                     # no tokens
+        ("solo",),                   # size<2 → no bigrams
+        ("",),                       # no tokens
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    got = {
+        (r["w1"], r["w2"]): (r["c_ab"], r["c_a"], r["c_b"], r["assoc_ppb"])
+        for r in collocations(df, min_count=2, k=10).collect()
+    }
+    # counts: new=3 york=3 city=1 a=3 b=2 solo=1
+    assert got[("new", "york")] == (3, 3, 3, 3 * 10**9 // 9)
+    assert got[("a", "b")] == (2, 3, 2, 2 * 10**9 // 6)
+    assert got[("b", "a")] == (2, 2, 3, 2 * 10**9 // 6)
+    # floor excluded the count-1 bigrams
+    assert ("york", "new") not in got and ("york", "city") not in got
+
+
+def test_collocations_k_truncation_is_total_order(spark):
+    from buildlog_consultant_spark.ops.colloc import collocations
+
+    df = spark.createDataFrame(
+        [(" ".join(f"t{j} t{j}" for _ in range(3)),) for j in range(6)],
+        "text string",
+    )
+    out = collocations(df, min_count=2, k=4).collect()
+    assert len(out) == 4
+    keys = [(r["assoc_ppb"], r["w1"], r["w2"]) for r in out]
+    assert keys == sorted(keys, key=lambda t: (-t[0], t[1], t[2]))
+
+
+def test_collocations_plan_is_take_ordered(spark):
+    from buildlog_consultant_spark.ops.colloc import collocations
+
+    df = spark.createDataFrame([("a b c",)] * 8, "text string")
+    out = collocations(df, min_count=2, k=5)
+    plan = (
+        out._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+    assert "Window" not in plan, plan[:1500]
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+
+def _cms_corpus():
+    return [
+        (" ".join(f"w{(i * 7 + j) % 29}" for j in range(15)),)
+        for i in range(40)
+    ] + [(None,), ("",), ("  ",)]
+
+
+def test_cms_matches_python_replay_any_partitioning(spark):
+    from buildlog_consultant_spark.ops.sketch import (
+        cms_token_estimates,
+        py_cms_token_estimates,
+    )
+
+    rows = _cms_corpus()
+    df = spark.createDataFrame(rows, "text string")
+    want = sorted(py_cms_token_estimates([t for (t,) in rows]))
+    for parts in (1, 5):
+        got = sorted(
+            (r["token"], r["exact_c"], r["cms_est"])
+            for r in cms_token_estimates(df.repartition(parts)).collect()
+        )
+        assert got == want, parts
+
+
+def test_cms_overestimates_only_and_tight_when_wide(spark):
+    from buildlog_consultant_spark.ops.sketch import cms_token_estimates
+
+    df = spark.createDataFrame(_cms_corpus(), "text string")
+    rows = cms_token_estimates(df).collect()
+    assert rows
+    assert all(r["cms_est"] >= r["exact_c"] for r in rows)
+    # 29 distinct tokens ≪ 256 buckets × 4 rows → collisions are rare
+    # enough that at least one probe is exact
+    assert any(r["cms_est"] == r["exact_c"] for r in rows)
+
+
+def test_cms_narrow_width_still_overestimates(spark):
+    from buildlog_consultant_spark.ops.sketch import (
+        cms_token_estimates,
+        py_cms_token_estimates,
+    )
+
+    rows = _cms_corpus()
+    df = spark.createDataFrame(rows, "text string")
+    got = sorted(
+        (r["token"], r["exact_c"], r["cms_est"])
+        for r in cms_token_estimates(df, width=4, depth=2, n_probe=8).collect()
+    )
+    want = sorted(
+        py_cms_token_estimates([t for (t,) in rows], width=4, depth=2, n_probe=8)
+    )
+    assert got == want
+    assert all(est >= c for (_, c, est) in got)
+    # width 4 forces collisions over 29 tokens: some estimate must inflate
+    assert any(est > c for (_, c, est) in got)
+
+
+# ---------------------------------------------------------------------------
+# inverted index
+# ---------------------------------------------------------------------------
+
+
+def test_inverted_index_semantics(spark):
+    from buildlog_consultant_spark.ops.index import inverted_index
+
+    rows = [
+        (2, "alpha beta beta"),    # beta deduped per doc
+        (10, "alpha beta"),
+        (1, "alpha gamma"),
+        (None, "alpha beta"),      # NULL doc id excluded
+        (3, None),                 # NULL text → no tokens
+        (4, "alpha"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["token"]: (r["df_docs"], r["min_doc"], r["max_doc"], r["postings"])
+        for r in inverted_index(df, min_df=2, postings_cap=3).collect()
+    }
+    # numeric posting order: 1,2,4,10 — NOT "1,10,2,4"
+    assert got["alpha"] == (4, 1, 10, None)  # df 4 > cap 3 → NULL postings
+    assert got["beta"] == (2, 2, 10, "2,10")
+    assert "gamma" not in got  # df 1 < min_df
+
+
+def test_inverted_index_numeric_posting_sort(spark):
+    from buildlog_consultant_spark.ops.index import inverted_index
+
+    df = spark.createDataFrame(
+        [(i, "tok") for i in (10, 2, 1, 30)], "doc_id long, text string"
+    )
+    [r] = inverted_index(df, min_df=2, postings_cap=8).collect()
+    assert r["postings"] == "1,2,10,30"
+
+
+# ---------------------------------------------------------------------------
+# q5 join pipeline plan
+# ---------------------------------------------------------------------------
+
+
+def test_q5_plan_broadcasts_dims(spark):
+    import __spark_entry__ as entry
+
+    out = entry.q_q5_region_revenue(spark, "/root/testdata/sf0.001")
+    out.collect()
+    plan = (
+        out._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or plan.count("BroadcastHashJoin") >= 3
+
+
+# ---------------------------------------------------------------------------
+# streaming KMV
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_kmv_equals_batch_sketch_across_batches(spark, tmp_path):
+    import uuid
+
+    from buildlog_consultant_spark.ops.sketch import py_kmv_distinct
+    from buildlog_consultant_spark.streaming.pipeline import streaming_kmv
+
+    rows = [
+        (i, f"s{i % 3}", " ".join(f"w{(i * 5 + j) % 31}" for j in range(10)))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    # three mtime-ordered files → three micro-batches; batch membership
+    # deliberately interleaves sources so every key's state merges
+    import os
+    import time
+
+    for b in range(3):
+        # (id % 9) DIV 3 cycles independently of id % 3, so every batch
+        # carries every source and each key's state merges 3 times
+        part = df.where(F.expr("(doc_id % 9) DIV 3") == b)
+        path = str(tmp_path / f"b{b}.parquet")
+        part.toPandas().to_parquet(path)
+        now = time.time()
+        os.utime(path, (now - 300 + 60 * b, now - 300 + 60 * b))
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path))
+    )
+    out = streaming_kmv(stream, key_col="source", k=16)
+    name = f"t_skmv_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    snaps = spark.table(name)
+    # every key updated in every batch → 3 snapshots per key
+    assert snaps.count() == 9
+    final = {
+        r["source"]: (r["n_mins"], r["est_distinct"])
+        for r in snaps.groupBy("source")
+        .agg(F.max(F.struct("n_mins", "est_distinct")).alias("m"))
+        .select("source", "m.n_mins", "m.est_distinct")
+        .collect()
+    }
+    want = {
+        k: (n, est)
+        for k, n, est in py_kmv_distinct(
+            [(s, t) for (_, s, t) in rows], k=16
+        )
+    }
+    assert final == want
+
+
+def test_streaming_kmv_snapshots_are_monotone(spark, tmp_path):
+    import os
+    import time
+    import uuid
+
+    from buildlog_consultant_spark.streaming.pipeline import streaming_kmv
+
+    rows = [(i, "only", f"u{i} v{i} w{i} x{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    for b in range(2):
+        path = str(tmp_path / f"b{b}.parquet")
+        df.where(F.col("doc_id") % 2 == b).toPandas().to_parquet(path)
+        now = time.time()
+        os.utime(path, (now - 300 + 60 * b, now - 300 + 60 * b))
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path))
+    )
+    out = streaming_kmv(stream, key_col="source", k=8)
+    name = f"t_skmv_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    snaps = [
+        (r["n_mins"], r["est_distinct"])
+        for r in spark.table(name).collect()
+    ]
+    assert len(snaps) == 2
+    lo, hi = sorted(snaps)
+    assert lo[0] <= hi[0] and lo[1] <= hi[1]
+    # k=8 saturates against 40 docs × 4 distinct tokens → estimate path
+    assert hi[0] == 8 and hi[1] > 8
