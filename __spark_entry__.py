@@ -3655,6 +3655,147 @@ def q_streaming_kmv(spark, sf_dir):
     )
 
 
+def q_split_exact(spark, sf_dir):
+    """EXACT stratified train/val/test split (ops/quota.py::
+    hash_split_per_key): per lang, rows ranked by the selection-order
+    hash are cut at (n·8) DIV 10 and (n·9) DIV 10 — exact per-language
+    proportions, deterministic on any partitioning. The rank runs per
+    (lang, hash-prefix-bucket) — partitions bounded by one bucket, no
+    whole-key sort. Emits the full labeled assignment (doc_id, lang,
+    split)."""
+    from buildlog_consultant_spark.ops.quota import hash_split_per_key
+
+    d = _docs(spark, sf_dir)
+    out = hash_split_per_key(
+        d, {"train": 8, "val": 1, "test": 1}, key_col="lang"
+    )
+    return out.select("doc_id", "lang", "split")
+
+
+ORACLE_SPLIT_EXACT = """
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(coalesce(CAST(doc_id AS VARCHAR), '')), doc_id ASC NULLS FIRST
+         ) AS r,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN r <= (n * 8) // 10 THEN 'train'
+            WHEN r <= (n * 9) // 10 THEN 'val'
+            ELSE 'test' END AS split
+FROM ranked
+"""
+
+
+def q_cluster_canonical(spark, sf_dir):
+    """Canonical-member election per near-dup cluster
+    (ops/dedup.py::cluster_canonical): keep the LONGEST member
+    (n_chars metadata, ties to lowest id) — the retention policy that
+    follows clustering. One max(struct(chars, -id)) partial+final agg
+    per cluster. Emits (cluster, n_members, kept_id, kept_chars)."""
+    from buildlog_consultant_spark.ops.dedup import cluster_canonical
+
+    d = _docs(spark, sf_dir)
+    return cluster_canonical(d)
+
+
+def _oracle_cluster_canonical(sf_dir: str = None) -> str:
+    import pyarrow.parquet as pq
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b, _ in _minhash_xx_pairs_golden(sf_dir=sf_dir):
+        union(a, b)
+    tbl = pq.read_table(
+        f"{sf_dir or _oracle_sf_dir()}/documents.parquet",
+        columns=["doc_id", "n_chars"],
+    )
+    chars = dict(zip(tbl["doc_id"].to_pylist(), tbl["n_chars"].to_pylist()))
+    groups: dict[int, list] = {}
+    for x in parent:
+        groups.setdefault(find(x), []).append(x)
+    rows = []
+    for cluster, members in sorted(groups.items()):
+        best = max(
+            members,
+            key=lambda i: ((chars.get(i) if chars.get(i) is not None else -1), -i),
+        )
+        c = chars.get(best)
+        rows.append(
+            (cluster, len(members), best, c if c is not None else -1)
+        )
+    return _values_oracle(
+        rows, ["cluster", "n_members", "kept_id", "kept_chars"]
+    )
+
+
+def q_retention_cohorts(spark, sf_dir):
+    """Cohort retention triangle (ops/funnel.py::retention_cohorts):
+    users grouped by first-seen day, exact distinct-user counts per
+    (cohort_day, day_offset). Distinct (user, day) pairs first (ONE
+    corpus hash agg), min-day per user, one user-keyed join, final
+    two-phase countDistinct agg — no window."""
+    from buildlog_consultant_spark.ops.funnel import retention_cohorts
+
+    ev = _read_adaptive(spark, f"{sf_dir}/events.parquet")
+    return retention_cohorts(ev)
+
+
+ORACLE_RETENTION_COHORTS = """
+WITH du AS (
+  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+), cohorts AS (
+  SELECT u, MIN(d) AS cohort_day FROM du GROUP BY u
+)
+SELECT cohort_day, CAST(du.d - cohort_day AS BIGINT) AS day_offset,
+       CAST(COUNT(DISTINCT du.u) AS BIGINT) AS n_users
+FROM du JOIN cohorts USING (u)
+GROUP BY 1, 2
+"""
+
+
+def q_wau_rolling(spark, sf_dir):
+    """Rolling 7-day distinct active users
+    (ops/funnel.py::rolling_active_users): exact trailing-window
+    COUNT(DISTINCT) via fan-out-the-aggregate — each DISTINCT
+    (user, day) pair explodes to the ≤7 window-end days it serves
+    (map-side, bounded), semi-joined to traffic days, one exact
+    countDistinct per day. Never a day×day range join; shuffle is
+    7 × |distinct pairs| regardless of event volume."""
+    from buildlog_consultant_spark.ops.funnel import rolling_active_users
+
+    ev = _read_adaptive(spark, f"{sf_dir}/events.parquet")
+    return rolling_active_users(ev, window_days=7)
+
+
+ORACLE_WAU_ROLLING = """
+WITH du AS (
+  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+), days AS (SELECT DISTINCT d FROM du)
+SELECT days.d AS day, CAST(COUNT(DISTINCT du.u) AS BIGINT) AS active_users
+FROM days JOIN du ON du.d BETWEEN days.d - 6 AND days.d
+GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "classify_kind_counts": q_classify_kind_counts,
@@ -3737,6 +3878,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy": q_cms_heavy,
         "inverted_index": q_inverted_index,
         "streaming_kmv": q_streaming_kmv,
+        "split_exact": q_split_exact,
+        "cluster_canonical": q_cluster_canonical,
+        "retention_cohorts": q_retention_cohorts,
+        "wau_rolling": q_wau_rolling,
     }
 
 
@@ -3824,4 +3969,8 @@ def oracle_sql(sf_dir: str = None) -> dict[str, str]:
         "cms_heavy": _oracle_cms_heavy(sf_dir),
         "inverted_index": ORACLE_INVERTED_INDEX,
         "streaming_kmv": _oracle_kmv_distinct(sf_dir),
+        "split_exact": ORACLE_SPLIT_EXACT,
+        "cluster_canonical": _oracle_cluster_canonical(sf_dir),
+        "retention_cohorts": ORACLE_RETENTION_COHORTS,
+        "wau_rolling": ORACLE_WAU_ROLLING,
     }

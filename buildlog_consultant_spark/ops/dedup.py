@@ -598,6 +598,56 @@ def near_dup_clusters(
     return connected_components(pairs.select("id_a", "id_b"))
 
 
+def cluster_canonical(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chars_col: str = "n_chars",
+    **minhash_kwargs,
+) -> DataFrame:
+    """Canonical-member election per near-dup cluster — the retention
+    policy that follows clustering in a real dedup pass: within each
+    cluster KEEP THE LONGEST member (most content preserved), ties to
+    the lowest id. Emits (cluster, n_members, kept_id, kept_chars).
+
+    Length comes from the ``chars_col`` metadata column (NOT
+    length(text): Java String length counts UTF-16 units where Python
+    counts code points — a latent surrogate-pair divergence the
+    metadata column sidesteps for both engines); NULL chars coalesce
+    to -1 so a NULL-length member never beats a measured one.
+
+    Scale shape: near_dup_clusters' bucketed LSH + components, then ONE
+    max(struct(chars, -id)) partial+final agg per cluster (the
+    latest_by_key shape — shuffle bytes ≈ clusters, no per-cluster
+    sort). The -id negation flips the tiebreak so struct-max = (max
+    chars, MIN id); ids are non-negative by the corpus contract."""
+    clusters = near_dup_clusters(df, id_col, text_col, **minhash_kwargs)
+    members = clusters.join(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.coalesce(F.col(chars_col), F.lit(-1)).alias("_len"),
+        ),
+        "id",
+    )
+    return (
+        members.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.max(
+                F.struct(
+                    F.col("_len").alias("l"), (-F.col("id")).alias("ni")
+                )
+            ).alias("_m"),
+        )
+        .select(
+            "cluster",
+            "n_members",
+            (-F.col("_m.ni")).cast("long").alias("kept_id"),
+            F.col("_m.l").cast("long").alias("kept_chars"),
+        )
+    )
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

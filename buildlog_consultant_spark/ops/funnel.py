@@ -73,6 +73,90 @@ def funnel_times(
     return acc
 
 
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention — the activity triangle every product/log
+    pipeline reports: users grouped by the DAY THEY FIRST APPEARED
+    (cohort_day), counted on each later activity day as an offset
+    (cohort_day, day_offset, n_users).
+
+    Scale shape: collapse to DISTINCT (user, day) FIRST (retention
+    counts users, not events — and it's also the cheapest possible
+    projection: one hash agg over corpus rows); min-day per user is a
+    second hash agg over those bounded pairs; one user-keyed equi-join
+    stamps each pair with its cohort; the final (cohort, offset) agg
+    counts users exactly (countDistinct within a group, two-phase hash
+    agg). No window, no per-user sort.
+
+    NULL policy: NULL ts rows can't date and NULL users can't cohort —
+    both excluded up front (documented; countDistinct would silently
+    skip NULL users anyway, so excluding them keeps the distinct pairs
+    and the final count consistent)."""
+    du = (
+        events.where(
+            F.col(ts_col).isNotNull() & F.col(user_col).isNotNull()
+        )
+        .select(F.col(user_col).alias("u"), F.to_date(ts_col).alias("d"))
+        .distinct()
+    )
+    cohort = du.groupBy("u").agg(F.min("d").alias("cohort_day"))
+    return (
+        du.join(cohort, "u")
+        .groupBy(
+            "cohort_day",
+            F.datediff("d", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .agg(F.countDistinct("u").alias("n_users"))
+    )
+
+
+def rolling_active_users(
+    events: DataFrame,
+    window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Rolling distinct-user counts (WAU when window_days=7): for every
+    day with traffic, the EXACT count of distinct users active in the
+    trailing ``window_days`` window — (day, active_users).
+
+    Scale shape — fan out the AGGREGATE, not a distinct-over-window:
+    a rolling COUNT(DISTINCT) can't be windowed (distinct doesn't
+    decompose over frames) and a day×day range self-join explodes.
+    Instead each DISTINCT (user, day) pair — already one corpus hash
+    agg — is exploded to the ``window_days`` window-end days it
+    contributes to (bounded ×7 map-side fan-out of the aggregate),
+    semi-joined to days that actually have traffic, and counted with
+    one exact countDistinct per day. Shuffle volume is
+    window_days × |distinct pairs|, independent of event count.
+
+    NULL ts/user excluded as in retention_cohorts."""
+    du = (
+        events.where(
+            F.col(ts_col).isNotNull() & F.col(user_col).isNotNull()
+        )
+        .select(F.col(user_col).alias("u"), F.to_date(ts_col).alias("d"))
+        .distinct()
+    )
+    days = du.select(F.col("d").alias("day")).distinct()
+    fan = du.select(
+        "u",
+        F.explode(
+            F.sequence(
+                F.col("d"), F.date_add(F.col("d"), window_days - 1)
+            )
+        ).alias("day"),
+    )
+    return (
+        fan.join(days, "day")
+        .groupBy("day")
+        .agg(F.countDistinct("u").alias("active_users"))
+    )
+
+
 def funnel_counts(
     events: DataFrame,
     steps: Sequence[str] = ("view", "click", "purchase"),

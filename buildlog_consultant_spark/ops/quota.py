@@ -603,6 +603,83 @@ def mixture_allocations_py(totals: list, budget: int, weight_scale: int = 1_000_
     )
 
 
+def hash_split_per_key(
+    df: DataFrame,
+    weights: dict,
+    key_col: str = "lang",
+    id_col: str = "doc_id",
+    bucket_hex_chars: int = 2,
+    split_col: str = "split",
+) -> DataFrame:
+    """EXACT stratified split — train/val/test assignment with exact
+    per-key proportions (the split-leakage control a training pipeline
+    runs per language/source): within each key, rows ranked by the
+    selection-order hash (md5(coalesce(id,'')), id) are cut at
+    boundary_i = (n_key · cumweight_i) DIV total_weight — deterministic,
+    rerun-stable on any partitioning, and replayable by a plain
+    QUALIFY-style SQL oracle. The cheap industry alternative (label by
+    hash RANGE, no shuffle, ~proportions only) is a one-liner on top of
+    _order_hash; this operator is the exact-quota variant.
+
+    ``weights``: ordered {label: integer weight}; every key's class
+    counts are exactly floor-cumulative (largest class absorbs
+    remainders at the tail by construction).
+
+    Scale shape (key_quota's bucket discipline, extended from a
+    selection to a TOTAL labeling): per-(key, hash-prefix-bucket)
+    counts from one hash agg; per-key totals and per-bucket prefix
+    offsets computed on that tiny table; the rank window then runs
+    per (key, bucket) — every partition bounded by one bucket of one
+    key regardless of skew, never a whole-key sort. Labeling touches
+    every row by necessity (the label IS the output), so the one
+    bounded-rank shuffle of corpus rows is inherent, not avoidable.
+    Because the bucket id is a hash PREFIX, prefix-offset + in-bucket
+    rank equals the global per-key rank exactly.
+
+    NULL policy: NULL ids hash as '' (≤ 1 per key — _order_hash
+    contract); NULL keys are their own stratum (null-safe join)."""
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be positive")
+    labels = list(weights)
+    total = sum(weights.values())
+    h = _order_hash(id_col)
+    b = F.substring(h, 1, bucket_hex_chars)
+    d = df.withColumn("_h", h).withColumn("_b", b)
+
+    counts = d.groupBy(key_col, "_b").agg(F.count("*").alias("_cnt"))
+    w_cum = (
+        Window.partitionBy(key_col)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(key_col)
+    meta = counts.select(
+        F.col(key_col).alias("_mk"),
+        F.col("_b").alias("_mb"),
+        (F.sum("_cnt").over(w_cum) - F.col("_cnt")).alias("_before"),
+        F.sum("_cnt").over(w_all).alias("_n"),
+    )
+    dd = d.join(
+        F.broadcast(meta),
+        F.col(key_col).eqNullSafe(F.col("_mk")) & (F.col("_b") == F.col("_mb")),
+    ).drop("_mk", "_mb")
+    w_rank = Window.partitionBy(key_col, "_b").orderBy("_h", id_col)
+    r = (F.col("_before") + F.row_number().over(w_rank)).alias("_r")
+    dd = dd.withColumn("_r", r)
+    cum = 0
+    expr = None
+    for label, wgt in list(weights.items())[:-1]:
+        cum += wgt
+        cond = F.col("_r") <= F.expr(f"(_n * {cum}) DIV {total}")
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    expr = (
+        F.lit(labels[0]) if expr is None else expr.otherwise(labels[-1])
+    )
+    return dd.withColumn(split_col, expr).drop(
+        "_h", "_b", "_before", "_n", "_r"
+    )
+
+
 def key_quota_naive(
     df: DataFrame,
     n_keep: int,

@@ -205,6 +205,41 @@ def main() -> None:
     spikes = rate_spikes(ev2, window=4)
     spikes.collect()
 
+    from buildlog_consultant_spark.ops.colloc import collocations
+    from buildlog_consultant_spark.ops.dedup import cluster_canonical
+    from buildlog_consultant_spark.ops.funnel import (
+        retention_cohorts,
+        rolling_active_users,
+    )
+    from buildlog_consultant_spark.ops.index import inverted_index
+    from buildlog_consultant_spark.ops.quota import hash_split_per_key
+    from buildlog_consultant_spark.ops.sketch import cms_token_estimates
+
+    coll = collocations(docs, min_count=2, k=10)
+    coll.collect()
+    cmsq = cms_token_estimates(docs, width=64, depth=2, n_probe=8)
+    cmsq.collect()
+    inv = inverted_index(docs.select("doc_id", "text"), min_df=2)
+    inv.collect()
+    split = hash_split_per_key(
+        docs, {"train": 8, "val": 1, "test": 1}, key_col="lang",
+        bucket_hex_chars=1,
+    )
+    split.collect()
+    canon_docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"w{j + (i % 2)}" for j in range(40)), 40 + i)
+            for i in range(8)
+        ],
+        "doc_id long, text string, n_chars long",
+    )
+    canon = cluster_canonical(canon_docs)
+    canon.collect()
+    ret = retention_cohorts(ev2)
+    ret.collect()
+    wau = rolling_active_users(ev2, window_days=3)
+    wau.collect()
+
     out = [
         "# PLANS — executed plans of the flagship pipeline (local[4], 200-doc fixture corpus)",
         "",
@@ -411,6 +446,50 @@ def main() -> None:
         "## RANGE windows run over the (type, hour) aggregate only",
         "```",
         formatted(spark, spikes),
+        "```",
+        "",
+        "## collocations (round 6) — two vocab-bounded hash aggs, vocab-keyed",
+        "## count joins, TakeOrderedAndProject (no Window, no corpus sort)",
+        "```",
+        formatted(spark, coll),
+        "```",
+        "",
+        "## cms_token_estimates (round 6) — ONE hash agg over the depth-",
+        "## expanded token stream; the probe join broadcasts the counter table",
+        "```",
+        formatted(spark, cmsq),
+        "```",
+        "",
+        "## inverted_index (round 6) — stats agg over per-doc-distinct pairs;",
+        "## the collect_list branch sits above a join restricted to df ≤ cap",
+        "```",
+        formatted(spark, inv),
+        "```",
+        "",
+        "## hash_split_per_key (round 6) — count agg + broadcast meta; the",
+        "## rank window partitions by (key, hash-prefix bucket), never a",
+        "## whole key",
+        "```",
+        formatted(spark, split),
+        "```",
+        "",
+        "## cluster_canonical (round 6) — LSH clustering lineage feeding ONE",
+        "## max(struct) partial+final agg per cluster (no per-cluster sort)",
+        "```",
+        formatted(spark, canon),
+        "```",
+        "",
+        "## retention_cohorts (round 6) — distinct-pairs agg, min-day agg,",
+        "## one user-keyed join, final two-phase countDistinct; no Window",
+        "```",
+        formatted(spark, ret),
+        "```",
+        "",
+        "## rolling_active_users (round 6) — fan-out-the-aggregate: explode",
+        "## the DISTINCT (user, day) pairs ×window, semi-join traffic days,",
+        "## exact countDistinct per day; no range self-join of raw events",
+        "```",
+        formatted(spark, wau),
         "```",
     ]
     Path(__file__).resolve().parent.parent.joinpath("PLANS.md").write_text(

@@ -90,6 +90,7 @@ def _row_key(row):
         "rate_anomaly",
         "cms_heavy",
         "streaming_kmv",
+        "cluster_canonical",
         # streaming queries: plain-SQL oracles, but their file-stream
         # staging logic is sf_dir-dependent — exercise it at the second
         # scale too

@@ -303,3 +303,189 @@ def test_streaming_kmv_snapshots_are_monotone(spark, tmp_path):
     assert lo[0] <= hi[0] and lo[1] <= hi[1]
     # k=8 saturates against 40 docs × 4 distinct tokens → estimate path
     assert hi[0] == 8 and hi[1] > 8
+
+
+# ---------------------------------------------------------------------------
+# hash_split_per_key (exact stratified split)
+# ---------------------------------------------------------------------------
+
+
+def _split_corpus(spark, n=97, nulls=True):
+    rows = [(i, f"l{i % 3}") for i in range(n)]
+    if nulls:
+        rows += [(None, "l0"), (900, None), (901, None)]
+    return spark.createDataFrame(rows, "doc_id long, lang string")
+
+
+def test_hash_split_matches_naive_window(spark):
+    from buildlog_consultant_spark.ops.quota import (
+        _order_hash,
+        hash_split_per_key,
+    )
+    from pyspark.sql import Window
+
+    df = _split_corpus(spark)
+    weights = {"train": 8, "val": 1, "test": 1}
+    got = {
+        (r["doc_id"], r["lang"]): r["split"]
+        for r in hash_split_per_key(
+            df, weights, key_col="lang", bucket_hex_chars=1
+        ).collect()
+    }
+    w = Window.partitionBy("lang").orderBy(_order_hash("doc_id"), "doc_id")
+    naive = df.withColumn("r", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("lang"))
+    )
+    want = {}
+    for r in naive.collect():
+        if r["r"] <= (r["n"] * 8) // 10:
+            want[(r["doc_id"], r["lang"])] = "train"
+        elif r["r"] <= (r["n"] * 9) // 10:
+            want[(r["doc_id"], r["lang"])] = "val"
+        else:
+            want[(r["doc_id"], r["lang"])] = "test"
+    assert got == want
+    # every input row labeled exactly once (NULL key and NULL id included)
+    assert len(got) == df.count()
+
+
+def test_hash_split_exact_proportions_per_key(spark):
+    from buildlog_consultant_spark.ops.quota import hash_split_per_key
+
+    df = _split_corpus(spark, n=120, nulls=False)  # 40 per lang
+    out = hash_split_per_key(df, {"train": 8, "val": 1, "test": 1})
+    counts = {
+        (r["lang"], r["split"]): r["n"]
+        for r in out.groupBy("lang", "split").agg(F.count("*").alias("n")).collect()
+    }
+    for lang in ("l0", "l1", "l2"):
+        assert counts[(lang, "train")] == 32
+        assert counts[(lang, "val")] == 4
+        assert counts[(lang, "test")] == 4
+
+
+def test_hash_split_validates_weights(spark):
+    from buildlog_consultant_spark.ops.quota import hash_split_per_key
+
+    df = _split_corpus(spark, n=5, nulls=False)
+    with pytest.raises(ValueError):
+        hash_split_per_key(df, {})
+    with pytest.raises(ValueError):
+        hash_split_per_key(df, {"a": 1, "b": 0})
+
+
+# ---------------------------------------------------------------------------
+# cluster_canonical
+# ---------------------------------------------------------------------------
+
+
+def test_cluster_canonical_keeps_longest_then_lowest_id(spark):
+    from buildlog_consultant_spark.ops.dedup import (
+        cluster_canonical,
+        near_dup_clusters,
+    )
+
+    # near-identical docs (one token changed) cluster via MinHash-LSH;
+    # unrelated docs don't
+    base = " ".join(f"w{j}" for j in range(40))
+    variant = base.replace("w7", "w7x")
+    other = " ".join(f"z{j}" for j in range(40))
+    rows = [
+        (1, base, len(base)),
+        (2, variant, len(variant)),     # longest in cluster (w7x)
+        (3, base, None),                # exact dup of 1 — collapsed by pre-pass
+        (9, other, len(other)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    clusters = near_dup_clusters(df)
+    ids = {r["id"] for r in clusters.collect()}
+    assert ids == {1, 2}  # 3 collapsed, 9 unrelated
+    [r] = cluster_canonical(df).collect()
+    assert r["cluster"] == 1 and r["n_members"] == 2
+    assert r["kept_id"] == 2 and r["kept_chars"] == len(variant)
+
+
+def test_cluster_canonical_tie_prefers_lowest_id(spark):
+    from buildlog_consultant_spark.ops.dedup import cluster_canonical
+
+    base = " ".join(f"w{j}" for j in range(40))
+    variant = base.replace("w7", "w7x")
+    # equal n_chars metadata → tie broken to the LOWEST id
+    rows = [(5, base, 100), (2, variant, 100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    [r] = cluster_canonical(df).collect()
+    assert (r["kept_id"], r["kept_chars"]) == (2, 100)
+
+
+# ---------------------------------------------------------------------------
+# retention cohorts / rolling active users
+# ---------------------------------------------------------------------------
+
+
+def _retention_events(spark):
+    rows = [
+        # user 1: first 2024-01-01, active again 01-02 and 01-05 (two
+        # events that day — must count once)
+        (1, 1, "2024-01-01 09:00:00"),
+        (2, 1, "2024-01-02 09:00:00"),
+        (3, 1, "2024-01-05 09:00:00"),
+        (4, 1, "2024-01-05 10:00:00"),
+        # user 2: first 01-02
+        (5, 2, "2024-01-02 12:00:00"),
+        # NULL user and NULL ts excluded
+        (6, None, "2024-01-01 00:00:00"),
+        (7, 3, None),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_retention_cohorts_semantics(spark):
+    from buildlog_consultant_spark.ops.funnel import retention_cohorts
+
+    got = {
+        (str(r["cohort_day"]), r["day_offset"]): r["n_users"]
+        for r in retention_cohorts(_retention_events(spark)).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 1): 1,
+        ("2024-01-01", 4): 1,
+        ("2024-01-02", 0): 1,
+    }
+
+
+def test_rolling_active_users_window_and_dedup(spark):
+    from buildlog_consultant_spark.ops.funnel import rolling_active_users
+
+    got = {
+        str(r["day"]): r["active_users"]
+        for r in rolling_active_users(
+            _retention_events(spark), window_days=7
+        ).collect()
+    }
+    # traffic days only: 01-01 (u1), 01-02 (u1,u2), 01-05 (u1 twice +
+    # u1/u2 trailing)
+    assert got == {
+        "2024-01-01": 1,
+        "2024-01-02": 2,
+        "2024-01-05": 2,
+    }
+
+
+def test_rolling_active_users_window_expiry(spark):
+    from buildlog_consultant_spark.ops.funnel import rolling_active_users
+
+    rows = [
+        (1, 1, "2024-01-01 00:00:00"),
+        (2, 2, "2024-01-09 00:00:00"),  # 8 days later: u1 expired
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        str(r["day"]): r["active_users"]
+        for r in rolling_active_users(df, window_days=7).collect()
+    }
+    assert got == {"2024-01-01": 1, "2024-01-09": 1}
