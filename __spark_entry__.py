@@ -665,13 +665,18 @@ def _stage_two_batch(sf_dir: str, table: str, id_col: str) -> Path:
         tmp = Path(str(stage) + f".tmp{os.getpid()}")
         shutil.rmtree(tmp, ignore_errors=True)
         tmp.mkdir(parents=True)
-        pdf = pq.read_table(src).to_pandas()
-        b0 = pdf[pdf[id_col] % 7 == 0]
-        b1 = pdf[pdf[id_col] % 7 != 0]
+        # split in Arrow, NOT via pandas: to_pandas() widens a nullable
+        # int64 column to float64 and the staged files would then fail
+        # the streaming read against the batch parquet schema
+        import numpy as np
         import pyarrow as pa
 
-        pq.write_table(pa.Table.from_pandas(b0, preserve_index=False), tmp / "batch0.parquet")
-        pq.write_table(pa.Table.from_pandas(b1, preserve_index=False), tmp / "batch1.parquet")
+        tbl = pq.read_table(src)
+        ids = tbl[id_col].to_numpy(zero_copy_only=False)
+        # NULL ids arrive as NaN → land in batch 1 deterministically
+        m0 = np.nan_to_num(ids % 7, nan=1.0) == 0
+        pq.write_table(tbl.filter(pa.array(m0)), tmp / "batch0.parquet")
+        pq.write_table(tbl.filter(pa.array(~m0)), tmp / "batch1.parquet")
         now = int(__import__("time").time())
         os.utime(tmp / "batch0.parquet", (now - 120, now - 120))
         os.utime(tmp / "batch1.parquet", (now - 60, now - 60))

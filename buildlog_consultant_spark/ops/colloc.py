@@ -37,14 +37,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .quota import _div
 from .text import tokens_expr
 
 _DEC = "decimal(38,0)"
-
-
-def _floor_div_dec(num, den):
-    """Exact floor division of two non-negative decimal(38,0) columns."""
-    return ((num - (num % den)) / den).cast("long")
 
 
 def _bigrams(tokens):
@@ -96,7 +92,7 @@ def collocations(
             "c_ab",
             "c_a",
             "c_b",
-            _floor_div_dec(num, den).alias("assoc_ppb"),
+            _div(num, den).alias("assoc_ppb"),
         )
         .orderBy(F.desc("assoc_ppb"), "w1", "w2")
         .limit(k)

@@ -18,10 +18,12 @@ array hashing differences never reach the driver compare).
 
 NULL policy: NULL doc ids are excluded up front (a posting that points
 nowhere identifies nothing); NULL/empty text yields no tokens
-(ops/text.py::tokens_expr). Per-doc token multiplicity is collapsed
-with array_distinct BEFORE the explode — df is a document frequency,
-and the distinct runs per-row map-side, never as a corpus-wide
-distinct shuffle.
+(ops/text.py::tokens_expr). df is a DOCUMENT frequency: per-row
+array_distinct collapses within-doc multiplicity map-side (the cheap
+99% case), and a (token, doc) pair-level distinct — one hash agg with
+partial combine — guards against the same doc id appearing on several
+input rows (re-ingested docs), which would otherwise double-count df
+and duplicate postings against the DISTINCT-based oracle.
 
 Reference scope: jelmer/buildlog-consultant has no retrieval index;
 part of the repo's LLM-training-data surface (round brief)."""
@@ -53,6 +55,7 @@ def inverted_index(
                 "token"
             ),
         )
+        .distinct()
     )
     stats = pairs.groupBy("token").agg(
         F.count("*").cast("long").alias("df_docs"),

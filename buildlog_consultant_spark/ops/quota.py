@@ -51,6 +51,36 @@ def _order_hash(id_col: str):
     return F.md5(F.coalesce(F.col(id_col).cast("string"), F.lit("")))
 
 
+def _bucket_meta_join(d: DataFrame, key_col: str) -> DataFrame:
+    """Shared scaffolding of the bucketed per-key rank family
+    (key_quota, hash_split_per_key): given ``d`` carrying the _h/_b
+    hash+prefix columns, hash-aggregate per-(key, bucket) counts, and
+    broadcast-join back per row: _cnt (bucket size), _before (rows of
+    the key in EARLIER buckets), _n (key total). Two load-bearing
+    subtleties live here ONCE: the join is null-safe on the key (a
+    plain equi-join NULL-rejects and would silently drop NULL-key rows
+    from their stratum/quota), and because _b is a hash PREFIX,
+    _before + in-bucket rank equals the global per-key (hash, id)
+    rank exactly."""
+    counts = d.groupBy(key_col, "_b").agg(F.count("*").alias("_cnt"))
+    w_cum = (
+        Window.partitionBy(key_col)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    meta = counts.select(
+        F.col(key_col).alias("_mk"),
+        F.col("_b").alias("_mb"),
+        F.col("_cnt"),
+        (F.sum("_cnt").over(w_cum) - F.col("_cnt")).alias("_before"),
+        F.sum("_cnt").over(Window.partitionBy(key_col)).alias("_n"),
+    )
+    return d.join(
+        F.broadcast(meta),
+        F.col(key_col).eqNullSafe(F.col("_mk")) & (F.col("_b") == F.col("_mb")),
+    ).drop("_mk", "_mb")
+
+
 def key_quota(
     df: DataFrame,
     n_keep: int,
@@ -76,32 +106,13 @@ def key_quota(
     h = _order_hash(id_col)
     b = F.substring(h, 1, bucket_hex_chars)
     d = df.withColumn("_h", h).withColumn("_b", b)
-
-    counts = d.groupBy(key_col, "_b").agg(F.count("*").alias("_cnt"))
-    w_cum = (
-        Window.partitionBy(key_col)
-        .orderBy("_b")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    dd = _bucket_meta_join(d, key_col)
     # rows of this bucket to keep: clamp(n_keep - rows_before_bucket)
-    meta = counts.select(
-        F.col(key_col).alias("_mk"),
-        F.col("_b").alias("_mb"),
-        F.greatest(
-            F.lit(0),
-            F.least(
-                F.col("_cnt"),
-                F.lit(n_keep) - (F.sum("_cnt").over(w_cum) - F.col("_cnt")),
-            ),
-        ).alias("_kb"),
+    kb = F.greatest(
+        F.lit(0),
+        F.least(F.col("_cnt"), F.lit(n_keep) - F.col("_before")),
     )
-    # null-safe on the key: NULL-key rows must find their bucket row,
-    # not silently vanish from the quota (a plain [key, _b] join is
-    # NULL-rejecting)
-    dd = d.join(
-        F.broadcast(meta),
-        F.col(key_col).eqNullSafe(F.col("_mk")) & (F.col("_b") == F.col("_mb")),
-    ).drop("_mk", "_mb")
+    dd = dd.withColumn("_kb", kb)
     # candidates = rows whose bucket keeps anything; ranking them all is
     # cheap (each window partition ≤ one bucket, and full buckets rank
     # trivially) and keeps this a SINGLE branch — the earlier
@@ -111,7 +122,7 @@ def key_quota(
         dd.where(F.col("_kb") > 0)
         .withColumn("_rn", F.row_number().over(w_rank))
         .where(F.col("_rn") <= F.col("_kb"))
-        .drop("_rn", "_h", "_b", "_kb")
+        .drop("_rn", "_h", "_b", "_kb", "_cnt", "_before", "_n")
     )
 
 
@@ -645,24 +656,7 @@ def hash_split_per_key(
     h = _order_hash(id_col)
     b = F.substring(h, 1, bucket_hex_chars)
     d = df.withColumn("_h", h).withColumn("_b", b)
-
-    counts = d.groupBy(key_col, "_b").agg(F.count("*").alias("_cnt"))
-    w_cum = (
-        Window.partitionBy(key_col)
-        .orderBy("_b")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_all = Window.partitionBy(key_col)
-    meta = counts.select(
-        F.col(key_col).alias("_mk"),
-        F.col("_b").alias("_mb"),
-        (F.sum("_cnt").over(w_cum) - F.col("_cnt")).alias("_before"),
-        F.sum("_cnt").over(w_all).alias("_n"),
-    )
-    dd = d.join(
-        F.broadcast(meta),
-        F.col(key_col).eqNullSafe(F.col("_mk")) & (F.col("_b") == F.col("_mb")),
-    ).drop("_mk", "_mb")
+    dd = _bucket_meta_join(d, key_col)
     w_rank = Window.partitionBy(key_col, "_b").orderBy("_h", id_col)
     r = (F.col("_before") + F.row_number().over(w_rank)).alias("_r")
     dd = dd.withColumn("_r", r)
@@ -676,7 +670,7 @@ def hash_split_per_key(
         F.lit(labels[0]) if expr is None else expr.otherwise(labels[-1])
     )
     return dd.withColumn(split_col, expr).drop(
-        "_h", "_b", "_before", "_n", "_r"
+        "_h", "_b", "_cnt", "_before", "_n", "_r"
     )
 
 

@@ -1,6 +1,8 @@
-"""Round-6 batch 4 operators: collocations (exact-integer PMI ranking),
-Count-Min sketch estimates, bounded inverted index, TPC-H-Q5-shaped join
-pipeline, streaming KMV state merge."""
+"""Round-6 batch 4+5 operators: collocations (exact-integer PMI
+ranking), Count-Min sketch estimates, bounded inverted index,
+TPC-H-Q5-shaped join pipeline, streaming KMV state merge, exact
+stratified split (hash_split_per_key), cluster canonicalization,
+retention cohorts, rolling distinct active users."""
 
 import sys
 
@@ -168,6 +170,22 @@ def test_inverted_index_semantics(spark):
     assert got["alpha"] == (4, 1, 10, None)  # df 4 > cap 3 → NULL postings
     assert got["beta"] == (2, 2, 10, "2,10")
     assert "gamma" not in got  # df 1 < min_df
+
+
+def test_inverted_index_duplicate_doc_rows_count_once(spark):
+    # df is a DOCUMENT frequency: a doc id ingested twice (both rows
+    # containing the token) must count once and post once (review
+    # finding — per-row array_distinct alone double-counted)
+    from buildlog_consultant_spark.ops.index import inverted_index
+
+    rows = [(5, "x y"), (5, "x z"), (6, "x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["token"]: (r["df_docs"], r["postings"])
+        for r in inverted_index(df, min_df=1, postings_cap=8).collect()
+    }
+    assert got["x"] == (2, "5,6")
+    assert got["y"] == (1, "5")
 
 
 def test_inverted_index_numeric_posting_sort(spark):
