@@ -3801,6 +3801,97 @@ GROUP BY 1
 """
 
 
+def q_gopher_rules(spark, sf_dir):
+    """The Gopher rule-set quality battery (Rae et al. 2021 §A1.1;
+    ops/text.py::gopher_quality_signals): exact-integer per-doc signals
+    (mean word length, alpha-word/symbol/bullet/ellipsis ratios,
+    stop-word hits) + the published-thresholds keep flag. Pure
+    map-side expressions — no shuffle, no Python; the full per-doc
+    assignment is emitted so the oracle checks every metric of every
+    row."""
+    from buildlog_consultant_spark.ops.text import gopher_quality_signals
+
+    d = _docs(spark, sf_dir)
+    return gopher_quality_signals(d).select(
+        "doc_id",
+        "n_words",
+        "mean_word_len_milli",
+        "alpha_word_ppm",
+        "symbol_ppm",
+        "bullet_line_ppm",
+        "ellipsis_line_ppm",
+        "stop_hits",
+        "gopher_keep",
+    )
+
+
+ORACLE_GOPHER_RULES = r"""
+WITH base AS (
+  SELECT doc_id,
+         coalesce(text, '') AS t,
+         regexp_replace(trim(coalesce(text, ''), ' '),
+                        '[ \t\n\x0b\f\r]+', ' ', 'g') AS norm
+  FROM documents
+), toks AS (
+  SELECT doc_id, t, norm,
+         CASE WHEN norm = '' THEN []::VARCHAR[]
+              ELSE string_split(lower(norm), ' ') END AS ws,
+         string_split(t, chr(10)) AS ls
+  FROM base
+), m AS (
+  SELECT doc_id,
+         CAST(len(ws) AS BIGINT) AS n_words,
+         len(norm) - (len(ws) - 1) AS sum_chars,
+         len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words,
+         (len(t) - len(replace(t, '#', '')))
+           + (len(t) - len(replace(t, '…', ''))) AS n_sym,
+         len(ls) AS n_lines,
+         len(list_filter(ls, l -> substr(ltrim(l), 1, 1) IN ('-', '*', '•'))) AS bullet,
+         len(list_filter(ls, l -> ends_with(rtrim(l), '...')
+                                  OR ends_with(rtrim(l), '…'))) AS ellipsis,
+         CAST(list_contains(ws, 'the') AS BIGINT)
+           + CAST(list_contains(ws, 'be') AS BIGINT)
+           + CAST(list_contains(ws, 'to') AS BIGINT)
+           + CAST(list_contains(ws, 'of') AS BIGINT)
+           + CAST(list_contains(ws, 'and') AS BIGINT)
+           + CAST(list_contains(ws, 'that') AS BIGINT)
+           + CAST(list_contains(ws, 'have') AS BIGINT)
+           + CAST(list_contains(ws, 'with') AS BIGINT) AS stop_hits
+  FROM toks
+), sig AS (
+  SELECT doc_id, n_words,
+         CASE WHEN n_words > 0
+              THEN CAST(floor(sum_chars * 1000 / n_words) AS BIGINT) END
+           AS mean_word_len_milli,
+         CASE WHEN n_words > 0
+              THEN CAST(floor(alpha_words * 1000000 / n_words) AS BIGINT) END
+           AS alpha_word_ppm,
+         CASE WHEN n_words > 0
+              THEN CAST(floor(n_sym * 1000000 / n_words) AS BIGINT) END
+           AS symbol_ppm,
+         CASE WHEN n_lines > 0
+              THEN CAST(floor(bullet * 1000000 / n_lines) AS BIGINT) END
+           AS bullet_line_ppm,
+         CASE WHEN n_lines > 0
+              THEN CAST(floor(ellipsis * 1000000 / n_lines) AS BIGINT) END
+           AS ellipsis_line_ppm,
+         stop_hits
+  FROM m
+)
+SELECT doc_id, n_words, mean_word_len_milli, alpha_word_ppm, symbol_ppm,
+       bullet_line_ppm, ellipsis_line_ppm, stop_hits,
+       coalesce(n_words >= 50 AND n_words <= 100000
+                AND mean_word_len_milli >= 3000
+                AND mean_word_len_milli <= 10000
+                AND alpha_word_ppm >= 800000
+                AND symbol_ppm <= 100000
+                AND bullet_line_ppm <= 900000
+                AND ellipsis_line_ppm <= 300000
+                AND stop_hits >= 2, FALSE) AS gopher_keep
+FROM sig
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "classify_kind_counts": q_classify_kind_counts,
@@ -3887,6 +3978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_canonical": q_cluster_canonical,
         "retention_cohorts": q_retention_cohorts,
         "wau_rolling": q_wau_rolling,
+        "gopher_rules": q_gopher_rules,
     }
 
 
@@ -3978,4 +4070,5 @@ def oracle_sql(sf_dir: str = None) -> dict[str, str]:
         "cluster_canonical": _oracle_cluster_canonical(sf_dir),
         "retention_cohorts": ORACLE_RETENTION_COHORTS,
         "wau_rolling": ORACLE_WAU_ROLLING,
+        "gopher_rules": ORACLE_GOPHER_RULES,
     }

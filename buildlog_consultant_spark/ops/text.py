@@ -776,3 +776,101 @@ def py_unigram_logloss(
             continue
         out.append((i, sum(costs.get(t, oov) for t in ts) // len(ts)))
     return out
+
+
+def gopher_quality_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The Gopher rule-set quality signals (Rae et al. 2021, §A1.1 —
+    the published heuristic battery behind MassiveText and most later
+    web-text pipelines), computed as EXACT integers so a plain SQL
+    oracle replays them bit-for-bit:
+
+    - n_words                whitespace tokens (tokens_expr geometry)
+    - mean_word_len_milli    floor(1000·Σlen(word)/n_words) — closed
+                             form: Σlen = len(ws-collapsed text) −
+                             (n_words−1), no per-word fold needed
+    - alpha_word_ppm         floor(1e6·|words containing [A-Za-z]|/n_words)
+    - symbol_ppm             floor(1e6·(#'#' + #'…')/n_words)
+    - bullet_line_ppm        floor(1e6·|lines starting '-','*','•'|/n_lines)
+    - ellipsis_line_ppm      floor(1e6·|lines ending '...' or '…'|/n_lines)
+    - stop_hits              how many of 8 fixed English stop words occur
+    - gopher_keep            the conjunction of the published thresholds
+                             (50 ≤ words ≤ 100k, 3 ≤ mean len ≤ 10,
+                             ≥80% alpha words, ≤10% symbols, ≤90% bullet
+                             lines, ≤30% ellipsis lines, ≥2 stop words)
+
+    Scale shape: pure per-row map-side expressions — no shuffle, no
+    Python, prunes to the text column at scan; line/word predicates are
+    interpreted HOF filters (linear in doc length — the
+    repetition-signals trade, measured there). Engine parity notes:
+    floor() not CAST (DuckDB rounds half-even), lines split on literal
+    \\n, line trim is ASCII-space rtrim/ltrim on both sides, stop-word
+    hits are 8 explicit array_contains terms (list_intersect dedup
+    semantics differ between engines). NULL text coalesces to '' →
+    n_words 0, ratio columns NULL, gopher_keep FALSE (the n_words≥50
+    conjunct fails before any NULL reaches the AND — three-valued
+    logic never surfaces)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    d = df.withColumn("_w", tokens_expr(text_col))
+    n_words = F.size("_w")
+    norm = F.regexp_replace(F.trim(t), r"\s+", " ")
+    sum_chars = F.length(norm) - (n_words - 1)
+    alpha_words = F.size(
+        F.filter(F.col("_w"), lambda w: w.rlike("[A-Za-z]"))
+    )
+    n_sym = (
+        F.length(t)
+        - F.length(F.regexp_replace(t, r"#", ""))
+        + (F.length(t) - F.length(F.regexp_replace(t, r"…", "")))
+    )
+    lines = F.split(t, r"\n")
+    n_lines = F.size(lines)
+    bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: F.substring(F.ltrim(l), 1, 1).isin("-", "*", "•"),
+        )
+    )
+    ellipsis = F.size(
+        F.filter(
+            lines,
+            lambda l: F.endswith(F.rtrim(l), F.lit("..."))
+            | F.endswith(F.rtrim(l), F.lit("…")),
+        )
+    )
+    stops = ("the", "be", "to", "of", "and", "that", "have", "with")
+    stop_hits = sum(
+        (F.array_contains("_w", s).cast("long") for s in stops),
+        F.lit(0).cast("long"),
+    )
+
+    def ppm(num, den):
+        return F.when(den > 0, F.floor(num * F.lit(1_000_000) / den)).cast(
+            "long"
+        )
+
+    mean_milli = F.when(
+        n_words > 0, F.floor(sum_chars * F.lit(1000) / n_words)
+    ).cast("long")
+    d = (
+        d.withColumn("n_words", n_words.cast("long"))
+        .withColumn("mean_word_len_milli", mean_milli)
+        .withColumn("alpha_word_ppm", ppm(alpha_words, n_words))
+        .withColumn("symbol_ppm", ppm(n_sym, n_words))
+        .withColumn("bullet_line_ppm", ppm(bullet, n_lines))
+        .withColumn("ellipsis_line_ppm", ppm(ellipsis, n_lines))
+        .withColumn("stop_hits", stop_hits)
+    )
+    keep = (
+        (F.col("n_words") >= 50)
+        & (F.col("n_words") <= 100_000)
+        & (F.col("mean_word_len_milli") >= 3000)
+        & (F.col("mean_word_len_milli") <= 10_000)
+        & (F.col("alpha_word_ppm") >= 800_000)
+        & (F.col("symbol_ppm") <= 100_000)
+        & (F.col("bullet_line_ppm") <= 900_000)
+        & (F.col("ellipsis_line_ppm") <= 300_000)
+        & (F.col("stop_hits") >= 2)
+    )
+    return d.withColumn(
+        "gopher_keep", F.coalesce(keep, F.lit(False))
+    ).drop("_w")

@@ -507,3 +507,58 @@ def test_rolling_active_users_window_expiry(spark):
         for r in rolling_active_users(df, window_days=7).collect()
     }
     assert got == {"2024-01-01": 1, "2024-01-09": 1}
+
+
+# ---------------------------------------------------------------------------
+# gopher rule-set signals
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_signals_metrics(spark):
+    from buildlog_consultant_spark.ops.text import gopher_quality_signals
+
+    good = " ".join(
+        ["the", "be", "to"] + [f"word{i}" for i in range(60)]
+    )
+    rows = [
+        (1, good),
+        (2, None),                       # NULL text
+        (3, "- a\n- b\nplain"),          # 2/3 bullet lines
+        (4, "end...\nend…  \nno"),       # 2/3 ellipsis (rtrim'd)
+        (5, "# # …"),                    # 3 symbols / 3 words
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in gopher_quality_signals(df).collect()}
+
+    g = got[1]
+    assert g["n_words"] == 63 and g["stop_hits"] == 3
+    assert g["alpha_word_ppm"] == 1_000_000
+    assert g["gopher_keep"] is True
+
+    n = got[2]
+    assert n["n_words"] == 0 and n["mean_word_len_milli"] is None
+    assert n["gopher_keep"] is False
+
+    assert got[3]["bullet_line_ppm"] == 1_000_000 * 2 // 3
+    assert got[4]["ellipsis_line_ppm"] == 1_000_000 * 2 // 3
+    s = got[5]
+    assert s["symbol_ppm"] == 1_000_000  # 3 symbols / 3 words
+    assert s["alpha_word_ppm"] == 0
+
+
+def test_gopher_keep_thresholds(spark):
+    from buildlog_consultant_spark.ops.text import gopher_quality_signals
+
+    base = ["the", "of", "and"] + [f"word{i}" for i in range(55)]
+    rows = [
+        (1, " ".join(base)),                       # passes all
+        (2, " ".join(base[:30])),                  # < 50 words
+        (3, " ".join(["the", "of"] + ["a"] * 56)), # mean len < 3
+        (4, " ".join([f"word{i}" for i in range(58)])),  # 0 stop hits
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    keep = {
+        r["doc_id"]: r["gopher_keep"]
+        for r in gopher_quality_signals(df).collect()
+    }
+    assert keep == {1: True, 2: False, 3: False, 4: False}
