@@ -3892,6 +3892,131 @@ FROM sig
 """
 
 
+_SCRIPT_SUFFIXES = (
+    " Привет мир",  # cyrillic
+    " 你好 世界",  # cjk
+    " مرحبا بالعالم",  # arabic
+    " αβγ Ϟ",  # greek
+    "",  # pure latin
+)
+
+
+def q_script_ratios(spark, sf_dir):
+    """Script-detection features (ops/text.py::script_char_counts):
+    per-doc char counts in five explicit BMP script ranges + the
+    dominant-script label (fixed tie priority) — the char-class stage
+    of a language-ID pipeline, pure map-side regexp-strip counts. The
+    ASCII corpus carries no non-Latin scripts, so a deterministic
+    multi-script suffix is planted per doc_id % 5 (the pii_scrub
+    planting convention), exercising every range."""
+    from buildlog_consultant_spark.ops.text import script_char_counts
+
+    d = _docs(spark, sf_dir)
+    suffix = None
+    for i, s in enumerate(_SCRIPT_SUFFIXES[:-1]):
+        cond = F.pmod(F.col("doc_id"), F.lit(5)) == i
+        suffix = (
+            F.when(cond, s) if suffix is None else suffix.when(cond, s)
+        )
+    planted = d.withColumn(
+        "text", F.concat(F.col("text"), suffix.otherwise(""))
+    )
+    return script_char_counts(planted).select(
+        "doc_id",
+        "n_latin",
+        "n_digit",
+        "n_cyrillic",
+        "n_cjk",
+        "n_arabic",
+        "n_greek",
+        "n_chars_total",
+        "dominant_script",
+    )
+
+
+ORACLE_SCRIPT_RATIOS = """
+WITH planted AS (
+  SELECT doc_id,
+         text || CASE doc_id % 5
+           WHEN 0 THEN ' Привет мир'
+           WHEN 1 THEN ' 你好 世界'
+           WHEN 2 THEN ' مرحبا بالعالم'
+           WHEN 3 THEN ' αβγ Ϟ'
+           ELSE '' END AS t
+  FROM documents
+), counts AS (
+  SELECT doc_id,
+         CAST(len(t) - len(regexp_replace(t, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_latin,
+         CAST(len(t) - len(regexp_replace(t, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+         CAST(len(t) - len(regexp_replace(t, '[Ѐ-ӿ]', '', 'g')) AS BIGINT) AS n_cyrillic,
+         CAST(len(t) - len(regexp_replace(t, '[一-鿿]', '', 'g')) AS BIGINT) AS n_cjk,
+         CAST(len(t) - len(regexp_replace(t, '[؀-ۿ]', '', 'g')) AS BIGINT) AS n_arabic,
+         CAST(len(t) - len(regexp_replace(t, '[Ͱ-Ͽ]', '', 'g')) AS BIGINT) AS n_greek,
+         CAST(len(t) AS BIGINT) AS n_chars_total
+  FROM planted
+)
+SELECT *,
+       CASE
+         WHEN n_latin >= n_cyrillic AND n_latin >= n_cjk
+              AND n_latin >= n_arabic AND n_latin >= n_greek THEN 'latin'
+         WHEN n_cyrillic >= n_latin AND n_cyrillic >= n_cjk
+              AND n_cyrillic >= n_arabic AND n_cyrillic >= n_greek THEN 'cyrillic'
+         WHEN n_cjk >= n_latin AND n_cjk >= n_cyrillic
+              AND n_cjk >= n_arabic AND n_cjk >= n_greek THEN 'cjk'
+         WHEN n_arabic >= n_latin AND n_arabic >= n_cyrillic
+              AND n_arabic >= n_cjk AND n_arabic >= n_greek THEN 'arabic'
+         ELSE 'greek' END AS dominant_script
+FROM counts
+"""
+
+
+def q_nfc_normalize(spark, sf_dir):
+    """Unicode NFC normalization (ops/text.py::with_nfc_normalized):
+    the canonicalization stage before any hash-based dedup — Spark has
+    no builtin, so the op is the honest Arrow-batched pandas UDF
+    (stdlib unicodedata); DuckDB's nfc_normalize replays it exactly.
+    Decomposed sequences are planted per doc_id % 3 (corpus is ASCII):
+    e+U+0301 and u+U+0308 compose under NFC, a precomposed é does not
+    change. Emits per-doc (changed, len_before, len_after, md5_8 of
+    the normalized text)."""
+    from buildlog_consultant_spark.ops.text import with_nfc_normalized
+
+    d = _docs(spark, sf_dir)
+    m = F.pmod(F.col("doc_id"), F.lit(3))
+    suffix = (
+        F.when(m == 0, " caf" + "é")
+        .when(m == 1, " grün ü")
+        .otherwise(" café")
+    )
+    planted = d.withColumn("text", F.concat(F.col("text"), suffix))
+    out = with_nfc_normalized(planted)
+    return out.select(
+        "doc_id",
+        (F.col("text_nfc") != F.col("text")).alias("changed"),
+        F.length("text").cast("long").alias("len_before"),
+        F.length("text_nfc").cast("long").alias("len_after"),
+        F.substring(F.md5("text_nfc"), 1, 8).alias("md5_8"),
+    )
+
+
+ORACLE_NFC_NORMALIZE = """
+WITH planted AS (
+  SELECT doc_id,
+         text || CASE doc_id % 3
+           WHEN 0 THEN ' caf' || 'e' || chr(769)
+           WHEN 1 THEN ' gr' || chr(252) || 'n u' || chr(776)
+           ELSE ' caf' || chr(233) END AS t
+  FROM documents
+)
+SELECT doc_id,
+       nfc_normalize(t) <> t AS changed,
+       CAST(len(t) AS BIGINT) AS len_before,
+       CAST(len(nfc_normalize(t)) AS BIGINT) AS len_after,
+       substr(md5(nfc_normalize(t)), 1, 8) AS md5_8
+FROM planted
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "classify_kind_counts": q_classify_kind_counts,
@@ -3979,6 +4104,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": q_retention_cohorts,
         "wau_rolling": q_wau_rolling,
         "gopher_rules": q_gopher_rules,
+        "script_ratios": q_script_ratios,
+        "nfc_normalize": q_nfc_normalize,
     }
 
 
@@ -4071,4 +4198,6 @@ def oracle_sql(sf_dir: str = None) -> dict[str, str]:
         "retention_cohorts": ORACLE_RETENTION_COHORTS,
         "wau_rolling": ORACLE_WAU_ROLLING,
         "gopher_rules": ORACLE_GOPHER_RULES,
+        "script_ratios": ORACLE_SCRIPT_RATIOS,
+        "nfc_normalize": ORACLE_NFC_NORMALIZE,
     }

@@ -874,3 +874,87 @@ def gopher_quality_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     return d.withColumn(
         "gopher_keep", F.coalesce(keep, F.lit(False))
     ).drop("_w")
+
+
+def script_char_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Script detection features — per-doc counts of characters in five
+    explicit Unicode script ranges plus the dominant-script label (the
+    char-class stage of a language-ID pipeline; fastText/CLD-style
+    systems gate on script before any token model).
+
+    Counts are the regexp-strip length trick (len(t) − len(t with the
+    class removed)) — pure map-side JVM, no shuffle. Ranges are BMP-only
+    by contract (Latin/digit/Cyrillic/CJK-unified/Arabic/Greek), so
+    Spark's UTF-16 length and DuckDB's code-point len agree; astral
+    scripts would need a code-point-true counter. Dominant label is a
+    chained >= CASE, fixed priority (latin > cyrillic > cjk > arabic >
+    greek) breaking ties deterministically; a doc with zero script
+    chars labels 'latin' by the same rule (count 0 ties all, priority
+    wins) — documented, not special-cased. NULL text → all zero."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+
+    def cnt(cls: str):
+        return (F.length(t) - F.length(F.regexp_replace(t, cls, ""))).cast(
+            "long"
+        )
+
+    d = (
+        df.withColumn("n_latin", cnt("[A-Za-z]"))
+        .withColumn("n_digit", cnt("[0-9]"))
+        .withColumn("n_cyrillic", cnt("[Ѐ-ӿ]"))
+        .withColumn("n_cjk", cnt("[一-鿿]"))
+        .withColumn("n_arabic", cnt("[؀-ۿ]"))
+        .withColumn("n_greek", cnt("[Ͱ-Ͽ]"))
+        .withColumn("n_chars_total", F.length(t).cast("long"))
+    )
+    order = ("latin", "cyrillic", "cjk", "arabic", "greek")
+    cols = {
+        "latin": "n_latin",
+        "cyrillic": "n_cyrillic",
+        "cjk": "n_cjk",
+        "arabic": "n_arabic",
+        "greek": "n_greek",
+    }
+    expr = None
+    for name in order:
+        cond = None
+        for other in order:
+            if other == name:
+                continue
+            c = F.col(cols[name]) >= F.col(cols[other])
+            cond = c if cond is None else (cond & c)
+        expr = (
+            F.when(cond, name) if expr is None else expr.when(cond, name)
+        )
+    return d.withColumn("dominant_script", expr.otherwise(order[-1]))
+
+
+def with_nfc_normalized(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_nfc"
+) -> DataFrame:
+    """Unicode NFC normalization — the canonicalization stage every
+    multilingual pipeline runs before hashing/dedup (decomposed
+    e + U+0301 and precomposed é must dedup together). Spark has no
+    normalization builtin, so this is the honest Arrow-batched
+    pandas-UDF slow path (stdlib unicodedata — no per-row Python rows,
+    one vectorized map per batch); DuckDB's nfc_normalize is the
+    oracle's exact counterpart (verified char-identical on composed /
+    decomposed / ligature inputs — NFC composes, never folds
+    compatibility forms). NULL text stays NULL."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def norm(s):
+        import unicodedata
+
+        return s.map(
+            lambda t: None
+            if t is None
+            else unicodedata.normalize("NFC", t)
+        )
+
+    # `from __future__ import annotations` breaks pandas_udf hint
+    # introspection — set the annotations explicitly (round-3 note)
+    norm.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    fn = pandas_udf(norm, "string")
+    return df.withColumn(out_col, fn(F.col(text_col)))

@@ -562,3 +562,52 @@ def test_gopher_keep_thresholds(spark):
         for r in gopher_quality_signals(df).collect()
     }
     assert keep == {1: True, 2: False, 3: False, 4: False}
+
+
+# ---------------------------------------------------------------------------
+# script detection / NFC normalization
+# ---------------------------------------------------------------------------
+
+
+def test_script_char_counts_and_dominant(spark):
+    from buildlog_consultant_spark.ops.text import script_char_counts
+
+    rows = [
+        (1, "hello мир"),          # 5 latin, 3 cyrillic → latin
+        (2, "Привет ok"),          # 6 cyrillic, 2 latin → cyrillic
+        (3, "你好世界"),            # 4 cjk
+        (4, "مرحبا"),              # 5 arabic
+        (5, "αβγ"),               # 3 greek
+        (6, None),                 # all zero → 'latin' by priority
+        (7, "123 456"),            # digits only → 'latin' by priority
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in script_char_counts(df).collect()}
+    assert (got[1]["n_latin"], got[1]["n_cyrillic"]) == (5, 3)
+    assert got[1]["dominant_script"] == "latin"
+    assert got[2]["dominant_script"] == "cyrillic"
+    assert (got[3]["n_cjk"], got[3]["dominant_script"]) == (4, "cjk")
+    assert (got[4]["n_arabic"], got[4]["dominant_script"]) == (5, "arabic")
+    assert (got[5]["n_greek"], got[5]["dominant_script"]) == (3, "greek")
+    assert got[6]["n_chars_total"] == 0
+    assert got[6]["dominant_script"] == "latin"  # zero-tie → priority
+    assert (got[7]["n_digit"], got[7]["dominant_script"]) == (6, "latin")
+
+
+def test_nfc_normalized_composes_and_preserves(spark):
+    import unicodedata
+
+    from buildlog_consultant_spark.ops.text import with_nfc_normalized
+
+    decomposed = "café"          # e + combining acute
+    precomposed = "café"
+    rows = [(1, decomposed), (2, precomposed), (3, None), (4, "plain")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["text_nfc"]
+        for r in with_nfc_normalized(df).collect()
+    }
+    assert got[1] == precomposed == unicodedata.normalize("NFC", decomposed)
+    assert got[2] == precomposed
+    assert got[3] is None
+    assert got[4] == "plain"
