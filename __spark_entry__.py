@@ -4017,6 +4017,91 @@ FROM planted
 """
 
 
+def q_snapshot_diff(spark, sf_dir):
+    """Snapshot reconciliation (ops/snapshot.py::snapshot_diff): diff
+    two corpus versions into per-key added/removed/changed/same via
+    ONE full-outer join of map-side md5 digests (32 bytes shuffle per
+    row, never documents). Version 2 is derived deterministically:
+    doc_id % 10 == 3 removed, % 10 == 4 text-modified, and % 10 == 5
+    cloned to doc_id + 1_000_000 as additions."""
+    from buildlog_consultant_spark.ops.snapshot import snapshot_diff
+
+    d = _docs(spark, sf_dir)
+    kept = d.where(F.pmod("doc_id", F.lit(10)) != 3)
+    modified = kept.withColumn(
+        "text",
+        F.when(
+            F.pmod("doc_id", F.lit(10)) == 4,
+            F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(" v2")),
+        ).otherwise(F.col("text")),
+    )
+    added = (
+        d.where(F.pmod("doc_id", F.lit(10)) == 5)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+    )
+    new = modified.unionByName(added)
+    return snapshot_diff(d, new)
+
+
+ORACLE_SNAPSHOT_DIFF = """
+WITH old AS (
+  SELECT doc_id, md5(coalesce(text, '')) AS h FROM documents
+  WHERE doc_id IS NOT NULL
+), newv AS (
+  SELECT doc_id, md5(coalesce(text, '') ||
+           CASE WHEN doc_id % 10 = 4 THEN ' v2' ELSE '' END) AS h
+  FROM documents WHERE doc_id IS NOT NULL AND doc_id % 10 <> 3
+  UNION ALL
+  SELECT doc_id + 1000000, md5(coalesce(text, ''))
+  FROM documents WHERE doc_id IS NOT NULL AND doc_id % 10 = 5
+)
+SELECT coalesce(old.doc_id, newv.doc_id) AS doc_id,
+       CASE WHEN old.doc_id IS NULL THEN 'added'
+            WHEN newv.doc_id IS NULL THEN 'removed'
+            WHEN old.h <> newv.h THEN 'changed'
+            ELSE 'same' END AS status
+FROM old FULL OUTER JOIN newv ON old.doc_id = newv.doc_id
+"""
+
+
+_PIVOT_TYPES = ("view", "click", "purchase", "signup", "error")
+
+
+def q_events_pivot(spark, sf_dir):
+    """OLAP pivot: per-day event counts spread into one column per
+    type (Spark .pivot with an EXPLICIT values list — an unspecified
+    list triggers a distinct-scan job and a data-dependent schema).
+    Physically Spark plans two aggregate stages: a corpus-touching
+    (day, type) count agg with map-side combine, then pivotfirst over
+    that BOUNDED aggregate (≤ days × types rows) — plan-asserted; the
+    oracle spells the equivalent CASE-sum."""
+    ev = _read_adaptive(spark, f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", list(_PIVOT_TYPES))
+        .agg(F.count(F.lit(1)))  # count(*) is rejected inside Pivot
+        .select(
+            "day",
+            *[
+                F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+                for t in _PIVOT_TYPES
+            ],
+        )
+    )
+
+
+ORACLE_EVENTS_PIVOT = """
+SELECT CAST(ts AS DATE) AS day,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+FROM events
+GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "classify_kind_counts": q_classify_kind_counts,
@@ -4106,6 +4191,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "script_ratios": q_script_ratios,
         "nfc_normalize": q_nfc_normalize,
+        "snapshot_diff": q_snapshot_diff,
+        "events_pivot": q_events_pivot,
     }
 
 
@@ -4200,4 +4287,6 @@ def oracle_sql(sf_dir: str = None) -> dict[str, str]:
         "gopher_rules": ORACLE_GOPHER_RULES,
         "script_ratios": ORACLE_SCRIPT_RATIOS,
         "nfc_normalize": ORACLE_NFC_NORMALIZE,
+        "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
+        "events_pivot": ORACLE_EVENTS_PIVOT,
     }

@@ -55,6 +55,48 @@ def latest_by_key(
     ).select(*df.columns)
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "doc_id",
+    hash_col: str = "text",
+) -> DataFrame:
+    """Snapshot reconciliation — the diff report a pipeline runs
+    between two corpus versions (CDC validation, regression diff after
+    a pipeline change): per key, 'added' / 'removed' / 'changed' /
+    'same' judged by md5 of the payload column. Emits (key, status).
+
+    Scale shape: ONE full-outer equi-join on the key — inherent (every
+    key must meet its counterpart); payloads are reduced to md5 hashes
+    MAP-SIDE BEFORE the join, so the shuffle carries 32-byte digests,
+    not documents. NULL payloads hash as '' on both sides (repo
+    coalesce policy — a NULL→NULL payload is 'same', NULL→'x' is
+    'changed'). Keys must be non-NULL by contract: a full outer join
+    NULL-rejects the key equality, so a NULL-key row would surface as
+    a spurious added+removed pair; both sides filter them out
+    (documented, mirrored by the oracle)."""
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        return df.where(F.col(key_col).isNotNull()).select(
+            F.col(key_col).alias(f"_k_{tag}"),
+            F.md5(F.coalesce(F.col(hash_col), F.lit(""))).alias(
+                f"_h_{tag}"
+            ),
+        )
+
+    o, n = side(old, "o"), side(new, "n")
+    joined = o.join(n, o["_k_o"] == n["_k_n"], "full_outer")
+    status = (
+        F.when(F.col("_k_o").isNull(), "added")
+        .when(F.col("_k_n").isNull(), "removed")
+        .when(F.col("_h_o") != F.col("_h_n"), "changed")
+        .otherwise("same")
+    )
+    return joined.select(
+        F.coalesce(F.col("_k_o"), F.col("_k_n")).alias(key_col),
+        status.alias("status"),
+    )
+
+
 def history_intervals(
     df: DataFrame,
     key_col: str = "user_id",

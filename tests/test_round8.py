@@ -611,3 +611,60 @@ def test_nfc_normalized_composes_and_preserves(spark):
     assert got[2] == precomposed
     assert got[3] is None
     assert got[4] == "plain"
+
+
+# ---------------------------------------------------------------------------
+# snapshot diff / pivot
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_diff_statuses(spark):
+    from buildlog_consultant_spark.ops.snapshot import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, None)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (5, "e"), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["status"]
+        for r in snapshot_diff(old, new).collect()
+    }
+    assert got == {
+        1: "same",
+        2: "changed",
+        3: "removed",
+        4: "same",  # NULL payload on both sides hashes as ''
+        5: "added",
+    }
+
+
+def test_snapshot_diff_null_to_value_is_changed(spark):
+    from buildlog_consultant_spark.ops.snapshot import snapshot_diff
+
+    old = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    new = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    [r] = snapshot_diff(old, new).collect()
+    assert r["status"] == "changed"
+
+
+def test_events_pivot_one_pass_plan(spark):
+    import __spark_entry__ as entry
+
+    out = entry.q_events_pivot(spark, "/root/testdata/sf0.001")
+    out.collect()
+    plan = (
+        out._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    # pivot with explicit values = corpus-touching (day, type) count agg
+    # (partial+final), then pivotfirst over that BOUNDED aggregate —
+    # two agg pairs, no Expand, and only the first pair sees corpus rows
+    assert plan.count("partial_count") == 1, plan[:1500]
+    assert plan.count("pivotfirst") == 2, plan[:1500]
+    assert "Expand" not in plan, plan[:1500]
