@@ -344,3 +344,27 @@ def test_nb_training_single_corpus_scan(spark):
     # and the real entry point trains without error on the same data
     weights, prior = nb_token_weights(df, FF.col("lang") == "en", vocab_size=4)
     assert len(weights) <= 4 and isinstance(prior, int)
+
+
+def test_partition_pruning_reaches_scan(spark, tmp_path_factory):
+    """A filter on a partitionBy column must prune at the FILE level
+    (PartitionFilters on the scan), not post-read — at 100 TB this is
+    the difference between reading one event type's directory and the
+    whole lake. Mirrors route_fanout's partitionBy(sink_kind) layout."""
+    p = str(tmp_path_factory.mktemp("pruned") / "events")
+    ev = spark.createDataFrame(
+        [(i, ["click", "view", "error"][i % 3]) for i in range(90)],
+        "event_id long, event_type string",
+    )
+    ev.write.partitionBy("event_type").parquet(p)
+    out = spark.read.parquet(p).where(F.col("event_type") == "click")
+    assert out.count() == 30
+    plan = _plan(out).split("== Initial Plan ==")[0]
+    assert "PartitionFilters" in plan, plan[:1500]
+    assert "event_type" in plan.split("PartitionFilters", 1)[1][:200], (
+        plan[:1500]
+    )
+    # the equality must NOT appear as a post-scan Filter on rows
+    assert "PushedFilters: []" in plan or "Filter (" not in plan.split(
+        "FileScan", 1
+    )[0], plan[:1500]

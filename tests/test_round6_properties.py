@@ -125,3 +125,62 @@ def test_token_budget_per_key_matches_naive_randomized(spark, weights, budget):
         key=_nkey,
     )
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# hash_split_per_key (round-6 session 3): bucketed labeling == naive window
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=500),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    ),
+    keys=st.lists(st.sampled_from(["k0", "k1", None]), min_size=40, max_size=40),
+    weights=st.sampled_from(
+        [{"a": 1, "b": 1}, {"train": 8, "val": 1, "test": 1}, {"x": 3, "y": 2, "z": 5}]
+    ),
+    chars=st.sampled_from([1, 2]),
+)
+def test_hash_split_matches_naive_on_random_corpora(
+    spark, ids, keys, weights, chars
+):
+    from pyspark.sql import Window
+
+    from buildlog_consultant_spark.ops.quota import (
+        _order_hash,
+        hash_split_per_key,
+    )
+
+    rows = [(i, keys[n]) for n, i in enumerate(ids)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = {
+        (r["doc_id"], r["lang"]): r["split"]
+        for r in hash_split_per_key(
+            df, weights, key_col="lang", bucket_hex_chars=chars
+        ).collect()
+    }
+    w = Window.partitionBy("lang").orderBy(_order_hash("doc_id"), "doc_id")
+    naive = df.withColumn("r", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("lang"))
+    )
+    labels, total = list(weights), sum(weights.values())
+    want = {}
+    for r in naive.collect():
+        cum, label = 0, labels[-1]
+        for lab in labels[:-1]:
+            cum += weights[lab]
+            if r["r"] <= (r["n"] * cum) // total:
+                label = lab
+                break
+        want[(r["doc_id"], r["lang"])] = label
+    assert got == want
+    assert len(got) == len(rows)
