@@ -240,6 +240,25 @@ def main() -> None:
     wau = rolling_active_users(ev2, window_days=3)
     wau.collect()
 
+    from buildlog_consultant_spark.ops.snapshot import snapshot_diff
+    from buildlog_consultant_spark.ops.text import gopher_quality_signals
+
+    diff = snapshot_diff(
+        docs.select("doc_id", "text"),
+        docs.select((F.col("doc_id") + 1).alias("doc_id"), "text"),
+    )
+    diff.collect()
+    goph = gopher_quality_signals(docs).select(
+        "doc_id", "n_words", "gopher_keep"
+    )
+    goph.collect()
+    piv = (
+        ev2.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", ["view", "click", "purchase"])
+        .agg(F.count(F.lit(1)))
+    )
+    piv.collect()
+
     out = [
         "# PLANS — executed plans of the flagship pipeline (local[4], 200-doc fixture corpus)",
         "",
@@ -490,6 +509,25 @@ def main() -> None:
         "## exact countDistinct per day; no range self-join of raw events",
         "```",
         formatted(spark, wau),
+        "```",
+        "",
+        "## snapshot_diff (round 6) — payloads reduced to md5 MAP-SIDE before",
+        "## the one full-outer join; the shuffle carries 32-byte digests",
+        "```",
+        formatted(spark, diff),
+        "```",
+        "",
+        "## gopher_quality_signals (round 6) — pure map-side projection over",
+        "## the scan: no Exchange anywhere in the plan",
+        "```",
+        formatted(spark, goph),
+        "```",
+        "",
+        "## events pivot (round 6, explicit values) — corpus (day, type)",
+        "## count agg, then pivotfirst over that bounded aggregate; no",
+        "## distinct-scan pre-job, no Expand",
+        "```",
+        formatted(spark, piv),
         "```",
     ]
     Path(__file__).resolve().parent.parent.joinpath("PLANS.md").write_text(
