@@ -4102,6 +4102,244 @@ GROUP BY 1
 """
 
 
+def q_range_join(spark, sf_dir):
+    """Point-in-interval range join (ops/ranges.py::bucketed_range_join)
+    — the IP-geolocation / value-band lookup shape — as ONE bucket
+    equi-join + residual BETWEEN (a naive theta join plans a nested
+    loop, O(|points| x |ranges|)). Points are a deterministic mix of
+    event ids into [0, 20011); intervals tile [10, 20028] with bounded
+    width <= 28 and deliberate overlaps, bucket width 32 (~interval
+    width → expansion factor <= 2). Emits per-interval match stats."""
+    from buildlog_consultant_spark.ops.ranges import bucketed_range_join
+
+    ev = _read_adaptive(spark, f"{sf_dir}/events.parquet")
+    pt = _read_adaptive(spark, f"{sf_dir}/part.parquet")
+    points = ev.where(F.col("event_id").isNotNull()).select(
+        "event_id",
+        ((F.col("event_id") * 40503 + 12345) % 20011).alias("point"),
+    )
+    ranges = pt.where(F.col("p_partkey").isNotNull()).select(
+        F.col("p_partkey").alias("range_id"),
+        (F.col("p_partkey") * 10).alias("lo"),
+        (F.col("p_partkey") * 10 + F.col("p_partkey") % 29).alias("hi"),
+    )
+    j = bucketed_range_join(points, ranges, "point", "lo", "hi", 32)
+    return j.groupBy("range_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.min("point").alias("min_point"),
+        F.max("point").alias("max_point"),
+    )
+
+
+ORACLE_RANGE_JOIN = """
+WITH pts AS (
+  SELECT event_id, (event_id * 40503 + 12345) % 20011 AS point
+  FROM events WHERE event_id IS NOT NULL
+), rng AS (
+  SELECT p_partkey AS range_id, p_partkey * 10 AS lo,
+         p_partkey * 10 + p_partkey % 29 AS hi
+  FROM part WHERE p_partkey IS NOT NULL
+)
+SELECT range_id, CAST(COUNT(*) AS BIGINT) AS n_points,
+       MIN(point) AS min_point, MAX(point) AS max_point
+FROM pts JOIN rng ON point BETWEEN lo AND hi
+GROUP BY 1
+"""
+
+
+def q_markov_transitions(spark, sf_dir):
+    """First-order Markov transition table over per-user event
+    sequences (ops/funnel.py::event_transitions): one lag window over
+    user partitions (bounded by per-user history, never corpus-sized)
+    feeding one map-side-combinable count agg; permille probabilities
+    are exact integers normalized over the bounded |states|^2
+    transition table. Ties on ts break by event_id; NULL users are
+    excluded (pooling anonymous events would fabricate sequences)."""
+    from buildlog_consultant_spark.ops.funnel import event_transitions
+
+    ev = _read_adaptive(spark, f"{sf_dir}/events.parquet")
+    return event_transitions(ev)
+
+
+ORACLE_MARKOV_TRANSITIONS = """
+WITH seq AS (
+  SELECT event_type AS to_state,
+         LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts ASC NULLS FIRST,
+                                         event_id ASC NULLS FIRST
+         ) AS from_state,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY ts ASC NULLS FIRST,
+                                         event_id ASC NULLS FIRST
+         ) AS rn
+  FROM events WHERE user_id IS NOT NULL
+), t AS (
+  SELECT from_state, to_state, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE rn >= 2 GROUP BY 1, 2
+)
+SELECT from_state, to_state, n,
+       CAST((1000 * n) // SUM(n) OVER (PARTITION BY from_state)
+            AS BIGINT) AS p_permille
+FROM t
+"""
+
+
+def q_ols_by_group(spark, sf_dir):
+    """Per-group OLS of extendedprice-cents on quantity over lineitem
+    (ops/regress.py::ols_fit) — exact integer sufficient statistics in
+    decimal(38,0), slope/intercept as truncating-DIV ppm integers
+    (Spark DIV ≡ DuckDB // ≡ C: toward zero, verified for negatives).
+    ONE map-side-combinable hash agg touches the fact table; floats
+    enter only via the repo's round(x*100)→long convention."""
+    from buildlog_consultant_spark.ops.regress import ols_fit
+
+    li = _read_adaptive(spark, f"{sf_dir}/lineitem.parquet")
+    pts = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    out = ols_fit(pts, ["l_returnflag", "l_linestatus"], "x", "y")
+    # The sums stay decimal(38,0) inside the op; the DRIVER emits them
+    # as BIGINT (|sxy| <= 50 * 10^7 * rows — fits to ~10^10 rows), the
+    # repo-wide output discipline (Decimal objects hash differently
+    # from ints at the Arrow compare layer).
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        "n",
+        *[F.col(c).cast("long").alias(c) for c in ("sx", "sy", "sxy", "sxx")],
+        "slope_ppm",
+        "intercept_ppm",
+    )
+
+
+ORACLE_OLS_BY_GROUP = """
+WITH pts AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(round(l_quantity) AS HUGEINT) AS x,
+         CAST(round(l_extendedprice * 100) AS HUGEINT) AS y
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+), s AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM pts GROUP BY 1, 2
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(n AS BIGINT) AS n,
+       CAST(sx AS BIGINT) AS sx, CAST(sy AS BIGINT) AS sy,
+       CAST(sxy AS BIGINT) AS sxy, CAST(sxx AS BIGINT) AS sxx,
+       CASE WHEN n * sxx - sx * sx <> 0 THEN
+         CAST((1000000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx)
+              AS BIGINT) END AS slope_ppm,
+       CASE WHEN n * sxx - sx * sx <> 0 THEN
+         CAST((1000000 * (sy * sxx - sx * sxy)) // (n * sxx - sx * sx)
+              AS BIGINT) END AS intercept_ppm
+FROM s
+"""
+
+
+def q_triangle_count(spark, sf_dir):
+    """Per-node triangle counts on the planted link graph
+    (ops/graph.py::triangle_counts) — web-graph clustering density.
+    Edge-orientation enumeration: canonical a<b edge set, wedge join on
+    the shared middle node, left-semi existence join on the closing
+    edge — two hash equi-joins, no nested loop, each triangle found
+    once as a<b<c. The oracle replays the planted-edge arithmetic in
+    pure SQL."""
+    from buildlog_consultant_spark.ops.graph import triangle_counts
+
+    d = _docs(spark, sf_dir)
+    return triangle_counts(d)
+
+
+ORACLE_TRIANGLE_COUNT = """
+WITH ids AS (
+  SELECT DISTINCT doc_id AS u FROM documents WHERE doc_id IS NOT NULL
+), nn AS (SELECT COUNT(*) AS n FROM ids),
+raw AS (
+  SELECT u, ((u * 2654435761 + j * 40503 + 12345) % 4294967296) % nn.n AS t0
+  FROM ids CROSS JOIN nn CROSS JOIN (VALUES (0), (1), (2), (3)) js(j)
+), ed AS (
+  SELECT u AS src,
+         CASE WHEN t0 = u THEN (t0 + 1) % (SELECT n FROM nn) ELSE t0 END
+           AS dst
+  FROM raw
+), und AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM ed WHERE src <> dst
+), tri AS (
+  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+  FROM und e1
+  JOIN und e2 ON e1.b = e2.a
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+), corners AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM corners GROUP BY 1
+"""
+
+
+def q_ntile_global(spark, sf_dir):
+    """EXACT global NTILE(10) + rank in (md5(id), id) hash order
+    (ops/quota.py::with_global_ntile) — equal-depth shard labeling
+    WITHOUT the single-task global sort the textbook window implies:
+    rank rides the bucketed two-pass cumsum (weight 1), the SQL NTILE
+    remainder front-loading is pure integer arithmetic, and the corpus
+    total joins in as a broadcast one-row aggregate (plan-asserted: no
+    shuffle beyond the audited cumsum's)."""
+    from buildlog_consultant_spark.ops.quota import with_global_ntile
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    return with_global_ntile(d, 10).select("doc_id", "rank", "tile")
+
+
+ORACLE_NTILE_GLOBAL = """
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY md5(coalesce(CAST(doc_id AS VARCHAR), '')) ASC,
+                  doc_id ASC NULLS FIRST) AS BIGINT) AS rank,
+       CAST(NTILE(10) OVER (
+         ORDER BY md5(coalesce(CAST(doc_id AS VARCHAR), '')) ASC,
+                  doc_id ASC NULLS FIRST) AS BIGINT) AS tile
+FROM documents
+"""
+
+
+def q_events_cube(spark, sf_dir):
+    """OLAP CUBE over events — all four grouping sets (type, day) /
+    (type) / (day) / () in ONE pass: a single Expand writes 4 copies
+    map-side, combined before the one exchange (vs 4 scans; at 100 TB
+    the scan dominates). gid = Spark grouping_id ≡ DuckDB
+    GROUPING(a, b). Integer cents convention for the value sum."""
+    ev = _read_adaptive(spark, f"{sf_dir}/events.parquet")
+    day = F.to_date("ts").alias("day")
+    return ev.cube("event_type", day).agg(
+        F.grouping_id().alias("gid"),
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+            "sum_value_cents"
+        ),
+    )
+
+
+ORACLE_EVENTS_CUBE = """
+SELECT event_type, CAST(ts AS DATE) AS day,
+       CAST(GROUPING(event_type, CAST(ts AS DATE)) AS BIGINT) AS gid,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS sum_value_cents
+FROM events
+GROUP BY CUBE (event_type, CAST(ts AS DATE))
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "classify_kind_counts": q_classify_kind_counts,
@@ -4193,6 +4431,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nfc_normalize": q_nfc_normalize,
         "snapshot_diff": q_snapshot_diff,
         "events_pivot": q_events_pivot,
+        "range_join": q_range_join,
+        "markov_transitions": q_markov_transitions,
+        "ols_by_group": q_ols_by_group,
+        "triangle_count": q_triangle_count,
+        "ntile_global": q_ntile_global,
+        "events_cube": q_events_cube,
     }
 
 
@@ -4289,4 +4533,10 @@ def oracle_sql(sf_dir: str = None) -> dict[str, str]:
         "nfc_normalize": ORACLE_NFC_NORMALIZE,
         "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
         "events_pivot": ORACLE_EVENTS_PIVOT,
+        "range_join": ORACLE_RANGE_JOIN,
+        "markov_transitions": ORACLE_MARKOV_TRANSITIONS,
+        "ols_by_group": ORACLE_OLS_BY_GROUP,
+        "triangle_count": ORACLE_TRIANGLE_COUNT,
+        "ntile_global": ORACLE_NTILE_GLOBAL,
+        "events_cube": ORACLE_EVENTS_CUBE,
     }

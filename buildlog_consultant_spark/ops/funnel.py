@@ -184,3 +184,68 @@ def funnel_counts(
         wide.select(F.explode(F.array(*pairs)).alias("r"))
         .select("r.step", "r.event_type", "r.n_users")
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition table over per-user event
+    sequences: (from_state, to_state, n, p_permille) where n counts
+    consecutive pairs across all users and p_permille is the EXACT
+    row-normalized probability floor(1000*n / total(from_state)) — the
+    behavioral-model / anomalous-flow primitive of session analysis.
+
+    Scale shape: ONE window (lag over user partitions — each partition
+    is one user's history, bounded by per-user activity, never corpus-
+    sized) feeding ONE map-side-combinable count agg; the permille
+    normalization is a second window over the TRANSITION table, which
+    is bounded by |state|^2 rows, not events. A per-user collect_list
+    formulation would materialize whole histories per task; this never
+    holds more than the lag's one-row lookback.
+
+    Determinism: ties on ts are broken by the event id, so the lag
+    order (ts, id) is total per user on both engines.
+
+    NULL policy: NULL-user events are excluded up front (a NULL key
+    would pool unrelated anonymous events into one fake user's
+    "sequence" — PARTITION BY groups NULLs together on both engines,
+    so the exclusion is semantic, not mechanical). A NULL event_type
+    is a real state (groupBy groups NULLs; the permille window
+    partitions them identically in Spark and DuckDB). Each user's
+    first event has no predecessor and feeds no transition.
+    """
+    from pyspark.sql import Window
+
+    # Row-position filter, not "from_state IS NOT NULL": lag() can't
+    # distinguish "first event of the user" from "prior event's type is
+    # genuinely NULL", and NULL is a real state here.
+    seq = (
+        events.where(F.col(user_col).isNotNull())
+        .select(
+            F.col(user_col).alias("_u"),
+            F.col(ts_col).alias("_t"),
+            F.col(id_col).alias("_i"),
+            F.col(type_col).alias("to_state"),
+        )
+        .withColumn("from_state", F.lag("to_state").over(
+            Window.partitionBy("_u").orderBy("_t", "_i")
+        ))
+        .withColumn("_rn", F.row_number().over(
+            Window.partitionBy("_u").orderBy("_t", "_i")
+        ))
+        .where(F.col("_rn") >= 2)
+    )
+    counts = seq.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return counts.select(
+        "from_state",
+        "to_state",
+        F.col("n").cast("long").alias("n"),
+        F.expr("CAST(1000 * n DIV SUM(n) OVER (PARTITION BY from_state) AS LONG)")
+        .alias("p_permille"),
+    )

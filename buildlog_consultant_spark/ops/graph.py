@@ -160,3 +160,78 @@ def py_pagerank(node_ids: list, iters: int = ITERS) -> list:
             sums[d] = sums.get(d, 0) + rank[u] // OUT_DEG
         rank = {u: tele + (85 * sums.get(u, 0)) // 100 for u in ids}
     return [(u, in_deg.get(u, 0), rank[u]) for u in ids]
+
+
+def triangle_counts(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-node triangle counts on the planted link graph — the
+    clustering/community-density signal of web-graph analysis (spam
+    farms and boilerplate mirror clusters show up as dense triangles).
+    Returns (node, n_triangles) for every node in >= 1 triangle.
+
+    Algorithm: the standard edge-orientation enumeration. The directed
+    planted edges are first canonicalized to an undirected simple edge
+    set with a < b (distinct least/greatest — direction and multiplicity
+    don't define a triangle), then each triangle a < b < c is found
+    EXACTLY ONCE as e1=(a,b) ⋈ e2=(b,c) on the shared middle node plus
+    an existence join on (a,c).
+
+    Scale shape: two hash equi-joins over the oriented edge table — no
+    nested loop, no per-node adjacency materialization beyond the join
+    hash sides. The wedge join (e1.b = e2.a) fans out by the oriented
+    out-degree of the middle node; orienting a < b on a bounded-degree
+    graph (planted out-degree 4 → undirected degree ≤ 8) bounds wedges
+    per node at ~deg²; on a power-law web graph the production trick is
+    to orient low-degree → high-degree instead, which this canonical
+    form generalizes to without changing the joins. The oriented edge
+    table is persisted: it feeds three join sides and would otherwise
+    recompute the distinct per use.
+
+    NULL policy: NULL ids are excluded up front (pagerank's node
+    contract; the planted targets need the dense [0, n) id space).
+    """
+    nodes = (
+        docs.where(F.col(id_col).isNotNull())
+        .select(F.col(id_col).cast("long").alias("node"))
+        .distinct()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "node", F.lit(0).cast("long").alias("n_triangles")
+        ).limit(0)
+    und = (
+        planted_edges(nodes, n, id_col="node")
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    und.persist()
+    try:
+        e1 = und.select(F.col("a").alias("ta"), F.col("b").alias("tb"))
+        e2 = und.select(F.col("a").alias("tb2"), F.col("b").alias("tc"))
+        e3 = und.select(F.col("a").alias("ca"), F.col("b").alias("cc"))
+        tri = (
+            e1.join(e2, F.col("tb") == F.col("tb2"))
+            .join(
+                e3,
+                (F.col("ca") == F.col("ta")) & (F.col("cc") == F.col("tc")),
+                "left_semi",
+            )
+            .select("ta", "tb", "tc")
+        )
+        out = (
+            tri.select(
+                F.explode(F.array("ta", "tb", "tc")).alias("node")
+            )
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+        )
+        # Node-grain output (bounded by corpus ids) — materialize so the
+        # persisted edge table can be released now (pagerank's pattern).
+        out = out.localCheckpoint(eager=True)
+    finally:
+        und.unpersist()
+    return out

@@ -690,3 +690,63 @@ def key_quota_naive(
         .where(F.col("_rn") <= n_keep)
         .drop("_rn")
     )
+
+
+def with_global_ntile(
+    df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    bucket_hex_chars: int = 2,
+    out_col: str = "tile",
+) -> DataFrame:
+    """EXACT ``NTILE(k)`` over the whole corpus in (md5(id), id) hash
+    order — equal-depth bucketing (train-shard assignment, decile
+    labeling) WITHOUT the global sort NTILE's single window partition
+    implies (the textbook formulation funnels every row through ONE
+    task; this is the fifth instance of the bucketed two-pass
+    technique).
+
+    The global rank is with_global_cumsum with weight 1 (the cumsum of
+    ones IS the 1-based rank; ids unique per that helper's contract).
+    SQL NTILE then front-loads the remainder: with q = n div k and
+    r = n mod k, the first r tiles take q+1 rows, the rest take q:
+
+        rank <= r*(q+1):  tile = (rank-1) div (q+1) + 1
+        otherwise:        tile = r + (rank - r*(q+1) - 1) div q + 1
+
+    (NOT the evenly-spread floor((rank-1)*k/n) + 1, which distributes
+    the fat tiles across the range and disagrees with SQL NTILE
+    whenever r >= 2 — e.g. n=10, k=4 gives sizes 3,3,2,2 vs 3,2,3,2.)
+    Pure integer arithmetic on (rank, n, k) → engine-portable; the
+    total count rides in as a broadcast one-row aggregate, so the whole
+    thing stays one lazy plan (no driver-side count action).
+
+    NULL policy: with_global_cumsum's — NULL ids hash as '' (at most
+    one per corpus for a total order). Every row gets a tile.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    d = with_global_cumsum(
+        df, F.lit(1), id_col=id_col,
+        bucket_hex_chars=bucket_hex_chars, out_col="_rank",
+    )
+    n_meta = df.agg(F.count(F.lit(1)).alias("_n"))
+    q = F.expr(f"_n DIV {int(k)}")
+    r = F.col("_n") % F.lit(int(k))
+    fat = r * (q + 1)  # rows living in the first r (size q+1) tiles
+    tile = F.when(
+        F.col("_rank") <= fat,
+        F.expr(f"(_rank - 1) DIV (_n DIV {int(k)} + 1) + 1"),
+    ).otherwise(
+        r
+        + F.expr(
+            f"(_rank - (_n % {int(k)}) * (_n DIV {int(k)} + 1) - 1) "
+            f"DIV (_n DIV {int(k)}) + 1"
+        )
+    )
+    return (
+        d.join(F.broadcast(n_meta))
+        .withColumn(out_col, tile.cast("long"))
+        .drop("_n")
+        .withColumnRenamed("_rank", "rank")
+    )
