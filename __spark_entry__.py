@@ -4340,6 +4340,244 @@ GROUP BY CUBE (event_type, CAST(ts AS DATE))
 """
 
 
+def q_jaccard_pairs(spark, sf_dir):
+    """EXACT all-pairs Jaccard >= 0.5 over 3-gram shingles via prefix
+    filtering (ops/ppjoin.py::jaccard_allpairs — AllPairs/PPJoin
+    family): candidates come only from the rarest-first PREFIX index
+    (theorem-bounded, no false negatives), then exact candidate-
+    restricted overlap verification; the brute-force token self-join
+    the oracle runs is exactly what this avoids at scale. Integer
+    permille threshold by cross-multiplication."""
+    from buildlog_consultant_spark.ops.ppjoin import jaccard_allpairs
+
+    d = _docs(spark, sf_dir)
+    return jaccard_allpairs(d, tau_permille=500, n=3)
+
+
+ORACLE_JACCARD_PAIRS = r"""
+WITH norm AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(regexp_replace(trim(coalesce(text, '')), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents WHERE doc_id IS NOT NULL
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(0, greatest(len(w) - 3, 0) + 1),
+                        i -> array_to_string(w[i+1:i+3], ' '))) AS s
+  FROM norm WHERE len(w) >= 3
+), tok AS (SELECT DISTINCT doc_id, t FROM sh, unnest(s) AS u(t)),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1),
+inter AS (
+  SELECT a.doc_id ia, b.doc_id ib, COUNT(*) c
+  FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT ia AS id_a, ib AS id_b,
+       CAST(1000 * c // (sa.n + sb.n - c) AS BIGINT) AS jaccard_permille
+FROM inter JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
+WHERE 1000 * c >= 500 * (sa.n + sb.n - c)
+"""
+
+
+def q_fuzzy_lev_pairs(spark, sf_dir):
+    """Prefix-blocked edit-distance near-dup pairs (ops/fuzzy.py::
+    levenshtein_block_pairs): 16-char block equi-join (never a cross
+    join), |len| pre-gate, THRESHOLDED char-level levenshtein over a
+    192-char window (bounded DP per pair; Spark's banded 3-arg
+    levenshtein). Python-golden oracle — DuckDB's levenshtein counts
+    UTF-8 BYTES, Spark counts CHARS, so SQL replay would diverge on
+    non-ASCII text."""
+    from buildlog_consultant_spark.ops.fuzzy import levenshtein_block_pairs
+
+    d = _docs(spark, sf_dir)
+    return levenshtein_block_pairs(d, max_dist=8)
+
+
+def _oracle_fuzzy_lev_pairs(sf_dir: str = None) -> str:
+    import pyarrow.parquet as pq
+
+    from buildlog_consultant_spark.ops.fuzzy import py_levenshtein_block_pairs
+
+    tbl = pq.read_table(
+        f"{sf_dir or _oracle_sf_dir()}/documents.parquet",
+        columns=["doc_id", "text"],
+    )
+    rows = py_levenshtein_block_pairs(
+        list(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist())),
+        max_dist=8,
+    )
+    return _values_oracle(rows, ["id_a", "id_b", "dist"])
+
+
+def q_mojibake(spark, sf_dir):
+    """Encoding-damage detection (ops/text.py::with_mojibake_signals):
+    exact counts of U+FFFD, C1 controls, and the double-encoded-UTF-8
+    signature — one map-side projection, no shuffle, patterns valid
+    and identical in Java regex and RE2. Damage is PLANTED per
+    doc_id % 4 (double-encoding / replacement char / C1 / clean) since
+    the synthetic corpus is clean."""
+    from buildlog_consultant_spark.ops.text import with_mojibake_signals
+
+    d = _docs(spark, sf_dir).where(F.col("doc_id").isNotNull())
+    suffix = (
+        F.when(F.pmod("doc_id", F.lit(4)) == 0,
+               F.lit(" caf\u00c3\u00a9"))
+        .when(F.pmod("doc_id", F.lit(4)) == 1, F.lit(" x\ufffd"))
+        .when(F.pmod("doc_id", F.lit(4)) == 2, F.lit(" y\u0085"))
+        .otherwise(F.lit(""))
+    )
+    planted = d.withColumn(
+        "text", F.concat(F.coalesce(F.col("text"), F.lit("")), suffix)
+    )
+    return with_mojibake_signals(planted).select(
+        "doc_id", "n_replacement", "n_c1", "n_double_utf8", "is_mojibake"
+    )
+
+
+ORACLE_MOJIBAKE = """
+WITH planted AS (
+  SELECT doc_id,
+         coalesce(text, '') || CASE doc_id % 4
+           WHEN 0 THEN ' caf' || chr(195) || chr(169)
+           WHEN 1 THEN ' x' || chr(65533)
+           WHEN 2 THEN ' y' || chr(133)
+           ELSE '' END AS t
+  FROM documents WHERE doc_id IS NOT NULL
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, chr(65533))) AS BIGINT)
+         AS n_replacement,
+       CAST(len(regexp_extract_all(t,
+              '[' || chr(128) || '-' || chr(159) || ']')) AS BIGINT)
+         AS n_c1,
+       CAST(len(regexp_extract_all(t,
+              '[' || chr(194) || chr(195) || '][' || chr(160) || '-'
+                  || chr(255) || ']')) AS BIGINT)
+         AS n_double_utf8,
+       (len(regexp_extract_all(t, chr(65533)))
+        + len(regexp_extract_all(t,
+              '[' || chr(128) || '-' || chr(159) || ']'))
+        + len(regexp_extract_all(t,
+              '[' || chr(194) || chr(195) || '][' || chr(160) || '-'
+                  || chr(255) || ']'))) > 0 AS is_mojibake
+FROM planted
+"""
+
+
+def q_json_props(spark, sf_dir):
+    """Semi-structured payload parsing (ops/semistruct.py::
+    with_json_fields): ONE JVM-side from_json per row (Jackson inside
+    whole-stage codegen — no Python in the row path), fields projected
+    out of the single parsed struct. Corruption and a nested object
+    are PLANTED deterministically (event_id % 7 → unparseable,
+    event_id % 5 → nested m.d) — fully-invalid rows yield NULL fields
+    in BOTH engines (Spark PERMISSIVE is lenient only about trailing
+    garbage, which is deliberately not planted; pinned by test)."""
+    from buildlog_consultant_spark.ops.semistruct import with_json_fields
+
+    ev = _read_adaptive(spark, f"{sf_dir}/events.parquet")
+    props2 = (
+        F.when(
+            F.pmod("event_id", F.lit(7)) == 0,
+            F.concat(F.lit("corrupt"), F.col("event_id").cast("string")),
+        )
+        .when(
+            F.pmod("event_id", F.lit(5)) == 0,
+            F.concat(
+                F.lit('{"k": '),
+                (F.col("event_id") % 100).cast("string"),
+                F.lit(', "m": {"d": '),
+                (F.col("event_id") % 9).cast("string"),
+                F.lit("}}"),
+            ),
+        )
+        .otherwise(F.col("props"))
+    )
+    d = with_json_fields(
+        ev.withColumn("props", props2),
+        "props",
+        "k BIGINT, m STRUCT<d: BIGINT>",
+        {"k": "k", "d": "m.d"},
+    )
+    return d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("k").alias("n_k"),
+        F.sum("k").alias("sum_k"),
+        F.count("d").alias("n_d"),
+        F.sum("d").alias("sum_d"),
+    )
+
+
+ORACLE_JSON_PROPS = """
+WITH planted AS (
+  SELECT event_type,
+         CASE WHEN event_id % 7 = 0
+              THEN 'corrupt' || CAST(event_id AS VARCHAR)
+              WHEN event_id % 5 = 0
+              THEN '{"k": ' || CAST(event_id % 100 AS VARCHAR)
+                   || ', "m": {"d": ' || CAST(event_id % 9 AS VARCHAR)
+                   || '}}'
+              ELSE props END AS p
+  FROM events
+), parsed AS (
+  SELECT event_type,
+         CASE WHEN json_valid(p)
+              THEN TRY_CAST(json_extract_string(p, '$.k') AS BIGINT) END AS k,
+         CASE WHEN json_valid(p)
+              THEN TRY_CAST(json_extract_string(p, '$.m.d') AS BIGINT) END AS d
+  FROM planted
+)
+SELECT event_type, COUNT(*) AS n,
+       COUNT(k) AS n_k, CAST(SUM(k) AS BIGINT) AS sum_k,
+       COUNT(d) AS n_d, CAST(SUM(d) AS BIGINT) AS sum_d
+FROM parsed GROUP BY 1
+"""
+
+
+def q_iqr_outliers(spark, sf_dir):
+    """Tukey-fence outlier counts per event type (ops/robust.py::
+    iqr_outlier_stats): exact nearest-rank quartiles via the histogram
+    two-pass (the only corpus-row shuffle is the (key, value) hash
+    agg; windows see the histogram, never corpus rows), then one
+    broadcast fence join + count scan. Fences compare in doubled
+    integers — 1.5*IQR never materializes as a float. Value = integer
+    cents (round(value*100) convention)."""
+    from buildlog_consultant_spark.ops.robust import iqr_outlier_stats
+
+    ev = _read_adaptive(spark, f"{sf_dir}/events.parquet")
+    d = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return iqr_outlier_stats(d, "event_type", "cents")
+
+
+ORACLE_IQR_OUTLIERS = """
+WITH vals AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+), ranked AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS nn
+  FROM vals
+), fences AS (
+  SELECT event_type,
+         MAX(CASE WHEN rn = (25 * nn + 99) // 100 THEN cents END) AS q25,
+         MAX(CASE WHEN rn = (75 * nn + 99) // 100 THEN cents END) AS q75
+  FROM ranked GROUP BY 1
+)
+SELECT v.event_type, COUNT(*) AS n,
+       MAX(f.q25) AS q25, MAX(f.q75) AS q75,
+       CAST(SUM(CASE WHEN 2 * cents < 2 * q25 - 3 * (q75 - q25)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+       CAST(SUM(CASE WHEN 2 * cents > 2 * q75 + 3 * (q75 - q25)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+FROM vals v JOIN fences f
+  ON v.event_type IS NOT DISTINCT FROM f.event_type
+GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "classify_kind_counts": q_classify_kind_counts,
@@ -4437,6 +4675,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         "ntile_global": q_ntile_global,
         "events_cube": q_events_cube,
+        "jaccard_pairs": q_jaccard_pairs,
+        "fuzzy_lev_pairs": q_fuzzy_lev_pairs,
+        "mojibake": q_mojibake,
+        "json_props": q_json_props,
+        "iqr_outliers": q_iqr_outliers,
     }
 
 
@@ -4539,4 +4782,9 @@ def oracle_sql(sf_dir: str = None) -> dict[str, str]:
         "triangle_count": ORACLE_TRIANGLE_COUNT,
         "ntile_global": ORACLE_NTILE_GLOBAL,
         "events_cube": ORACLE_EVENTS_CUBE,
+        "jaccard_pairs": ORACLE_JACCARD_PAIRS,
+        "fuzzy_lev_pairs": _oracle_fuzzy_lev_pairs(sf_dir),
+        "mojibake": ORACLE_MOJIBAKE,
+        "json_props": ORACLE_JSON_PROPS,
+        "iqr_outliers": ORACLE_IQR_OUTLIERS,
     }

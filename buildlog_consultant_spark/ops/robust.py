@@ -1,0 +1,116 @@
+"""Robust per-key dispersion statistics — exact quantiles over an
+UNBOUNDED integer domain and the 1.5-IQR outlier rule (Tukey fences),
+the distribution-free anomaly gate log pipelines run over latency /
+value / size columns.
+
+Exactness: nearest-rank order statistics (the value at rank
+ceil(p*n/100) under (value) order) — approx_percentile sketches differ
+across engines; discrete ranks are bit-portable, and the value AT a
+rank is tie-order-independent. The fence comparison is kept integral
+by doubling: v is an outlier iff 2*v < 2*q25 - 3*iqr or
+2*v > 2*q75 + 3*iqr (1.5*iqr never materializes as a float).
+
+Scale shape (quality_quantiles' histogram two-pass, generalized to an
+unbounded value domain): pass 1 is ONE partial+final hash aggregate
+groupBy(key, value) — the only corpus-row shuffle, carrying at most
+(keys x per-key distinct values) rows after map-side combine. Pass 2
+runs the cumulative window and nearest-rank filter over that
+histogram; per-window work is the per-key DISTINCT-value count, not
+the per-key row count (a hot key with 10^9 rows over a 10^4-value
+domain costs 10^4). For a key whose distinct-value count itself
+exceeds an executor, range-partition the domain first (documented
+limit, same as quality_quantiles). Pass 3 (outlier counting) joins the
+keys-sized fence table back BROADCAST and re-scans the corpus once —
+fences must exist before any row can be judged, so two scans is the
+floor for an exact rule.
+
+NULL policy: NULL values are excluded from both the histogram and the
+outlier scan (order statistics over NULL are undefined; SQL aggregates
+skip NULLs). A NULL key is its own group (groupBy semantics, identical
+in both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_quantiles_by_key(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    ps: tuple = (25, 50, 75),
+) -> DataFrame:
+    """(key, p, value): per-key nearest-rank p-th percentiles of an
+    integral value column, via the histogram two-pass (no per-key
+    corpus sort)."""
+    hist = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(key_col, value_col)
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    w_cum = (
+        Window.partitionBy(key_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_n = Window.partitionBy(key_col)
+    cum = hist.select(
+        key_col,
+        value_col,
+        "_cnt",
+        F.sum("_cnt").over(w_cum).alias("_cum"),
+        F.sum("_cnt").over(w_n).alias("_n"),
+    )
+    r = F.floor((F.col("p") * F.col("_n") + 99) / 100)
+    return (
+        cum.select(
+            key_col,
+            value_col,
+            "_cnt",
+            "_cum",
+            "_n",
+            F.explode(F.array(*[F.lit(int(p)) for p in ps])).alias("p"),
+        )
+        .where((F.col("_cum") >= r) & (F.col("_cum") - F.col("_cnt") < r))
+        .select(key_col, F.col("p").cast("int").alias("p"), value_col)
+    )
+
+
+def iqr_outlier_stats(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """(key, n, q25, q75, n_low, n_high): per-key Tukey-fence outlier
+    counts with exact integer arithmetic. ``value_col`` must be
+    integral (callers convert floats via the round(x*scale)->long
+    convention)."""
+    q = exact_quantiles_by_key(df, key_col, value_col, ps=(25, 75))
+    fences = (
+        q.groupBy(key_col)
+        .agg(
+            F.max(F.when(F.col("p") == 25, F.col(value_col))).alias("q25"),
+            F.max(F.when(F.col("p") == 75, F.col(value_col))).alias("q75"),
+        )
+        .withColumnRenamed(key_col, "_fk")
+    )
+    v2 = F.col(value_col) * 2
+    lo = F.col("q25") * 2 - (F.col("q75") - F.col("q25")) * 3
+    hi = F.col("q75") * 2 + (F.col("q75") - F.col("q25")) * 3
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .join(
+            F.broadcast(fences),
+            F.col(key_col).eqNullSafe(F.col("_fk")),
+        )
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first("q25").alias("q25"),
+            F.first("q75").alias("q75"),
+            F.sum((v2 < lo).cast("long")).alias("n_low"),
+            F.sum((v2 > hi).cast("long")).alias("n_high"),
+        )
+    )

@@ -958,3 +958,40 @@ def with_nfc_normalized(
     norm.__annotations__ = {"s": pd.Series, "return": pd.Series}
     fn = pandas_udf(norm, "string")
     return df.withColumn(out_col, fn(F.col(text_col)))
+
+
+# Mojibake / encoding-damage detection (map-side). Three exact,
+# regex-countable artifacts of real crawl corpora:
+#   * U+FFFD REPLACEMENT CHARACTER — a decoder already gave up;
+#   * C1 controls U+0080-U+009F — bytes that decode to nothing
+#     printable in any sane text, the classic cp1252-as-latin1 tell;
+#   * the double-encoded UTF-8 signature [U+00C2 U+00C3][U+00A0-U+00FF]
+#     — UTF-8 lead bytes 0xC2/0xC3 re-decoded as Latin-1 ('e-acute'
+#     becomes 'A-tilde copyright-sign').
+# Patterns are literal BMP character classes — valid and identical in
+# Java regex (Spark) and RE2 (DuckDB); counts are non-overlapping
+# left-to-right matches in both. NULL text counts as clean (coalesce
+# to '' — signals are 0, is_mojibake false), mirroring the signal ops'
+# NULL policy rather than the filters' passthrough.
+MOJIBAKE_REPLACEMENT_RE = "\ufffd"
+MOJIBAKE_C1_RE = "[\u0080-\u009f]"
+MOJIBAKE_DOUBLE_UTF8_RE = "[\u00c2\u00c3][\u00a0-\u00ff]"
+
+
+def with_mojibake_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds n_replacement / n_c1 / n_double_utf8 / is_mojibake — one
+    map-side projection, no shuffle, no Python in the row path."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_rep = F.regexp_count(t, F.lit(MOJIBAKE_REPLACEMENT_RE)).cast("long")
+    n_c1 = F.regexp_count(t, F.lit(MOJIBAKE_C1_RE)).cast("long")
+    n_dbl = F.regexp_count(t, F.lit(MOJIBAKE_DOUBLE_UTF8_RE)).cast("long")
+    return (
+        df.withColumn("n_replacement", n_rep)
+        .withColumn("n_c1", n_c1)
+        .withColumn("n_double_utf8", n_dbl)
+        .withColumn(
+            "is_mojibake",
+            (F.col("n_replacement") + F.col("n_c1") + F.col("n_double_utf8"))
+            > 0,
+        )
+    )
