@@ -259,6 +259,47 @@ def main() -> None:
     )
     piv.collect()
 
+    from buildlog_consultant_spark.ops.ppjoin import jaccard_allpairs
+    from buildlog_consultant_spark.ops.quota import with_global_ntile
+    from buildlog_consultant_spark.ops.ranges import bucketed_range_join
+    from buildlog_consultant_spark.ops.regress import ols_fit
+    from buildlog_consultant_spark.ops.robust import iqr_outlier_stats
+
+    pts = spark.range(200).select(
+        F.col("id").alias("pid"), ((F.col("id") * 37) % 500).alias("point")
+    )
+    rng = spark.range(50).select(
+        F.col("id").alias("rid"),
+        (F.col("id") * 10).alias("lo"),
+        (F.col("id") * 10 + 7).alias("hi"),
+    )
+    rj = bucketed_range_join(pts, rng, "point", "lo", "hi", 16)
+    rj.collect()
+
+    ols = ols_fit(
+        spark.range(300).select(
+            (F.col("id") % 3).cast("string").alias("g"),
+            F.col("id").alias("x"),
+            (F.col("id") * 2 + 1).alias("y"),
+        ),
+        ["g"], "x", "y",
+    )
+    ols.collect()
+
+    nt = with_global_ntile(
+        spark.range(500).select(F.col("id").alias("doc_id")), 10
+    )
+    nt.collect()
+
+    jp = jaccard_allpairs(docs, tau_permille=500)
+    jp.collect()
+
+    iqr = iqr_outlier_stats(
+        ev2.select("event_type", F.col("event_id").alias("cents")),
+        "event_type", "cents",
+    )
+    iqr.collect()
+
     out = [
         "# PLANS — executed plans of the flagship pipeline (local[4], 200-doc fixture corpus)",
         "",
@@ -528,6 +569,39 @@ def main() -> None:
         "## distinct-scan pre-job, no Expand",
         "```",
         formatted(spark, piv),
+        "```",
+        "",
+        "## bucketed_range_join (round 6) — point-in-interval as ONE bucket",
+        "## equi-join + residual BETWEEN; no NestedLoop/Cartesian anywhere",
+        "```",
+        formatted(spark, rj),
+        "```",
+        "",
+        "## ols_fit (round 6) — per-group exact OLS: ONE partial+final hash",
+        "## agg over the fact table; no Window, no Join",
+        "```",
+        formatted(spark, ols),
+        "```",
+        "",
+        "## with_global_ntile (round 6) — exact NTILE(10) over the bucketed",
+        "## cumsum; the corpus total joins in as a broadcast one-row agg,",
+        "## zero hash shuffles beyond the audited cumsum's",
+        "```",
+        formatted(spark, nt),
+        "```",
+        "",
+        "## jaccard_allpairs (round 6) — prefix-filtered exact Jaccard join:",
+        "## candidates from the sliced rarest-first prefix index only, then",
+        "## candidate-restricted overlap verification",
+        "```",
+        formatted(spark, jp),
+        "```",
+        "",
+        "## iqr_outlier_stats (round 6) — (key,value) histogram agg is the",
+        "## only corpus-row shuffle; windows run over the histogram; fences",
+        "## broadcast back",
+        "```",
+        formatted(spark, iqr),
         "```",
     ]
     Path(__file__).resolve().parent.parent.joinpath("PLANS.md").write_text(
