@@ -584,8 +584,10 @@ def main() -> None:
         "```",
         "",
         "## with_global_ntile (round 6) — exact NTILE(10) over the bucketed",
-        "## cumsum; the corpus total joins in as a broadcast one-row agg,",
-        "## zero hash shuffles beyond the audited cumsum's",
+        "## cumsum; the corpus total joins in as a broadcast ONE-ROW agg —",
+        "## the BroadcastNestedLoopJoin below is that scalar join (build",
+        "## side is exactly 1 row; the standard scalar-subquery shape, not",
+        "## a pairwise nested loop); zero hash shuffles beyond the cumsum's",
         "```",
         formatted(spark, nt),
         "```",
