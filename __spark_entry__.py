@@ -4578,6 +4578,133 @@ GROUP BY 1
 """
 
 
+def q_gap_fill(spark, sf_dir):
+    """Calendar densification (ops/anomaly.py::gap_fill_hourly): dense
+    per-type hourly spine between first and last active hour, missing
+    hours zero-filled. One corpus (type, hour) hash agg; spine
+    generation and the left join run on aggregate-sized tables only.
+    Hours reconstruct from integer epoch-hour indices (UTC pinned)."""
+    from buildlog_consultant_spark.ops.anomaly import gap_fill_hourly
+
+    ev = _read_adaptive(spark, f"{sf_dir}/events.parquet")
+    return gap_fill_hourly(ev)
+
+
+ORACLE_GAP_FILL = """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS idx,
+         COUNT(*) AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, MIN(idx) AS lo, MAX(idx) AS hi FROM hourly GROUP BY 1
+), spine AS (
+  SELECT event_type, unnest(generate_series(lo, hi)) AS idx FROM bounds
+)
+SELECT s.event_type,
+       make_timestamp(s.idx * 3600 * 1000000) AS hour,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n
+FROM spine s LEFT JOIN hourly h
+  ON s.event_type IS NOT DISTINCT FROM h.event_type AND s.idx = h.idx
+"""
+
+
+def q_winsorize(spark, sf_dir):
+    """Winsorized per-type value sums (ops/robust.py::winsorized_stats):
+    clamp integer cents at the exact nearest-rank [p5, p95] before
+    summing — the robust-mean normalization; histogram two-pass
+    percentiles + broadcast fence join, all integers."""
+    from buildlog_consultant_spark.ops.robust import winsorized_stats
+
+    ev = _read_adaptive(spark, f"{sf_dir}/events.parquet")
+    d = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return winsorized_stats(d, "event_type", "cents")
+
+
+ORACLE_WINSORIZE = """
+WITH vals AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+), ranked AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS nn
+  FROM vals
+), fences AS (
+  SELECT event_type,
+         MAX(CASE WHEN rn = (5 * nn + 99) // 100 THEN cents END) AS ql,
+         MAX(CASE WHEN rn = (95 * nn + 99) // 100 THEN cents END) AS qh
+  FROM ranked GROUP BY 1
+)
+SELECT v.event_type, COUNT(*) AS n,
+       CAST(SUM(cents) AS BIGINT) AS sum_raw,
+       CAST(SUM(GREATEST(LEAST(cents, qh), ql)) AS BIGINT)
+         AS sum_winsorized,
+       CAST(SUM(CASE WHEN cents < ql THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clamped_lo,
+       CAST(SUM(CASE WHEN cents > qh THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clamped_hi
+FROM vals v JOIN fences f
+  ON v.event_type IS NOT DISTINCT FROM f.event_type
+GROUP BY 1
+"""
+
+
+def q_path_trigrams(spark, sf_dir):
+    """Session path mining (ops/funnel.py::session_path_trigrams):
+    consecutive event-type trigram counts per user history — two lags +
+    row_number over ONE shared window spec (single per-user sort,
+    bounded by per-user history), then one count agg over the bounded
+    |states|^3 table. NULL type is a real state; rn >= 3 keeps leading
+    NULL states."""
+    from buildlog_consultant_spark.ops.funnel import session_path_trigrams
+
+    ev = _read_adaptive(spark, f"{sf_dir}/events.parquet")
+    return session_path_trigrams(ev)
+
+
+ORACLE_PATH_TRIGRAMS = """
+WITH seq AS (
+  SELECT event_type AS s3,
+         LAG(event_type, 2) OVER w AS s1,
+         LAG(event_type, 1) OVER w AS s2,
+         ROW_NUMBER() OVER w AS rn
+  FROM events WHERE user_id IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST)
+)
+SELECT s1, s2, s3, CAST(COUNT(*) AS BIGINT) AS n
+FROM seq WHERE rn >= 3 GROUP BY 1, 2, 3
+"""
+
+
+def q_quality_percentile(spark, sf_dir):
+    """Per-lang quantile normalization (ops/robust.py::
+    with_percentile_permille): each doc's quality score mapped to its
+    EXACT per-lang percentile (integer permille, rows <= v) — the
+    cross-language score calibration of a mixing pipeline. Histogram
+    agg is the only corpus-row shuffle; the cumulative window runs over
+    the <=101-bin histogram; rows re-join on (lang, quality)."""
+    from buildlog_consultant_spark.ops.robust import with_percentile_permille
+    from buildlog_consultant_spark.ops.text import with_quality_score
+
+    d = with_quality_score(_docs(spark, sf_dir)).select(
+        "doc_id", "lang", "quality"
+    )
+    return with_percentile_permille(d, "lang", "quality")
+
+
+ORACLE_QUALITY_PERCENTILE = _QUALITY_RANKED_CTE + """
+SELECT doc_id, lang, quality,
+       CAST(1000 * COUNT(*) OVER (PARTITION BY lang ORDER BY quality)
+            // COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS permille
+FROM scored
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "classify_kind_counts": q_classify_kind_counts,
@@ -4680,6 +4807,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mojibake": q_mojibake,
         "json_props": q_json_props,
         "iqr_outliers": q_iqr_outliers,
+        "gap_fill": q_gap_fill,
+        "winsorize": q_winsorize,
+        "path_trigrams": q_path_trigrams,
+        "quality_percentile": q_quality_percentile,
     }
 
 
@@ -4787,4 +4918,8 @@ def oracle_sql(sf_dir: str = None) -> dict[str, str]:
         "mojibake": ORACLE_MOJIBAKE,
         "json_props": ORACLE_JSON_PROPS,
         "iqr_outliers": ORACLE_IQR_OUTLIERS,
+        "gap_fill": ORACLE_GAP_FILL,
+        "winsorize": ORACLE_WINSORIZE,
+        "path_trigrams": ORACLE_PATH_TRIGRAMS,
+        "quality_percentile": ORACLE_QUALITY_PERCENTILE,
     }

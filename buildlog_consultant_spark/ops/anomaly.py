@@ -66,3 +66,60 @@ def rate_spikes(
         )
     )
     return flagged.select(type_col, "hour", "n", "sum_prev")
+
+
+def gap_fill_hourly(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Calendar densification — (event_type, hour, n) with a DENSE
+    hourly spine per type between that type's first and last active
+    hour, missing hours zero-filled. The gap-fill every dashboard /
+    anomaly job needs (a window over sparse hours silently treats a
+    dead hour as nonexistent; rate_spikes dodges that with RANGE
+    frames — this materializes the honest spine instead).
+
+    Scale shape: the corpus is touched ONCE by the (type, hour) hash
+    agg (map-side combinable; output bounded by types x active hours).
+    Everything after runs on aggregate-sized tables: per-type bounds
+    from a types-sized agg, the spine via sequence+explode of epoch-
+    hour indices (pure generation, no corpus scan), and one LEFT join
+    spine <- hourly on (type, hour-index) — both sides aggregate-
+    sized. A type spanning years costs |hours| spine rows, not corpus
+    rows.
+
+    Determinism/portability: the hour is reconstructed from the
+    integer epoch-hour index (timestamp_seconds(idx*3600), session TZ
+    pinned UTC) — never a float date op. NULL event_type is a real
+    series (null-safe join key); NULL timestamps are excluded (no
+    hour to bucket into).
+    """
+    hourly = (
+        events.where(F.col(ts_col).isNotNull())
+        .groupBy(
+            type_col, F.date_trunc("hour", F.col(ts_col)).alias("_h")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("_idx", F.expr("CAST(CAST(_h AS LONG) DIV 3600 AS LONG)"))
+    )
+    bounds = hourly.groupBy(type_col).agg(
+        F.min("_idx").alias("_lo"), F.max("_idx").alias("_hi")
+    )
+    spine = bounds.select(
+        F.col(type_col).alias("_st"),
+        F.explode(F.sequence("_lo", "_hi")).alias("_sidx"),
+    )
+    return (
+        spine.join(
+            hourly,
+            F.col("_st").eqNullSafe(F.col(type_col))
+            & (F.col("_sidx") == F.col("_idx")),
+            "left",
+        )
+        .select(
+            F.col("_st").alias(type_col),
+            F.timestamp_seconds(F.col("_sidx") * 3600).alias("hour"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        )
+    )

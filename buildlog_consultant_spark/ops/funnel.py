@@ -249,3 +249,40 @@ def event_transitions(
         F.expr("CAST(1000 * n DIV SUM(n) OVER (PARTITION BY from_state) AS LONG)")
         .alias("p_permille"),
     )
+
+
+def session_path_trigrams(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """(s1, s2, s3, n): counts of consecutive event-type TRIGRAMS per
+    user history — the path-mining extension of event_transitions
+    (common flows / anti-patterns like view->view->error). Same shape:
+    one window over user partitions (two lags + row_number share ONE
+    window spec, so Spark plans a single per-user sort bounded by that
+    user's history), one map-side-combinable count agg over the
+    bounded |states|^3 result. Same NULL policy: NULL users excluded,
+    NULL type is a real state, row-position filter (rn >= 3) rather
+    than lag-NULL filtering so leading NULL states aren't dropped."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_u").orderBy("_t", "_i")
+    seq = (
+        events.where(F.col(user_col).isNotNull())
+        .select(
+            F.col(user_col).alias("_u"),
+            F.col(ts_col).alias("_t"),
+            F.col(id_col).alias("_i"),
+            F.col(type_col).alias("s3"),
+        )
+        .withColumn("s1", F.lag("s3", 2).over(w))
+        .withColumn("s2", F.lag("s3", 1).over(w))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") >= 3)
+    )
+    return seq.groupBy("s1", "s2", "s3").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )

@@ -114,3 +114,85 @@ def iqr_outlier_stats(
             F.sum((v2 > hi).cast("long")).alias("n_high"),
         )
     )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    p_lo: int = 5,
+    p_hi: int = 95,
+) -> DataFrame:
+    """(key, n, sum_raw, sum_winsorized, n_clamped_lo, n_clamped_hi):
+    per-key sums after clamping values to the exact nearest-rank
+    [p_lo, p_hi] percentiles — winsorization, the robust-mean
+    normalization that keeps a fat-tailed value column from letting a
+    few rows dominate a per-key aggregate. Same machinery and NULL
+    policy as iqr_outlier_stats: histogram two-pass percentiles, a
+    broadcast fence join, one counting/summing scan; all integers."""
+    q = exact_quantiles_by_key(df, key_col, value_col, ps=(p_lo, p_hi))
+    fences = (
+        q.groupBy(key_col)
+        .agg(
+            F.max(F.when(F.col("p") == p_lo, F.col(value_col))).alias("_ql"),
+            F.max(F.when(F.col("p") == p_hi, F.col(value_col))).alias("_qh"),
+        )
+        .withColumnRenamed(key_col, "_fk")
+    )
+    v = F.col(value_col)
+    w = F.greatest(F.least(v, F.col("_qh")), F.col("_ql"))
+    return (
+        df.where(v.isNotNull())
+        .join(F.broadcast(fences), F.col(key_col).eqNullSafe(F.col("_fk")))
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(v).cast("long").alias("sum_raw"),
+            F.sum(w).cast("long").alias("sum_winsorized"),
+            F.sum((v < F.col("_ql")).cast("long")).alias("n_clamped_lo"),
+            F.sum((v > F.col("_qh")).cast("long")).alias("n_clamped_hi"),
+        )
+    )
+
+
+def with_percentile_permille(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    out_col: str = "permille",
+) -> DataFrame:
+    """Adds the per-key EXACT percentile rank of ``value_col`` as an
+    integer permille: (1000 * |rows in key with value <= v|) DIV n —
+    quantile normalization, the cross-language score calibration a
+    mixing pipeline runs before comparing quality across corpora (a
+    raw score of 70 means different things in different languages; its
+    percentile doesn't).
+
+    Scale shape: the (key, value) histogram agg touches corpus rows
+    once; the cumulative window runs over the histogram (bounded by
+    per-key DISTINCT values); rows get their permille back via ONE
+    join on (key, value) — tie-safe by construction, since the
+    percentile of a value is a function of (key, value). NULL values
+    pass through with NULL permille (their rank is undefined); NULL
+    keys are a real group (null-safe join key)."""
+    hist = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(key_col, value_col)
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    ranked = hist.select(
+        F.col(key_col).alias("_pk"),
+        F.col(value_col).alias("_pv"),
+        F.expr(
+            "CAST(1000 * SUM(_cnt) OVER ("
+            f"PARTITION BY {key_col} ORDER BY {value_col} "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            f"DIV SUM(_cnt) OVER (PARTITION BY {key_col}) AS LONG)"
+        ).alias(out_col),
+    )
+    return df.join(
+        ranked,
+        F.col(key_col).eqNullSafe(F.col("_pk"))
+        & (F.col(value_col) == F.col("_pv")),
+        "left",
+    ).drop("_pk", "_pv")

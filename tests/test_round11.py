@@ -1,0 +1,216 @@
+"""Round-6 session-4 batch 3: calendar gap-fill, winsorized stats,
+session path trigrams, per-key percentile (quantile) normalization."""
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    yield s
+
+
+# ---------------------------------------------------------------------------
+# gap_fill_hourly
+# ---------------------------------------------------------------------------
+
+
+def test_gap_fill_hourly(spark):
+    from buildlog_consultant_spark.ops.anomaly import gap_fill_hourly
+
+    rows = [
+        (1, "a", "2024-01-01 00:10:00"),
+        (2, "a", "2024-01-01 00:40:00"),   # same hour as 1
+        (3, "a", "2024-01-01 03:05:00"),   # gap: hours 01, 02 missing
+        (4, "b", "2024-01-01 05:00:00"),   # single-hour series
+        (5, None, "2024-01-01 07:00:00"),  # NULL type is a real series
+        (6, "a", None),                    # NULL ts excluded
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        (r["event_type"], str(r["hour"])): r["n"]
+        for r in gap_fill_hourly(ev).collect()
+    }
+    assert got[("a", "2024-01-01 00:00:00")] == 2
+    assert got[("a", "2024-01-01 01:00:00")] == 0
+    assert got[("a", "2024-01-01 02:00:00")] == 0
+    assert got[("a", "2024-01-01 03:00:00")] == 1
+    assert ("a", "2024-01-01 04:00:00") not in got  # spine ends at max
+    assert got[("b", "2024-01-01 05:00:00")] == 1
+    assert got[(None, "2024-01-01 07:00:00")] == 1
+    assert len(got) == 6
+
+
+def test_gap_fill_dense_and_zero_sum(spark):
+    from buildlog_consultant_spark.ops.anomaly import gap_fill_hourly
+
+    ev = spark.createDataFrame(
+        [(i, "x", f"2024-01-01 {i:02d}:30:00") for i in range(0, 24, 7)],
+        "event_id long, event_type string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = gap_fill_hourly(ev).collect()
+    # spans hours 0..21 → 22 dense rows; zero rows = 22 - 4 active
+    assert len(out) == 22
+    assert sum(r["n"] for r in out) == 4
+    hours = sorted(str(r["hour"]) for r in out)
+    assert hours[0] == "2024-01-01 00:00:00" and hours[-1] == "2024-01-01 21:00:00"
+
+
+# ---------------------------------------------------------------------------
+# winsorized_stats
+# ---------------------------------------------------------------------------
+
+
+def test_winsorized_stats(spark):
+    from buildlog_consultant_spark.ops.robust import winsorized_stats
+
+    # 20 values 1..20: p5 rank ceil(20*5/100)=1 → 1; p95 rank 19 → 19
+    rows = [("a", v) for v in range(1, 21)]
+    rows[0] = ("a", -1000)   # becomes the p5 value itself? no: sorted min
+    df = spark.createDataFrame(rows, "k string, v long")
+    r = {x["k"]: x for x in winsorized_stats(df, "k", "v").collect()}["a"]
+    # sorted: -1000,2..20 → p5 = -1000 (rank 1), p95 = 19 (rank 19)
+    assert r["n"] == 20
+    assert r["sum_raw"] == sum(v for _, v in rows)
+    # clamp: only 20 > 19 clamps high (to 19); nothing below -1000
+    assert r["n_clamped_lo"] == 0 and r["n_clamped_hi"] == 1
+    assert r["sum_winsorized"] == r["sum_raw"] - 1
+
+
+def test_winsorized_matches_python(spark):
+    from buildlog_consultant_spark.ops.robust import winsorized_stats
+
+    import math
+
+    vals = [((i * 37) % 7, (i * i * 13) % 501 - 50) for i in range(300)]
+    df = spark.createDataFrame(
+        [(str(k), v) for k, v in vals], "k string, v long"
+    )
+    got = {r["k"]: r for r in winsorized_stats(df, "k", "v").collect()}
+    bykey: dict = {}
+    for k, v in vals:
+        bykey.setdefault(str(k), []).append(v)
+    for k, vs in bykey.items():
+        s = sorted(vs)
+        n = len(s)
+        ql = s[math.ceil(5 * n / 100) - 1]
+        qh = s[math.ceil(95 * n / 100) - 1]
+        wsum = sum(min(max(v, ql), qh) for v in vs)
+        r = got[k]
+        assert (r["n"], r["sum_raw"], r["sum_winsorized"]) == (
+            n, sum(vs), wsum,
+        ), k
+        assert r["n_clamped_lo"] == sum(1 for v in vs if v < ql)
+        assert r["n_clamped_hi"] == sum(1 for v in vs if v > qh)
+
+
+# ---------------------------------------------------------------------------
+# session_path_trigrams
+# ---------------------------------------------------------------------------
+
+
+def test_session_path_trigrams(spark):
+    from buildlog_consultant_spark.ops.funnel import session_path_trigrams
+
+    rows = [
+        (1, 1, "2024-01-01 00:00:00", "view"),
+        (2, 1, "2024-01-01 00:01:00", "view"),
+        (3, 1, "2024-01-01 00:02:00", "click"),
+        (4, 1, "2024-01-01 00:03:00", "purchase"),
+        # user 2: only two events → no trigram
+        (5, 2, "2024-01-01 00:00:00", "view"),
+        (6, 2, "2024-01-01 00:01:00", "click"),
+        # user 3: NULL state mid-path is a real state
+        (7, 3, "2024-01-01 00:00:00", "view"),
+        (8, 3, "2024-01-01 00:01:00", None),
+        (9, 3, "2024-01-01 00:02:00", "error"),
+        (10, None, "2024-01-01 00:00:00", "view"),  # NULL user excluded
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        (r["s1"], r["s2"], r["s3"]): r["n"]
+        for r in session_path_trigrams(ev).collect()
+    }
+    assert got[("view", "view", "click")] == 1
+    assert got[("view", "click", "purchase")] == 1
+    assert got[("view", None, "error")] == 1
+    assert len(got) == 3
+
+
+def test_trigrams_single_window_sort_plan(spark):
+    from buildlog_consultant_spark.ops.funnel import session_path_trigrams
+
+    ev = spark.range(1000).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 50).alias("user_id"),
+        F.timestamp_seconds(F.col("id") * 60).alias("ts"),
+        (F.col("id") % 3).cast("string").alias("event_type"),
+    )
+    plan = (
+        session_path_trigrams(ev)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # two lags + row_number share one window spec → ONE Window operator
+    assert plan.count("Window") == 1
+
+
+# ---------------------------------------------------------------------------
+# with_percentile_permille
+# ---------------------------------------------------------------------------
+
+
+def test_percentile_permille_exact(spark):
+    from buildlog_consultant_spark.ops.robust import with_percentile_permille
+
+    rows = [("a", 10), ("a", 20), ("a", 20), ("a", 30), ("b", 5), ("a", None)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    got = sorted(
+        [
+            (r["k"], r["v"], r["permille"])
+            for r in with_percentile_permille(df, "k", "v").collect()
+        ],
+        key=lambda t: (t[0], t[1] if t[1] is not None else -1),
+    )
+    # key a (n=4): v=10 → 1000*1//4=250; v=20 → 1000*3//4=750 (ties share);
+    # v=30 → 1000; NULL → NULL passthrough
+    assert got == [
+        ("a", None, None),
+        ("a", 10, 250),
+        ("a", 20, 750),
+        ("a", 20, 750),
+        ("a", 30, 1000),
+        ("b", 5, 1000),
+    ]
+
+
+def test_percentile_permille_null_key_group(spark):
+    from buildlog_consultant_spark.ops.robust import with_percentile_permille
+
+    rows = [(None, 1), (None, 2), ("x", 2)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    got = {
+        (r["k"], r["v"]): r["permille"]
+        for r in with_percentile_permille(df, "k", "v").collect()
+    }
+    assert got[(None, 1)] == 500
+    assert got[(None, 2)] == 1000
+    assert got[("x", 2)] == 1000
