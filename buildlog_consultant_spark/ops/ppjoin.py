@@ -72,57 +72,59 @@ def jaccard_allpairs(
         df.where(F.col(id_col).isNotNull()), n=n,
         text_col=text_col, id_col=id_col,
     )
-
-    dfreq = tok.groupBy("gram").agg(F.count(F.lit(1)).alias("_gdf"))
-    ordered = (
-        tok.join(dfreq, "gram")
-        .groupBy(id_col)
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct(F.col("_gdf"), F.col("gram")))
-            ).alias("_arr"),
-            F.count(F.lit(1)).alias("_nt"),
+    # The gram index feeds FIVE plan branches (df-count, prefix build,
+    # both verify sides, sizes) — persist it so the corpus
+    # scan+tokenize+explode runs once, not per branch (triangle_counts'
+    # pattern: persist the reused table, materialize the bounded
+    # output, release).
+    tok.persist()
+    try:
+        dfreq = tok.groupBy("gram").agg(F.count(F.lit(1)).alias("_gdf"))
+        ordered = (
+            tok.join(dfreq, "gram")
+            .groupBy(id_col)
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("_gdf"), F.col("gram")))
+                ).alias("_arr"),
+                F.count(F.lit(1)).alias("_nt"),
+            )
         )
-    )
-    # prefix length p = t - ceil(tau*t/1000) + 1  (>= 1 when t >= 1)
-    p = F.expr(f"_nt - (({tau} * _nt + 999) DIV 1000) + 1").cast("int")
-    prefix = ordered.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(F.slice("_arr", F.lit(1), p), lambda x: x["gram"])
-        ).alias("gram"),
-    )
-
-    a = prefix.select(F.col(id_col).alias("id_a"), "gram")
-    b = prefix.select(F.col(id_col).alias("id_b"), "gram")
-    cand = (
-        a.join(b, "gram")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-
-    ta = tok.select(F.col(id_col).alias("id_a"), "gram")
-    tb = tok.select(F.col(id_col).alias("id_b"), "gram")
-    overlap = (
-        cand.join(ta, "id_a")
-        .join(tb, ["id_b", "gram"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("_c"))
-    )
-    sz = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
-    return (
-        overlap.join(sz.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na")), "id_a")
-        .join(sz.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb")), "id_b")
-        .where(F.expr(f"1000 * _c >= {tau} * (_na + _nb - _c)"))
-        .select(
-            "id_a",
-            "id_b",
-            F.expr("CAST(1000 * _c DIV (_na + _nb - _c) AS LONG)").alias(
-                "jaccard_permille"
-            ),
+        # prefix length p = t - ceil(tau*t/1000) + 1  (>= 1 when t >= 1)
+        p = F.expr(f"_nt - (({tau} * _nt + 999) DIV 1000) + 1").cast("int")
+        prefix = ordered.select(
+            F.col(id_col),
+            F.explode(
+                F.transform(F.slice("_arr", F.lit(1), p), lambda x: x["gram"])
+            ).alias("gram"),
         )
-    )
+
+        a = prefix.select(F.col(id_col).alias("id_a"), "gram")
+        b = prefix.select(F.col(id_col).alias("id_b"), "gram")
+        cand = (
+            a.join(b, "gram")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+
+        ta = tok.select(F.col(id_col).alias("id_a"), "gram")
+        tb = tok.select(F.col(id_col).alias("id_b"), "gram")
+        overlap = (
+            cand.join(ta, "id_a")
+            .join(tb, ["id_b", "gram"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        sz = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+        # Pair-grain output (bounded by qualifying pairs) — materialize
+        # so the persisted gram index can be released now.
+        out = _verify_and_emit(overlap, sz, tau, id_col).localCheckpoint(
+            eager=True
+        )
+    finally:
+        tok.unpersist()
+    return out
 
 
 def jaccard_allpairs_bruteforce(
@@ -148,10 +150,25 @@ def jaccard_allpairs_bruteforce(
         .agg(F.count(F.lit(1)).alias("_c"))
     )
     sz = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
-    tau = int(tau_permille)
+    return _verify_and_emit(overlap, sz, int(tau_permille), id_col)
+
+
+def _verify_and_emit(
+    overlap: DataFrame, sz: DataFrame, tau: int, id_col: str
+) -> DataFrame:
+    """Shared tail of both formulations: join sizes onto the pair
+    overlap counts, apply the exact cross-multiplied threshold, emit
+    the truncating permille. Single-sourced so a threshold/rounding
+    change can't drift between the op and its equivalence reference."""
     return (
-        overlap.join(sz.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na")), "id_a")
-        .join(sz.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb")), "id_b")
+        overlap.join(
+            sz.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na")),
+            "id_a",
+        )
+        .join(
+            sz.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb")),
+            "id_b",
+        )
         .where(F.expr(f"1000 * _c >= {tau} * (_na + _nb - _c)"))
         .select(
             "id_a",

@@ -63,7 +63,10 @@ def exact_quantiles_by_key(
         F.sum("_cnt").over(w_cum).alias("_cum"),
         F.sum("_cnt").over(w_n).alias("_n"),
     )
-    r = F.floor((F.col("p") * F.col("_n") + 99) / 100)
+    # integral DIV, not floor(double /): at per-key counts approaching
+    # 2^53 the double quotient can round across the floor boundary and
+    # pick a rank off by one vs the oracle's exact integer //
+    r = F.expr("CAST((p * _n + 99) DIV 100 AS LONG)")
     return (
         cum.select(
             key_col,

@@ -15,11 +15,14 @@ Cross-engine parse-failure contract (pinned by test): Spark PERMISSIVE
 mode is LENIENT about trailing garbage ('{"k": 1}x' parses k=1) while
 strict validators (DuckDB json_valid) reject it — so the portable
 surface is the EXTRACTED VALUES of documents that are either fully
-valid or fully garbage. Missing keys, type-mismatched scalars
-('{"k": "str"}' under k BIGINT), and unparseable rows all yield NULL
-fields in both engines; only trailing-garbage rows diverge, and
-callers who need that case byte-portable must pre-filter with a strict
-validator on both sides.
+valid or fully garbage. Missing keys, type-mismatched scalars, and
+unparseable rows all yield NULL fields. Two replay subtleties an
+oracle must honor (experiment-pinned): (a) trailing-garbage rows
+diverge — callers who need them byte-portable must pre-filter with a
+strict validator on both sides; (b) typed from_json(k BIGINT) rejects
+QUOTED numbers ('{"k": "35"}' -> NULL) and doubles/booleans, while a
+string-extract-then-cast replay would coerce them — the SQL oracle
+gates on json_type IN ('BIGINT','UBIGINT') to match.
 
 NULL policy: NULL json → NULL struct → NULL fields (count() skips
 them, matching SQL).

@@ -591,14 +591,16 @@ def quality_quantiles(
             "n",
             F.explode(F.array(*[F.lit(p) for p in ps])).alias("p"),
         )
-        # nearest-rank index r = ceil(p*n/100) in pure integer arithmetic;
-        # the quantile value is the histogram bin whose cumulative range
+        # nearest-rank index r = ceil(p*n/100) in pure integer arithmetic
+        # (integral DIV — a double floor((p*n+99)/100) rounds across the
+        # boundary near 2^53, same fix as ops/robust.py); the quantile
+        # value is the histogram bin whose cumulative range
         # [cum-cnt+1, cum] contains r
         .where(
-            (F.col("cum") >= F.floor((F.col("p") * F.col("n") + 99) / 100))
+            (F.col("cum") >= F.expr("CAST((p * n + 99) DIV 100 AS LONG)"))
             & (
                 F.col("cum") - F.col("cnt")
-                < F.floor((F.col("p") * F.col("n") + 99) / 100)
+                < F.expr("CAST((p * n + 99) DIV 100 AS LONG)")
             )
         )
         .select("lang", F.col("p").cast("int").alias("p"), "quality")

@@ -350,6 +350,9 @@ def test_with_json_fields(spark):
         (3, None),
         (4, '{"m": {"d": 9}}'),
         (5, '{"k": "not a number"}'),
+        (6, '{"k": "35"}'),   # QUOTED number: typed parse rejects it
+        (7, '{"k": 3.5}'),    # double under BIGINT: rejected
+        (8, '{"k": true}'),   # boolean under BIGINT: rejected
     ]
     df = spark.createDataFrame(rows, "id long, props string")
     got = {
@@ -364,3 +367,20 @@ def test_with_json_fields(spark):
     assert got[3] == (None, None)
     assert got[4] == (None, 9)
     assert got[5] == (None, None)  # type mismatch → NULL (both engines)
+    assert got[6] == (None, None)  # quoted number rejected by typed parse
+    assert got[7] == (None, None)
+    assert got[8] == (None, None)
+    # ...and the DuckDB oracle's json_type gate replays exactly that:
+    import duckdb
+
+    oc = duckdb.sql(
+        """
+        SELECT CASE WHEN json_valid(p)
+                        AND json_type(p, '$.k') IN ('BIGINT', 'UBIGINT')
+                   THEN TRY_CAST(json_extract_string(p, '$.k') AS BIGINT)
+               END AS k
+        FROM (VALUES ('{"k": 69}'), ('{"k": "35"}'), ('{"k": 3.5}'),
+                     ('{"k": true}'), ('{"k": -7}')) t(p)
+        """
+    ).fetchall()
+    assert [r[0] for r in oc] == [69, None, None, None, -7]
