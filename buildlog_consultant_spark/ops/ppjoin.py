@@ -59,6 +59,7 @@ def jaccard_allpairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    checkpoint: bool = True,
 ) -> DataFrame:
     """(id_a, id_b, jaccard_permille): every unordered doc pair whose
     n-gram-shingle Jaccard >= tau_permille/1000, found via prefix
@@ -117,13 +118,17 @@ def jaccard_allpairs(
             .agg(F.count(F.lit(1)).alias("_c"))
         )
         sz = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
-        # Pair-grain output (bounded by qualifying pairs) — materialize
-        # so the persisted gram index can be released now.
-        out = _verify_and_emit(overlap, sz, tau, id_col).localCheckpoint(
-            eager=True
-        )
+        out = _verify_and_emit(overlap, sz, tau, id_col)
+        if checkpoint:
+            # Pair-grain output (bounded by qualifying pairs) —
+            # materialize so the persisted gram index can be released
+            # now. checkpoint=False keeps the lazy plan (plan dumps,
+            # composition) at the cost of pinning the cache until the
+            # caller evaluates.
+            out = out.localCheckpoint(eager=True)
     finally:
-        tok.unpersist()
+        if checkpoint:
+            tok.unpersist()
     return out
 
 

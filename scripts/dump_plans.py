@@ -291,7 +291,7 @@ def main() -> None:
     )
     nt.collect()
 
-    jp = jaccard_allpairs(docs, tau_permille=500)
+    jp = jaccard_allpairs(docs, tau_permille=500, checkpoint=False)
     jp.collect()
 
     iqr = iqr_outlier_stats(
@@ -594,7 +594,11 @@ def main() -> None:
         "",
         "## jaccard_allpairs (round 6) — prefix-filtered exact Jaccard join:",
         "## candidates from the sliced rarest-first prefix index only, then",
-        "## candidate-restricted overlap verification",
+        "## candidate-restricted overlap verification. Dumped with",
+        "## checkpoint=False to show the full structure; the op persists the",
+        "## gram index (InMemoryTableScan leaves below = the ONE materialized",
+        "## scan reused across five branches) and localCheckpoints the",
+        "## bounded pair output on the query path",
         "```",
         formatted(spark, jp),
         "```",
