@@ -91,6 +91,15 @@ def _row_key(row):
         "cms_heavy",
         "streaming_kmv",
         "cluster_canonical",
+        # session-4 additions: fuzzy_lev_pairs is Python-golden; the
+        # others run eager internal actions (triangle_count's node
+        # count, jaccard's localCheckpoint) or n-dependent planted
+        # arithmetic worth re-proving at a second scale
+        "fuzzy_lev_pairs",
+        "triangle_count",
+        "jaccard_pairs",
+        "ntile_global",
+        "gap_fill",
         # streaming queries: plain-SQL oracles, but their file-stream
         # staging logic is sf_dir-dependent — exercise it at the second
         # scale too
