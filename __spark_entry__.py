@@ -4723,6 +4723,92 @@ FROM scored
 """
 
 
+IMAGE_N = 96
+
+
+def _image_corpus(spark: SparkSession, n: int) -> DataFrame:
+    """Image fixture corpus behind the media-corpus content-keyed
+    parquet cache (repeat sessions scan parquet, no Python synthesis)."""
+    import os
+    import shutil
+
+    _CACHE_DIR.mkdir(exist_ok=True)
+    path = _CACHE_DIR / f"fixture_image_{n}_{_pkg_content_key()}.parquet"
+    if not path.exists():
+        tmp = str(path) + f".tmp{os.getpid()}"
+        fixtures.image_df(spark, n).write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+        _prune_stale_cache(f"fixture_image_{n}_", path.name)
+    return spark.read.parquet(str(path))
+
+
+def q_image_dhash(spark, sf_dir):
+    """Perceptual image hashing (ops/multimodal.py::with_image_dhash):
+    decode 24-bit BMPs and compute the exact-integer 64-bit dHash in
+    one Arrow-batched mapInPandas kernel (numpy per batch, no per-row
+    JVM round-trip); non-image rows keep NULL plumbing. Oracle: golden
+    VALUES from the GENERATING arrays (BMP is lossless, so the
+    by-construction hash is decoder-independent)."""
+    from buildlog_consultant_spark.ops.multimodal import with_image_dhash
+
+    _ensure_pkg_shipped(spark)
+    imgs = _image_corpus(spark, IMAGE_N)
+    return with_image_dhash(imgs)
+
+
+def _oracle_image_dhash() -> str:
+    rows = []
+    for i in range(IMAGE_N):
+        row, g = fixtures.make_image(i)
+        if g is None:
+            rows.append((row["url"], None, None, None))
+        else:
+            import numpy as np  # noqa: F401
+
+            from buildlog_consultant_spark.ops.multimodal import (
+                decode_bmp_pixels,
+            )
+
+            px = decode_bmp_pixels(row["media"])
+            rows.append((row["url"], px.shape[1], px.shape[0], g))
+    return _values_oracle(rows, ["url", "width", "height", "dhash"])
+
+
+def q_image_near_dups(spark, sf_dir):
+    """Image near-dup pairs (ops/multimodal.py::image_near_dup_pairs):
+    dHash split into 4 x 16-bit bands, candidates from 4 band
+    equi-joins (never all-pairs), exact popcount(xor) verify <= 6 of
+    64 bits. The fixture corpus plants (base, variant) pairs whose
+    perturbation (brightness lift + a bounded smudge) lands at hamming
+    0-8, so both recall and the threshold cut are exercised. Oracle:
+    python replay of the identical banding over the by-construction
+    hashes."""
+    from buildlog_consultant_spark.ops.multimodal import (
+        image_near_dup_pairs,
+        with_image_dhash,
+    )
+
+    _ensure_pkg_shipped(spark)
+    imgs = _image_corpus(spark, IMAGE_N)
+    return image_near_dup_pairs(with_image_dhash(imgs), max_hamming=6)
+
+
+def _oracle_image_near_dups() -> str:
+    from buildlog_consultant_spark.ops.multimodal import (
+        py_image_near_dup_pairs,
+    )
+
+    hashes = []
+    for i in range(IMAGE_N):
+        row, g = fixtures.make_image(i)
+        hashes.append((row["url"], g))
+    rows = py_image_near_dup_pairs(hashes, max_hamming=6)
+    return _values_oracle(rows, ["url_a", "url_b", "hamming"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "classify_kind_counts": q_classify_kind_counts,
@@ -4829,6 +4915,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize": q_winsorize,
         "path_trigrams": q_path_trigrams,
         "quality_percentile": q_quality_percentile,
+        "image_dhash": q_image_dhash,
+        "image_near_dups": q_image_near_dups,
     }
 
 
@@ -4940,4 +5028,6 @@ def oracle_sql(sf_dir: str = None) -> dict[str, str]:
         "winsorize": ORACLE_WINSORIZE,
         "path_trigrams": ORACLE_PATH_TRIGRAMS,
         "quality_percentile": ORACLE_QUALITY_PERCENTILE,
+        "image_dhash": _oracle_image_dhash(),
+        "image_near_dups": _oracle_image_near_dups(),
     }

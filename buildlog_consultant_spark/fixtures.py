@@ -614,3 +614,62 @@ def expected_counts(n: int) -> dict[tuple, int]:
             key = (g["problem_kind"], g["lang"])
             counts[key] = counts.get(key, 0) + 1
     return counts
+
+
+def make_image(i: int):
+    """Deterministic BMP image row i for the perceptual-hash corpus.
+    Images come in (base, variant) pairs: even i is a fresh pattern,
+    odd i is a NEAR-DUPLICATE of i-1 — same pattern plus a small
+    deterministic perturbation (a few +/-3 pixel nudges in one corner
+    region and a uniform +1 brightness lift), the re-encode/brightness
+    damage dHash is designed to see through. Every 16th image (i%16 ==
+    12) is NOT a BMP (an unknown blob) so the NULL-plumbing path stays
+    exercised. Returns (row, dhash_golden) with the hash computed from
+    the GENERATING array (BMP is lossless, so decode(encode(px)) == px
+    — by-construction golden, media_meta's convention)."""
+    import numpy as np
+
+    from .ops.multimodal import encode_bmp, image_dhash
+
+    url = f"img://{i:06d}"
+    if i % 16 == 12:
+        blob = b"\x89NOTBMP" + bytes([(i * 31 + j) % 256 for j in range(48)])
+        return {"url": url, "media": blob}, None
+    base = i - (i % 2)
+    w = 24 + (base % 4) * 8
+    h = 16 + (base % 3) * 8
+    ph = (base * 17) % 251
+    y, x = np.mgrid[0:h, 0:w]
+    px = np.zeros((h, w, 3), dtype=np.int64)
+    px[:, :, 0] = (x * 255) // max(w - 1, 1)
+    px[:, :, 1] = (y * 255) // max(h - 1, 1)
+    px[:, :, 2] = (x * (y + 3) + ph * 5) % 256
+    # pattern family varies per base: stripe overlay
+    px[:, :, 0] = (px[:, :, 0] + ((x + ph) % 7) * 11) % 256
+    if i % 2 == 1:
+        px = px + 1  # brightness lift (dHash-invariant by design)
+        # a vertical smudge strong enough to flip a few gradient signs
+        # (1-6 of 64 bits measured) but nowhere near re-pattern scale
+        c = (w // 3) + (i % 5)
+        px[:, c:c + 2, 0] += 25 + (i % 4) * 9
+        r = h // 2
+        px[r:r + 2, :, 1] += 17
+    px = np.clip(px, 0, 255).astype(np.uint8)
+    return {"url": url, "media": encode_bmp(px)}, image_dhash(px)
+
+
+IMAGE_SCHEMA = "url string, media binary"
+
+
+def image_df(spark, n: int, partitions: Optional[int] = None):
+    """Distributed deterministic image corpus (url, media:binary)."""
+    partitions = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                [make_image(int(i))[0] for i in pdf["id"]],
+                columns=["url", "media"],
+            )
+
+    return spark.range(0, n, 1, partitions).mapInPandas(gen, schema=IMAGE_SCHEMA)

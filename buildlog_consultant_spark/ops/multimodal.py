@@ -1158,3 +1158,204 @@ def extract_media_meta(df, binary_col: str = "html", url_col: str = "url"):
             yield out
 
     return df.select(url_col, binary_col).mapInPandas(run, schema=MEDIA_META_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (dHash) + banded hamming near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def decode_bmp_pixels(data: bytes) -> Optional[np.ndarray]:
+    """Pixel-returning sibling of decode_bmp: HxWx3 uint8 RGB, or None
+    if the bytes aren't an uncompressed 24-bit BMP."""
+    if len(data) < 54 or data[:2] != b"BM":
+        return None
+    pixel_offset = struct.unpack_from("<I", data, 10)[0]
+    header_size = struct.unpack_from("<I", data, 14)[0]
+    if header_size < 40:
+        return None
+    w, h = struct.unpack_from("<ii", data, 18)
+    _planes, bpp = struct.unpack_from("<HH", data, 26)
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if bpp != 24 or compression != 0 or w <= 0 or h == 0:
+        return None
+    bottom_up = h > 0
+    h = abs(h)
+    row_size = (w * 3 + 3) & ~3
+    if len(data) < pixel_offset + row_size * h:
+        return None
+    raw = np.frombuffer(
+        data, dtype=np.uint8, count=row_size * h, offset=pixel_offset
+    )
+    rows = raw.reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[:, :, ::-1]  # BGR -> RGB
+
+
+def image_dhash(pixels: np.ndarray) -> int:
+    """64-bit difference hash of an HxWx3 uint8 RGB image — the classic
+    perceptual near-dup fingerprint (gradient signs survive re-encode /
+    brightness shifts; cryptographic hashes don't). EXACT integer
+    pipeline so Spark-side UDF, golden replay, and any other engine
+    land on the identical hash:
+
+      gray  = (299 R + 587 G + 114 B) DIV 1000        (integer luma)
+      grid  = 8 rows x 9 cols of block means, block boundaries at
+              (k * dim) DIV parts, mean = sum DIV count (floor)
+      bit(y, x) = grid[y][x+1] > grid[y][x]           (64 bits, MSB
+              first in row-major order)
+
+    Returned as a SIGNED 64-bit int (wrapped) so it stores in a Spark
+    LongType column unchanged. Images smaller than 9x8 hash their
+    nearest-block means the same way (boundaries collapse; still
+    deterministic)."""
+    g = (
+        pixels[:, :, 0].astype(np.int64) * 299
+        + pixels[:, :, 1].astype(np.int64) * 587
+        + pixels[:, :, 2].astype(np.int64) * 114
+    ) // 1000
+    h, w = g.shape
+    rows = [(k * h) // 8 for k in range(9)]
+    cols = [(k * w) // 9 for k in range(10)]
+    grid = np.zeros((8, 9), dtype=np.int64)
+    for y in range(8):
+        r0, r1 = rows[y], max(rows[y + 1], rows[y] + 1)
+        for x in range(9):
+            c0, c1 = cols[x], max(cols[x + 1], cols[x] + 1)
+            block = g[min(r0, h - 1):min(r1, h), min(c0, w - 1):min(c1, w)]
+            grid[y, x] = int(block.sum()) // max(block.size, 1)
+    bits = 0
+    for y in range(8):
+        for x in range(8):
+            bits = (bits << 1) | int(grid[y, x + 1] > grid[y, x])
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    return bits
+
+
+def with_image_dhash(
+    df, binary_col: str = "media", url_col: str = "url"
+):
+    """(url, width, height, dhash) for every decodable 24-bit BMP row;
+    non-BMP rows get NULLs (type plumbing intact, the multimodal
+    convention). Arrow-batched mapInPandas — the decode+hash kernel is
+    pure numpy per batch, no JVM round-trip per row; at crawl scale
+    this is the standard binary-column scan shape (predicate pushdown
+    keeps non-image rows out upstream when the caller filters)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    def kernel(batches):
+        for pdf in batches:
+            urls, ws, hs, hashes = [], [], [], []
+            for u, blob in zip(pdf[url_col], pdf[binary_col]):
+                px = decode_bmp_pixels(bytes(blob)) if blob is not None else None
+                urls.append(u)
+                if px is None:
+                    ws.append(None); hs.append(None); hashes.append(None)
+                else:
+                    hh, ww = px.shape[0], px.shape[1]
+                    ws.append(ww); hs.append(hh)
+                    hashes.append(image_dhash(px))
+            # NULLABLE integer arrays, not plain lists: a batch holding
+            # one None would otherwise go object->float64 on the Arrow
+            # conversion and ROUND the 64-bit hash's low bits away
+            # (>2^53; observed off-by-<32 corruption on exactly the
+            # batches containing a non-BMP row).
+            yield pd.DataFrame(
+                {
+                    "url": urls,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "dhash": pd.array(hashes, dtype="Int64"),
+                }
+            )
+
+    return df.mapInPandas(
+        kernel, schema="url string, width int, height int, dhash long"
+    )
+
+
+def image_near_dup_pairs(
+    hashed, max_hamming: int = 6, url_col: str = "url", hash_col: str = "dhash"
+):
+    """(url_a, url_b, hamming): image pairs whose dHash differs in at
+    most ``max_hamming`` of 64 bits — simhash_near_dups' banded-LSH
+    shape applied to the image fingerprint. The 64-bit hash splits into
+    4 x 16-bit bands; by pigeonhole any pair within hamming distance 3
+    shares a band EXACTLY, and distance <= max_hamming pairs share one
+    with high probability (the standard recall trade, documented as in
+    the text simhash op) — candidates come from 4 band equi-joins
+    (map-side band extraction, hash-partitioned join, never all-pairs),
+    then the exact popcount(xor) verify runs on candidates only.
+
+    NULL hashes (undecodable rows) are excluded; pairs emit once
+    (url_a < url_b, distinct across bands)."""
+    from pyspark.sql import functions as F
+
+    d = hashed.where(F.col(hash_col).isNotNull()).select(
+        F.col(url_col).alias("u"), F.col(hash_col).alias("h")
+    )
+    bands = d.select(
+        "u",
+        "h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(f"(h >> {b * 16}) & 65535").alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("u", "h", "bk.band", "bk.key")
+    a = bands.select(
+        F.col("u").alias("url_a"), F.col("h").alias("ha"), "band", "key"
+    )
+    b = bands.select(
+        F.col("u").alias("url_b"), F.col("h").alias("hb"), "band", "key"
+    )
+    return (
+        a.join(b, ["band", "key"])
+        .where(F.col("url_a") < F.col("url_b"))
+        .select("url_a", "url_b", "ha", "hb")
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.expr("CAST(bit_count(ha ^ hb) AS LONG)"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("url_a", "url_b", "hamming")
+    )
+
+
+def py_image_near_dup_pairs(hashes: list, max_hamming: int = 6) -> list:
+    """Golden replay over (url, dhash) pairs: same banding, same
+    popcount — sorted (url_a, url_b, hamming). Brute-force across the
+    band-candidate set (identical recall contract to the Spark op)."""
+    by_band: dict = {}
+    items = [(u, h) for u, h in hashes if h is not None]
+    for u, h in items:
+        uh = h & ((1 << 64) - 1)
+        for bnd in range(4):
+            key = (uh >> (bnd * 16)) & 0xFFFF
+            by_band.setdefault((bnd, key), []).append((u, h))
+    seen = set()
+    out = []
+    for members in by_band.values():
+        members.sort()
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                ua, ha = members[i]
+                ub, hb = members[j]
+                if ua == ub or (ua, ub) in seen:
+                    continue
+                seen.add((ua, ub))
+                d = bin((ha ^ hb) & ((1 << 64) - 1)).count("1")
+                if d <= max_hamming:
+                    out.append((ua, ub, d))
+    return sorted(out)

@@ -214,3 +214,112 @@ def test_percentile_permille_null_key_group(spark):
     assert got[(None, 1)] == 500
     assert got[(None, 2)] == 1000
     assert got[("x", 2)] == 1000
+
+
+# ---------------------------------------------------------------------------
+# image dHash + banded near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def test_image_dhash_roundtrip_and_golden():
+    """decode(encode(px)) == px (BMP lossless) and the UDF-side hash
+    equals the by-construction golden for every fixture image."""
+    from buildlog_consultant_spark.fixtures import make_image
+    from buildlog_consultant_spark.ops.multimodal import (
+        decode_bmp_pixels,
+        image_dhash,
+    )
+
+    import numpy as np
+
+    n_img, n_blob = 0, 0
+    for i in range(48):
+        row, g = make_image(i)
+        px = decode_bmp_pixels(row["media"])
+        if g is None:
+            assert px is None
+            n_blob += 1
+        else:
+            assert px is not None and px.dtype == np.uint8
+            assert image_dhash(px) == g
+            n_img += 1
+    assert n_img > 0 and n_blob > 0
+
+
+def test_image_dhash_brightness_invariance():
+    """A uniform brightness lift must not change a single dHash bit
+    (gradient SIGNS are what the hash encodes)."""
+    import numpy as np
+
+    from buildlog_consultant_spark.ops.multimodal import image_dhash
+
+    rng_free = (np.arange(24 * 32 * 3).reshape(24, 32, 3) * 37 % 200).astype(
+        np.uint8
+    )
+    lifted = np.clip(rng_free.astype(np.int64) + 40, 0, 255).astype(np.uint8)
+    assert image_dhash(rng_free) == image_dhash(lifted)
+
+
+def test_image_hash_spark_matches_golden(spark):
+    from buildlog_consultant_spark.fixtures import image_df, make_image
+    from buildlog_consultant_spark.ops.multimodal import with_image_dhash
+
+    n = 32
+    got = {
+        r["url"]: (r["width"], r["height"], r["dhash"])
+        for r in with_image_dhash(image_df(spark, n)).collect()
+    }
+    assert len(got) == n
+    for i in range(n):
+        row, g = make_image(i)
+        if g is None:
+            assert got[row["url"]] == (None, None, None)
+        else:
+            assert got[row["url"]][2] == g
+
+
+def test_image_near_dups_spark_matches_replay(spark):
+    from buildlog_consultant_spark.fixtures import image_df, make_image
+    from buildlog_consultant_spark.ops.multimodal import (
+        image_near_dup_pairs,
+        py_image_near_dup_pairs,
+        with_image_dhash,
+    )
+
+    n = 48
+    hashed = with_image_dhash(image_df(spark, n))
+    got = sorted(
+        map(tuple, image_near_dup_pairs(hashed, max_hamming=6).collect())
+    )
+    want = py_image_near_dup_pairs(
+        [(make_image(i)[0]["url"], make_image(i)[1]) for i in range(n)],
+        max_hamming=6,
+    )
+    assert got == want
+    assert len(got) > 10  # planted pairs actually surface
+    # threshold actually cuts: at least one planted pair sits above 6
+    dists = {
+        d
+        for _, d in [
+            (None, bin(((make_image(2 * k)[1] or 0) ^ (make_image(2 * k + 1)[1] or 0)) & ((1 << 64) - 1)).count("1"))
+            for k in range(n // 2)
+            if make_image(2 * k)[1] is not None and make_image(2 * k + 1)[1] is not None
+        ]
+    }
+    assert any(d > 6 for d in dists)
+
+
+def test_image_near_dups_no_allpairs_plan(spark):
+    from buildlog_consultant_spark.fixtures import image_df
+    from buildlog_consultant_spark.ops.multimodal import (
+        image_near_dup_pairs,
+        with_image_dhash,
+    )
+
+    plan = (
+        image_near_dup_pairs(with_image_dhash(image_df(spark, 16)))
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
