@@ -4809,6 +4809,69 @@ def _oracle_image_near_dups() -> str:
     return _values_oracle(rows, ["url_a", "url_b", "hamming"])
 
 
+AUDIO_N = 96
+
+
+def _audio_corpus(spark: SparkSession, n: int) -> DataFrame:
+    import os
+    import shutil
+
+    _CACHE_DIR.mkdir(exist_ok=True)
+    path = _CACHE_DIR / f"fixture_audio_{n}_{_pkg_content_key()}.parquet"
+    if not path.exists():
+        tmp = str(path) + f".tmp{os.getpid()}"
+        fixtures.audio_df(spark, n).write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+        _prune_stale_cache(f"fixture_audio_{n}_", path.name)
+    return spark.read.parquet(str(path))
+
+
+def q_audio_dups(spark, sf_dir):
+    """Audio duplicate groups (ops/multimodal.py::with_audio_fingerprint):
+    63-bit frame-energy delta-sign fingerprints (exact integers —
+    invariant under integer gain, the planted variant) from one
+    Arrow-batched mapInPandas decode kernel, then ONE hash agg groups
+    exact-envelope duplicates. Non-WAV rows keep NULL plumbing and drop
+    out of the grouping. Oracle: golden replay over the generating
+    samples (PCM lossless)."""
+    from buildlog_consultant_spark.ops.multimodal import (
+        with_audio_fingerprint,
+    )
+
+    _ensure_pkg_shipped(spark)
+    clips = _audio_corpus(spark, AUDIO_N)
+    fp = with_audio_fingerprint(clips)
+    return (
+        fp.where(F.col("fingerprint").isNotNull())
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clips"),
+            F.min("url").alias("first_url"),
+            F.max("url").alias("last_url"),
+        )
+        .where(F.col("n_clips") >= 2)
+    )
+
+
+def _oracle_audio_dups() -> str:
+    groups: dict = {}
+    for i in range(AUDIO_N):
+        row, g = fixtures.make_audio(i)
+        if g is not None:
+            groups.setdefault(g, []).append(row["url"])
+    rows = [
+        (fp, len(us), min(us), max(us))
+        for fp, us in groups.items()
+        if len(us) >= 2
+    ]
+    return _values_oracle(
+        sorted(rows), ["fingerprint", "n_clips", "first_url", "last_url"]
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "classify_kind_counts": q_classify_kind_counts,
@@ -4917,6 +4980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_percentile": q_quality_percentile,
         "image_dhash": q_image_dhash,
         "image_near_dups": q_image_near_dups,
+        "audio_dups": q_audio_dups,
     }
 
 
@@ -5030,4 +5094,5 @@ def oracle_sql(sf_dir: str = None) -> dict[str, str]:
         "quality_percentile": ORACLE_QUALITY_PERCENTILE,
         "image_dhash": _oracle_image_dhash(),
         "image_near_dups": _oracle_image_near_dups(),
+        "audio_dups": _oracle_audio_dups(),
     }

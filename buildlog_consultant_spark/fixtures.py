@@ -673,3 +673,47 @@ def image_df(spark, n: int, partitions: Optional[int] = None):
             )
 
     return spark.range(0, n, 1, partitions).mapInPandas(gen, schema=IMAGE_SCHEMA)
+
+
+def make_audio(i: int):
+    """Deterministic WAV clip row i for the audio-fingerprint corpus.
+    Clips come in (base, variant) pairs: odd i is the SAME waveform as
+    i-1 under an integer gain of 3 — frame energies scale by 9, every
+    consecutive-energy delta keeps its sign, so the fingerprint is
+    IDENTICAL by construction (the audio analog of dHash's brightness
+    invariance). Every 16th row (i%16 == 5) is not a WAV. Returns
+    (row, fingerprint_golden) with the golden computed from the
+    generating samples (PCM is lossless)."""
+    import numpy as np
+
+    from .ops.multimodal import AUDIO_FRAME, audio_fingerprint, encode_wav
+
+    url = f"wav://{i:06d}"
+    if i % 16 == 5:
+        return {"url": url, "media": b"\x1aNOTWAV" + bytes([(i * 29 + j) % 256 for j in range(40)])}, None
+    base = i - (i % 2)
+    n_frames = 72
+    t = np.arange(n_frames * AUDIO_FRAME, dtype=np.int64)
+    frame = t // AUDIO_FRAME
+    amp = ((frame * 13 + (base * 7) % 97) % 50) + 1
+    samples = ((t * 31 + base) % (2 * amp + 1)) - amp
+    if i % 2 == 1:
+        samples = samples * 3  # integer gain: fingerprint-invariant
+    samples = samples.astype(np.int16)
+    return {"url": url, "media": encode_wav(samples)}, audio_fingerprint(
+        samples.astype(np.int64)
+    )
+
+
+def audio_df(spark, n: int, partitions: Optional[int] = None):
+    """Distributed deterministic audio corpus (url, media:binary)."""
+    partitions = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                [make_audio(int(i))[0] for i in pdf["id"]],
+                columns=["url", "media"],
+            )
+
+    return spark.range(0, n, 1, partitions).mapInPandas(gen, schema=IMAGE_SCHEMA)

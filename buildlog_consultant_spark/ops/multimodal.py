@@ -1359,3 +1359,86 @@ def py_image_near_dup_pairs(hashes: list, max_hamming: int = 6) -> list:
                 if d <= max_hamming:
                     out.append((ua, ub, d))
     return sorted(out)
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprinting (frame-energy delta signs) + exact match groups
+# ---------------------------------------------------------------------------
+
+
+def decode_wav_samples(data: bytes) -> Optional[np.ndarray]:
+    """Sample-returning sibling of decode_wav: int64 mono samples, or
+    None if the bytes aren't a 16-bit PCM WAV."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    try:
+        with wave.open(io.BytesIO(data), "rb") as f:
+            if f.getsampwidth() != 2:
+                return None
+            frames = f.readframes(f.getnframes())
+    except (wave.Error, EOFError):
+        return None
+    return np.frombuffer(frames, dtype="<i2").astype(np.int64)
+
+
+AUDIO_FRAME = 256
+AUDIO_FP_BITS = 63  # fits a signed long without wrap handling
+
+
+def audio_fingerprint(samples: np.ndarray) -> Optional[int]:
+    """63-bit audio fingerprint: per-frame energy (sum of squares over
+    ``AUDIO_FRAME``-sample frames, exact integers), then the SIGN of
+    consecutive-frame energy deltas — the shape of published audio
+    fingerprints (Shazam-family spectral-delta signs), reduced to the
+    time-energy envelope so every step is integer-exact and
+    engine-replayable (an FFT would be float and rounding-sensitive).
+    Envelope-delta signs survive uniform gain EXACTLY when the gain is
+    an integer multiplier (energy scales by g^2 > 0; sign(a-b)
+    unchanged) — the analog of dHash's brightness invariance, pinned by
+    test. Clips shorter than AUDIO_FP_BITS+1 full frames zero-pad their
+    missing trailing frames (energy 0). Returns None for empty audio."""
+    if samples.size == 0:
+        return None
+    n_frames = AUDIO_FP_BITS + 1
+    e = np.zeros(n_frames, dtype=object)
+    for k in range(n_frames):
+        seg = samples[k * AUDIO_FRAME:(k + 1) * AUDIO_FRAME]
+        e[k] = int((seg * seg).sum()) if seg.size else 0
+    bits = 0
+    for k in range(AUDIO_FP_BITS):
+        bits = (bits << 1) | int(e[k + 1] > e[k])
+    return bits
+
+
+def with_audio_fingerprint(
+    df, binary_col: str = "media", url_col: str = "url"
+):
+    """(url, n_samples, fingerprint) for every decodable PCM WAV row;
+    non-WAV rows keep NULL plumbing. Same Arrow-batched mapInPandas
+    shape (and the same NULLABLE-Int64 output discipline — a None in a
+    batch must not send the 63-bit fingerprint through float64) as
+    with_image_dhash."""
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            urls, ns, fps = [], [], []
+            for u, blob in zip(pdf[url_col], pdf[binary_col]):
+                s = decode_wav_samples(bytes(blob)) if blob is not None else None
+                urls.append(u)
+                if s is None:
+                    ns.append(None); fps.append(None)
+                else:
+                    ns.append(int(s.size))
+                    fps.append(audio_fingerprint(s))
+            yield pd.DataFrame(
+                {
+                    "url": urls,
+                    "n_samples": pd.array(ns, dtype="Int64"),
+                    "fingerprint": pd.array(fps, dtype="Int64"),
+                }
+            )
+
+    return df.mapInPandas(
+        kernel, schema="url string, n_samples long, fingerprint long"
+    )

@@ -323,3 +323,58 @@ def test_image_near_dups_no_allpairs_plan(spark):
         .toString()
     )
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+# ---------------------------------------------------------------------------
+# audio fingerprint
+# ---------------------------------------------------------------------------
+
+
+def test_audio_fingerprint_roundtrip_and_gain_invariance():
+    import numpy as np
+
+    from buildlog_consultant_spark.fixtures import make_audio
+    from buildlog_consultant_spark.ops.multimodal import (
+        audio_fingerprint,
+        decode_wav_samples,
+    )
+
+    n_wav, n_blob = 0, 0
+    for i in range(48):
+        row, g = make_audio(i)
+        s = decode_wav_samples(row["media"])
+        if g is None:
+            assert s is None
+            n_blob += 1
+        else:
+            assert audio_fingerprint(s) == g
+            n_wav += 1
+    assert n_wav > 0 and n_blob > 0
+    # explicit gain invariance beyond the planted x3
+    t = np.arange(72 * 256, dtype=np.int64)
+    base = ((t * 7) % 41) - 20
+    assert audio_fingerprint(base) == audio_fingerprint(base * 5)
+    # empty audio → None
+    assert audio_fingerprint(np.array([], dtype=np.int64)) is None
+
+
+def test_audio_dups_spark_matches_replay(spark):
+    from buildlog_consultant_spark.fixtures import audio_df, make_audio
+    from buildlog_consultant_spark.ops.multimodal import (
+        with_audio_fingerprint,
+    )
+
+    n = 48
+    fp = with_audio_fingerprint(audio_df(spark, n))
+    got = {r["url"]: (r["n_samples"], r["fingerprint"]) for r in fp.collect()}
+    assert len(got) == n
+    for i in range(n):
+        row, g = make_audio(i)
+        if g is None:
+            assert got[row["url"]] == (None, None)
+        else:
+            assert got[row["url"]][1] == g
+    # planted pairs share fingerprints
+    r0, g0 = make_audio(0)
+    r1, g1 = make_audio(1)
+    assert g0 == g1
