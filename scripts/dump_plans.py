@@ -300,6 +300,23 @@ def main() -> None:
     )
     iqr.collect()
 
+    from buildlog_consultant_spark.fixtures import audio_df, image_df
+    from buildlog_consultant_spark.ops.anomaly import gap_fill_hourly
+    from buildlog_consultant_spark.ops.multimodal import (
+        image_near_dup_pairs,
+        with_audio_fingerprint,
+        with_image_dhash,
+    )
+
+    gfill = gap_fill_hourly(ev2)
+    gfill.collect()
+    imgpairs = image_near_dup_pairs(
+        with_image_dhash(image_df(spark, 32)), max_hamming=6
+    )
+    imgpairs.collect()
+    afp = with_audio_fingerprint(audio_df(spark, 32))
+    afp.collect()
+
     out = [
         "# PLANS — executed plans of the flagship pipeline (local[4], 200-doc fixture corpus)",
         "",
@@ -608,6 +625,26 @@ def main() -> None:
         "## broadcast back",
         "```",
         formatted(spark, iqr),
+        "```",
+        "",
+        "## gap_fill_hourly (round 6) — one corpus (type,hour) agg; spine",
+        "## generation (Generate over per-type bounds) and the left join run",
+        "## on aggregate-sized tables",
+        "```",
+        formatted(spark, gfill),
+        "```",
+        "",
+        "## image_near_dup_pairs (round 6) — ONE MapInPandas decode+hash",
+        "## kernel, 4x16-bit band Generate, band equi-join (no nested loop),",
+        "## popcount(xor) verify on candidates",
+        "```",
+        formatted(spark, imgpairs),
+        "```",
+        "",
+        "## with_audio_fingerprint (round 6) — single MapInPandas scan,",
+        "## Arrow-batched; no shuffle at all",
+        "```",
+        formatted(spark, afp),
         "```",
     ]
     Path(__file__).resolve().parent.parent.joinpath("PLANS.md").write_text(
