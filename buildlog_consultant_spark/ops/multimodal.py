@@ -1279,7 +1279,11 @@ def with_image_dhash(
 
 
 def image_near_dup_pairs(
-    hashed, max_hamming: int = 6, url_col: str = "url", hash_col: str = "dhash"
+    hashed,
+    max_hamming: int = 6,
+    url_col: str = "url",
+    hash_col: str = "dhash",
+    checkpoint: bool = True,
 ):
     """(url_a, url_b, hamming): image pairs whose dHash differs in at
     most ``max_hamming`` of 64 bits — simhash_near_dups' banded-LSH
@@ -1298,6 +1302,13 @@ def image_near_dup_pairs(
     d = hashed.where(F.col(hash_col).isNotNull()).select(
         F.col(url_col).alias("u"), F.col(hash_col).alias("h")
     )
+    # The hash projection feeds BOTH self-join sides — without a
+    # persist the upstream decode kernel runs twice (ppjoin's
+    # rationale; the hash table is 1 row x 16 bytes per image, tiny).
+    # checkpoint=False keeps the lazy plan (plan dumps/tests) at the
+    # cost of the double decode.
+    if checkpoint:
+        d.persist()
     bands = d.select(
         "u",
         "h",
@@ -1319,18 +1330,27 @@ def image_near_dup_pairs(
     b = bands.select(
         F.col("u").alias("url_b"), F.col("h").alias("hb"), "band", "key"
     )
-    return (
-        a.join(b, ["band", "key"])
-        .where(F.col("url_a") < F.col("url_b"))
-        .select("url_a", "url_b", "ha", "hb")
-        .distinct()
-        .withColumn(
-            "hamming",
-            F.expr("CAST(bit_count(ha ^ hb) AS LONG)"),
+    try:
+        out = (
+            a.join(b, ["band", "key"])
+            .where(F.col("url_a") < F.col("url_b"))
+            .select("url_a", "url_b", "ha", "hb")
+            .distinct()
+            .withColumn(
+                "hamming",
+                F.expr("CAST(bit_count(ha ^ hb) AS LONG)"),
+            )
+            .where(F.col("hamming") <= max_hamming)
+            .select("url_a", "url_b", "hamming")
         )
-        .where(F.col("hamming") <= max_hamming)
-        .select("url_a", "url_b", "hamming")
-    )
+        if checkpoint:
+            # pair-grain output, bounded — materialize so the persisted
+            # hash projection releases now
+            out = out.localCheckpoint(eager=True)
+    finally:
+        if checkpoint:
+            d.unpersist()
+    return out
 
 
 def py_image_near_dup_pairs(hashes: list, max_hamming: int = 6) -> list:

@@ -311,7 +311,8 @@ def main() -> None:
     gfill = gap_fill_hourly(ev2)
     gfill.collect()
     imgpairs = image_near_dup_pairs(
-        with_image_dhash(image_df(spark, 32)), max_hamming=6
+        with_image_dhash(image_df(spark, 32)), max_hamming=6,
+        checkpoint=False,  # show the full lazy structure
     )
     imgpairs.collect()
     afp = with_audio_fingerprint(audio_df(spark, 32))
@@ -634,9 +635,13 @@ def main() -> None:
         formatted(spark, gfill),
         "```",
         "",
-        "## image_near_dup_pairs (round 6) — ONE MapInPandas decode+hash",
-        "## kernel, 4x16-bit band Generate, band equi-join (no nested loop),",
-        "## popcount(xor) verify on candidates",
+        "## image_near_dup_pairs (round 6) — MapInPandas decode+hash kernel,",
+        "## 4x16-bit band Generate, band equi-join (no nested loop),",
+        "## popcount(xor) verify on candidates. Dumped with checkpoint=False",
+        "## to show the join structure — the kernel appears on BOTH join",
+        "## sides here; the production path (checkpoint=True) persists the",
+        "## tiny hash projection so the decode runs ONCE and the bounded",
+        "## pair output is localCheckpointed (ppjoin's pattern)",
         "```",
         formatted(spark, imgpairs),
         "```",

@@ -317,7 +317,9 @@ def test_image_near_dups_no_allpairs_plan(spark):
     )
 
     plan = (
-        image_near_dup_pairs(with_image_dhash(image_df(spark, 16)))
+        image_near_dup_pairs(
+            with_image_dhash(image_df(spark, 16)), checkpoint=False
+        )
         ._jdf.queryExecution()
         .optimizedPlan()
         .toString()
