@@ -117,27 +117,32 @@ def _values_oracle(rows: list[tuple], cols: list[str]) -> str:
 _classified_cache: dict[str, DataFrame] = {}
 
 
-def _fixture_pages(spark: SparkSession, n: int) -> DataFrame:
-    """Fixture pages corpus via a content-keyed parquet cache: first build
-    synthesizes distributed (fixtures.pages_df) and writes parquet; repeat
-    sessions read the parquet (pure JVM scan) instead of re-running the
-    Python synthesis workers — this stops one-time corpus setup from being
-    charged to whichever classify query the driver times first
-    (VERDICT r2 "next" #3)."""
+def _cached_fixture(spark: SparkSession, prefix: str, n: int, builder) -> DataFrame:
+    """Content-keyed parquet fixture cache (shared by the pages/media/
+    image/audio corpora): first build synthesizes distributed and writes
+    parquet; repeat sessions read the parquet (pure JVM scan) instead of
+    re-running the Python synthesis workers — one-time corpus setup must
+    not be charged to whichever query the driver times first (VERDICT r2
+    "next" #3). ONE copy of the build-rename-prune protocol, so a cache
+    fix can't drift across corpora."""
     import os
     import shutil
 
     _CACHE_DIR.mkdir(exist_ok=True)
-    path = _CACHE_DIR / f"fixture_pages_{n}_{_pkg_content_key()}.parquet"
+    path = _CACHE_DIR / f"{prefix}_{n}_{_pkg_content_key()}.parquet"
     if not path.exists():
         tmp = str(path) + f".tmp{os.getpid()}"
-        fixtures.pages_df(spark, n).write.mode("overwrite").parquet(tmp)
+        builder(spark, n).write.mode("overwrite").parquet(tmp)
         try:
             os.rename(tmp, path)
         except OSError:  # concurrent builder won the rename; same content
             shutil.rmtree(tmp, ignore_errors=True)
-        _prune_stale_cache(f"fixture_pages_{n}_", path.name)
+        _prune_stale_cache(f"{prefix}_{n}_", path.name)
     return spark.read.parquet(str(path))
+
+
+def _fixture_pages(spark: SparkSession, n: int) -> DataFrame:
+    return _cached_fixture(spark, "fixture_pages", n, fixtures.pages_df)
 
 
 def _fixture_classified(spark: SparkSession) -> DataFrame:
@@ -1907,23 +1912,7 @@ def q_media_meta(spark, sf_dir):
 
 
 def _media_corpus(spark: SparkSession, n: int) -> DataFrame:
-    """Media fixture corpus behind the same content-keyed parquet cache as
-    the pages corpus — repeat sessions read parquet instead of re-running
-    the Python synthesis stage."""
-    import os
-    import shutil
-
-    _CACHE_DIR.mkdir(exist_ok=True)
-    path = _CACHE_DIR / f"fixture_media_{n}_{_pkg_content_key()}.parquet"
-    if not path.exists():
-        tmp = str(path) + f".tmp{os.getpid()}"
-        fixtures.media_df(spark, n).write.mode("overwrite").parquet(tmp)
-        try:
-            os.rename(tmp, path)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
-        _prune_stale_cache(f"fixture_media_{n}_", path.name)
-    return spark.read.parquet(str(path))
+    return _cached_fixture(spark, "fixture_media", n, fixtures.media_df)
 
 
 def _oracle_media_meta() -> str:
@@ -4727,22 +4716,7 @@ IMAGE_N = 96
 
 
 def _image_corpus(spark: SparkSession, n: int) -> DataFrame:
-    """Image fixture corpus behind the media-corpus content-keyed
-    parquet cache (repeat sessions scan parquet, no Python synthesis)."""
-    import os
-    import shutil
-
-    _CACHE_DIR.mkdir(exist_ok=True)
-    path = _CACHE_DIR / f"fixture_image_{n}_{_pkg_content_key()}.parquet"
-    if not path.exists():
-        tmp = str(path) + f".tmp{os.getpid()}"
-        fixtures.image_df(spark, n).write.mode("overwrite").parquet(tmp)
-        try:
-            os.rename(tmp, path)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
-        _prune_stale_cache(f"fixture_image_{n}_", path.name)
-    return spark.read.parquet(str(path))
+    return _cached_fixture(spark, "fixture_image", n, fixtures.image_df)
 
 
 def q_image_dhash(spark, sf_dir):
@@ -4766,8 +4740,6 @@ def _oracle_image_dhash() -> str:
         if g is None:
             rows.append((row["url"], None, None, None))
         else:
-            import numpy as np  # noqa: F401
-
             from buildlog_consultant_spark.ops.multimodal import (
                 decode_bmp_pixels,
             )
@@ -4813,20 +4785,7 @@ AUDIO_N = 96
 
 
 def _audio_corpus(spark: SparkSession, n: int) -> DataFrame:
-    import os
-    import shutil
-
-    _CACHE_DIR.mkdir(exist_ok=True)
-    path = _CACHE_DIR / f"fixture_audio_{n}_{_pkg_content_key()}.parquet"
-    if not path.exists():
-        tmp = str(path) + f".tmp{os.getpid()}"
-        fixtures.audio_df(spark, n).write.mode("overwrite").parquet(tmp)
-        try:
-            os.rename(tmp, path)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
-        _prune_stale_cache(f"fixture_audio_{n}_", path.name)
-    return spark.read.parquet(str(path))
+    return _cached_fixture(spark, "fixture_audio", n, fixtures.audio_df)
 
 
 def q_audio_dups(spark, sf_dir):

@@ -659,6 +659,7 @@ def make_image(i: int):
 
 
 IMAGE_SCHEMA = "url string, media binary"
+AUDIO_SCHEMA = IMAGE_SCHEMA  # same (url, blob) shape today; alias keeps them decoupled
 
 
 def image_df(spark, n: int, partitions: Optional[int] = None):
@@ -716,4 +717,4 @@ def audio_df(spark, n: int, partitions: Optional[int] = None):
                 columns=["url", "media"],
             )
 
-    return spark.range(0, n, 1, partitions).mapInPandas(gen, schema=IMAGE_SCHEMA)
+    return spark.range(0, n, 1, partitions).mapInPandas(gen, schema=AUDIO_SCHEMA)

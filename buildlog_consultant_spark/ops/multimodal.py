@@ -70,36 +70,21 @@ def encode_bmp(pixels: np.ndarray) -> bytes:
 
 def decode_bmp(data: bytes) -> Optional[dict]:
     """Real decode of an uncompressed 24-bit BMP: header parse + numpy pixel
-    stats. Returns None if the bytes aren't such a BMP."""
-    if len(data) < 54 or data[:2] != b"BM":
+    stats. Returns None if the bytes aren't such a BMP. Built on the
+    pixel decoder (decode_bmp_pixels) so the two can't drift."""
+    px = decode_bmp_pixels(data)
+    if px is None:
         return None
-    pixel_offset = struct.unpack_from("<I", data, 10)[0]
-    header_size = struct.unpack_from("<I", data, 14)[0]
-    if header_size < 40:
-        return None
-    w, h = struct.unpack_from("<ii", data, 18)
-    planes, bpp = struct.unpack_from("<HH", data, 26)
-    compression = struct.unpack_from("<I", data, 30)[0]
-    if bpp != 24 or compression != 0 or w <= 0 or h == 0:
-        return None
-    bottom_up = h > 0
-    h = abs(h)
-    row_size = (w * 3 + 3) & ~3
-    if len(data) < pixel_offset + row_size * h:
-        return None
-    raw = np.frombuffer(data, dtype=np.uint8, count=row_size * h, offset=pixel_offset)
-    rows = raw.reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)
-    if bottom_up:
-        rows = rows[::-1]
-    bgr = rows.astype(np.int64)
+    h, w = px.shape[0], px.shape[1]
+    rgb = px.astype(np.int64)
     return {
         "width": w,
         "height": h,
         # exact integer milli-means: sums are ints, so both an independent
         # oracle and this decoder land on identical values
-        "mean_r_milli": int(bgr[:, :, 2].sum() * 1000 // (w * h)),
-        "mean_g_milli": int(bgr[:, :, 1].sum() * 1000 // (w * h)),
-        "mean_b_milli": int(bgr[:, :, 0].sum() * 1000 // (w * h)),
+        "mean_r_milli": int(rgb[:, :, 0].sum() * 1000 // (w * h)),
+        "mean_g_milli": int(rgb[:, :, 1].sum() * 1000 // (w * h)),
+        "mean_b_milli": int(rgb[:, :, 2].sum() * 1000 // (w * h)),
     }
 
 
@@ -114,21 +99,30 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
     return buf.getvalue()
 
 
-def decode_wav(data: bytes) -> Optional[dict]:
-    """Real decode of a PCM WAV (stdlib wave): header fields + integer RMS
-    over 16-bit samples. Returns None if the bytes aren't a PCM WAV."""
+def _read_wav(data: bytes):
+    """Shared PCM-WAV reader core: (sample_rate, int64 samples), or None
+    if the bytes aren't a 16-bit PCM WAV. Single-sourced so the stats
+    decoder and the sample decoder can't drift."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         return None
     try:
         with wave.open(io.BytesIO(data), "rb") as f:
             if f.getsampwidth() != 2:
                 return None
-            n = f.getnframes()
             sr = f.getframerate()
-            frames = f.readframes(n)
+            frames = f.readframes(f.getnframes())
     except (wave.Error, EOFError):
         return None
-    samples = np.frombuffer(frames, dtype="<i2").astype(np.int64)
+    return sr, np.frombuffer(frames, dtype="<i2").astype(np.int64)
+
+
+def decode_wav(data: bytes) -> Optional[dict]:
+    """Real decode of a PCM WAV (stdlib wave): header fields + integer RMS
+    over 16-bit samples. Returns None if the bytes aren't a PCM WAV."""
+    rd = _read_wav(data)
+    if rd is None:
+        return None
+    sr, samples = rd
     n_samples = samples.size
     # integer RMS in milli-units: floor(sqrt(mean(x^2)) * 1000) computed via
     # integer isqrt so it is exactly reproducible off-Spark
@@ -1245,8 +1239,6 @@ def with_image_dhash(
     keeps non-image rows out upstream when the caller filters)."""
     import pandas as pd
 
-    from pyspark.sql import functions as F  # noqa: F401
-
     def kernel(batches):
         for pdf in batches:
             urls, ws, hs, hashes = [], [], [], []
@@ -1273,7 +1265,11 @@ def with_image_dhash(
                 }
             )
 
-    return df.mapInPandas(
+    # select url+binary FIRST: Spark can't prune columns below
+    # mapInPandas, so a wide caller frame would Arrow-serialize every
+    # column to the Python workers for nothing (extract_media_meta's
+    # convention).
+    return df.select(url_col, binary_col).mapInPandas(
         kernel, schema="url string, width int, height int, dhash long"
     )
 
@@ -1387,18 +1383,9 @@ def py_image_near_dup_pairs(hashes: list, max_hamming: int = 6) -> list:
 
 
 def decode_wav_samples(data: bytes) -> Optional[np.ndarray]:
-    """Sample-returning sibling of decode_wav: int64 mono samples, or
-    None if the bytes aren't a 16-bit PCM WAV."""
-    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
-        return None
-    try:
-        with wave.open(io.BytesIO(data), "rb") as f:
-            if f.getsampwidth() != 2:
-                return None
-            frames = f.readframes(f.getnframes())
-    except (wave.Error, EOFError):
-        return None
-    return np.frombuffer(frames, dtype="<i2").astype(np.int64)
+    """Sample-returning sibling of decode_wav (same _read_wav core)."""
+    rd = _read_wav(data)
+    return None if rd is None else rd[1]
 
 
 AUDIO_FRAME = 256
@@ -1459,6 +1446,6 @@ def with_audio_fingerprint(
                 }
             )
 
-    return df.mapInPandas(
+    return df.select(url_col, binary_col).mapInPandas(
         kernel, schema="url string, n_samples long, fingerprint long"
     )

@@ -296,17 +296,25 @@ def test_image_near_dups_spark_matches_replay(spark):
         max_hamming=6,
     )
     assert got == want
-    assert len(got) > 10  # planted pairs actually surface
-    # threshold actually cuts: at least one planted pair sits above 6
-    dists = {
-        d
-        for _, d in [
-            (None, bin(((make_image(2 * k)[1] or 0) ^ (make_image(2 * k + 1)[1] or 0)) & ((1 << 64) - 1)).count("1"))
-            for k in range(n // 2)
-            if make_image(2 * k)[1] is not None and make_image(2 * k + 1)[1] is not None
-        ]
-    }
-    assert any(d > 6 for d in dists)
+    # planted-pair RECALL, not just parity: every (base, variant) pair
+    # whose golden distance is <= 6 must be IN the output (cross-base
+    # incidental pairs alone can't satisfy this), and at least one
+    # planted pair above 6 proves the threshold actually cuts
+    found = {(a, b) for a, b, _ in got}
+    n_in, n_out = 0, 0
+    for k in range(n // 2):
+        ra, ga = make_image(2 * k)
+        rb, gb = make_image(2 * k + 1)
+        if ga is None or gb is None:
+            continue
+        d = bin((ga ^ gb) & ((1 << 64) - 1)).count("1")
+        if d <= 6:
+            assert (ra["url"], rb["url"]) in found, (k, d)
+            n_in += 1
+        else:
+            assert (ra["url"], rb["url"]) not in found, (k, d)
+            n_out += 1
+    assert n_in >= 10 and n_out >= 1
 
 
 def test_image_near_dups_no_allpairs_plan(spark):
