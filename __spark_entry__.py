@@ -4741,10 +4741,10 @@ def _oracle_image_dhash() -> str:
             rows.append((row["url"], None, None, None))
         else:
             from buildlog_consultant_spark.ops.multimodal import (
-                decode_bmp_pixels,
+                decode_image_pixels,
             )
 
-            px = decode_bmp_pixels(row["media"])
+            px = decode_image_pixels(row["media"])
             rows.append((row["url"], px.shape[1], px.shape[0], g))
     return _values_oracle(rows, ["url", "width", "height", "dhash"])
 

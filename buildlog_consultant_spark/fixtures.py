@@ -622,14 +622,17 @@ def make_image(i: int):
     odd i is a NEAR-DUPLICATE of i-1 — same pattern plus a small
     deterministic perturbation (a few +/-3 pixel nudges in one corner
     region and a uniform +1 brightness lift), the re-encode/brightness
-    damage dHash is designed to see through. Every 16th image (i%16 ==
-    12) is NOT a BMP (an unknown blob) so the NULL-plumbing path stays
-    exercised. Returns (row, dhash_golden) with the hash computed from
-    the GENERATING array (BMP is lossless, so decode(encode(px)) == px
-    — by-construction golden, media_meta's convention)."""
+    damage dHash is designed to see through. Pairs where
+    (i//2) % 4 == 3 encode the VARIANT as PNG instead of BMP (both
+    lossless → same-pixel hash parity), so near-dup pairs cross
+    container formats — the real-crawl re-hosting case. Every 16th
+    image (i%16 == 12) is NOT an image (an unknown blob) so the
+    NULL-plumbing path stays exercised. Returns (row, dhash_golden)
+    with the hash computed from the GENERATING array (lossless
+    round-trip — by-construction golden, media_meta's convention)."""
     import numpy as np
 
-    from .ops.multimodal import encode_bmp, image_dhash
+    from .ops.multimodal import encode_bmp, encode_png, image_dhash
 
     url = f"img://{i:06d}"
     if i % 16 == 12:
@@ -655,7 +658,8 @@ def make_image(i: int):
         r = h // 2
         px[r:r + 2, :, 1] += 17
     px = np.clip(px, 0, 255).astype(np.uint8)
-    return {"url": url, "media": encode_bmp(px)}, image_dhash(px)
+    enc = encode_png if (i % 2 == 1 and (i // 2) % 4 == 3) else encode_bmp
+    return {"url": url, "media": enc(px)}, image_dhash(px)
 
 
 IMAGE_SCHEMA = "url string, media binary"

@@ -217,12 +217,10 @@ def _png_defilter(raw: bytes, w: int, h: int, bpp: int = 3) -> Optional[np.ndarr
     return out.reshape(h, w, bpp)
 
 
-def decode_png(data: bytes) -> Optional[dict]:
-    """Real PNG decode via stdlib zlib: chunk walk → IHDR dims; for 8-bit
-    RGB (color type 2, no interlace) additionally inflates IDAT, reverses
-    the scanline filters, and computes the exact integer milli-means.
-    Other color types return header-level width/height (still real
-    metadata — IHDR is authoritative). Returns None if not a PNG."""
+def _png_parse(data: bytes):
+    """Shared PNG chunk-walk core: (width, height, bitdepth, colortype,
+    interlace, idat) or None if not a PNG. Single-sourced so the stats
+    decoder and the pixel decoder can't drift (the BMP/WAV discipline)."""
     if len(data) < 8 + 25 or not data.startswith(PNG_SIG):
         return None
     pos = 8
@@ -244,35 +242,59 @@ def decode_png(data: bytes) -> Optional[dict]:
         pos += 12 + ln
     if width is None or width <= 0 or height <= 0:
         return None
-    out = {"width": int(width), "height": int(height)}
-    # decode work bounded by the declared dims (_MAX_DECODE_PIXELS, shared
-    # with the JPEG path); the inflate is additionally told the exact
-    # expected byte count (decompress's max_length) so an IDAT zlib bomb
-    # stops at the declared size instead of expanding to gigabytes
-    if (
+    return int(width), int(height), bitdepth, colortype, interlace, idat
+
+
+def decode_png_pixels(data: bytes) -> Optional[np.ndarray]:
+    """Pixel-returning PNG decode: HxWx3 uint8 RGB for 8-bit RGB
+    non-interlaced PNGs, else None (header-only types have no pixel
+    payload to hash). Work bounded by the DECLARED dims
+    (_MAX_DECODE_PIXELS) and the inflate capped at the expected byte
+    count (zlib-bomb guard), exactly as decode_png."""
+    parsed = _png_parse(data)
+    if parsed is None:
+        return None
+    width, height, bitdepth, colortype, interlace, idat = parsed
+    if not (
         bitdepth == 8
         and colortype == 2
         and interlace == 0
         and idat
         and width * height <= _MAX_DECODE_PIXELS
     ):
-        import zlib
+        return None
+    import zlib
 
-        expected = height * (width * 3 + 1)
-        try:
-            d = zlib.decompressobj()
-            raw = d.decompress(idat, expected)
-            if d.unconsumed_tail or len(raw) < expected:
-                return out  # stream longer or shorter than IHDR declares
-        except zlib.error:
-            return out
-        px = _png_defilter(raw, width, height)
-        if px is not None:
-            rgb = px.astype(np.int64)
-            n = width * height
-            out["mean_r_milli"] = int(rgb[:, :, 0].sum() * 1000 // n)
-            out["mean_g_milli"] = int(rgb[:, :, 1].sum() * 1000 // n)
-            out["mean_b_milli"] = int(rgb[:, :, 2].sum() * 1000 // n)
+    expected = height * (width * 3 + 1)
+    try:
+        d = zlib.decompressobj()
+        raw = d.decompress(idat, expected)
+        if d.unconsumed_tail or len(raw) < expected:
+            return None  # stream longer or shorter than IHDR declares
+    except zlib.error:
+        return None
+    return _png_defilter(raw, width, height)
+
+
+def decode_png(data: bytes) -> Optional[dict]:
+    """Real PNG decode via stdlib zlib: chunk walk → IHDR dims; for 8-bit
+    RGB (color type 2, no interlace) additionally inflates IDAT, reverses
+    the scanline filters, and computes the exact integer milli-means.
+    Other color types return header-level width/height (still real
+    metadata — IHDR is authoritative). Returns None if not a PNG.
+    Built on _png_parse/decode_png_pixels (one parser)."""
+    parsed = _png_parse(data)
+    if parsed is None:
+        return None
+    width, height = parsed[0], parsed[1]
+    out = {"width": width, "height": height}
+    px = decode_png_pixels(data)
+    if px is not None:
+        rgb = px.astype(np.int64)
+        n = width * height
+        out["mean_r_milli"] = int(rgb[:, :, 0].sum() * 1000 // n)
+        out["mean_g_milli"] = int(rgb[:, :, 1].sum() * 1000 // n)
+        out["mean_b_milli"] = int(rgb[:, :, 2].sum() * 1000 // n)
     return out
 
 
@@ -1187,6 +1209,20 @@ def decode_bmp_pixels(data: bytes) -> Optional[np.ndarray]:
     return rows[:, :, ::-1]  # BGR -> RGB
 
 
+def decode_image_pixels(data: bytes) -> Optional[np.ndarray]:
+    """Format-sniffing pixel decode for the perceptual-hash path: 24-bit
+    BMP or 8-bit-RGB PNG by magic bytes (both LOSSLESS, so a BMP and a
+    PNG of the same pixels hash identically — cross-format near-dups
+    come for free). Lossy formats stay out of this path: a JPEG
+    round-trip changes pixels, so its hash would depend on decoder
+    details rather than content geometry."""
+    if data[:2] == b"BM":
+        return decode_bmp_pixels(data)
+    if data[:8] == PNG_SIG:
+        return decode_png_pixels(data)
+    return None
+
+
 def image_dhash(pixels: np.ndarray) -> int:
     """64-bit difference hash of an HxWx3 uint8 RGB image — the classic
     perceptual near-dup fingerprint (gradient signs survive re-encode /
@@ -1231,9 +1267,9 @@ def image_dhash(pixels: np.ndarray) -> int:
 def with_image_dhash(
     df, binary_col: str = "media", url_col: str = "url"
 ):
-    """(url, width, height, dhash) for every decodable 24-bit BMP row;
-    non-BMP rows get NULLs (type plumbing intact, the multimodal
-    convention). Arrow-batched mapInPandas — the decode+hash kernel is
+    """(url, width, height, dhash) for every decodable lossless image
+    row (24-bit BMP or 8-bit-RGB PNG — decode_image_pixels); other rows
+    get NULLs (type plumbing intact, the multimodal convention). Arrow-batched mapInPandas — the decode+hash kernel is
     pure numpy per batch, no JVM round-trip per row; at crawl scale
     this is the standard binary-column scan shape (predicate pushdown
     keeps non-image rows out upstream when the caller filters)."""
@@ -1243,7 +1279,7 @@ def with_image_dhash(
         for pdf in batches:
             urls, ws, hs, hashes = [], [], [], []
             for u, blob in zip(pdf[url_col], pdf[binary_col]):
-                px = decode_bmp_pixels(bytes(blob)) if blob is not None else None
+                px = decode_image_pixels(bytes(blob)) if blob is not None else None
                 urls.append(u)
                 if px is None:
                     ws.append(None); hs.append(None); hashes.append(None)

@@ -226,24 +226,28 @@ def test_image_dhash_roundtrip_and_golden():
     equals the by-construction golden for every fixture image."""
     from buildlog_consultant_spark.fixtures import make_image
     from buildlog_consultant_spark.ops.multimodal import (
-        decode_bmp_pixels,
+        decode_image_pixels,
         image_dhash,
     )
 
     import numpy as np
 
-    n_img, n_blob = 0, 0
+    n_bmp, n_png, n_blob = 0, 0, 0
     for i in range(48):
         row, g = make_image(i)
-        px = decode_bmp_pixels(row["media"])
+        px = decode_image_pixels(row["media"])
         if g is None:
             assert px is None
             n_blob += 1
         else:
             assert px is not None and px.dtype == np.uint8
             assert image_dhash(px) == g
-            n_img += 1
-    assert n_img > 0 and n_blob > 0
+            if row["media"][:2] == b"BM":
+                n_bmp += 1
+            else:
+                n_png += 1
+    # both lossless containers present, incl. cross-format pairs
+    assert n_bmp > 0 and n_png > 0 and n_blob > 0
 
 
 def test_image_dhash_brightness_invariance():
