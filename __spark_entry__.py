@@ -4524,13 +4524,20 @@ WITH planted AS (
   -- numbers ('{"k": "35"}' -> NULL), doubles, and booleans; a bare
   -- TRY_CAST of json_extract_string would coerce '35' and diverge
   -- (review session-4 finding #1, pinned by experiment + test).
+  -- Every json_* runs over TRY_CAST(p AS JSON) (invalid -> NULL ->
+  -- NULL result), NOT behind a json_valid(p) AND guard: DuckDB's
+  -- vectorized evaluation does not reliably short-circuit the AND, and
+  -- json_type on a raw invalid string THROWS (observed at sf0.1 only —
+  -- optimizer-dependent; the guarded form passed at sf0.01).
   SELECT event_type,
-         CASE WHEN json_valid(p)
-                   AND json_type(p, '$.k') IN ('BIGINT', 'UBIGINT')
-              THEN TRY_CAST(json_extract_string(p, '$.k') AS BIGINT) END AS k,
-         CASE WHEN json_valid(p)
-                   AND json_type(p, '$.m.d') IN ('BIGINT', 'UBIGINT')
-              THEN TRY_CAST(json_extract_string(p, '$.m.d') AS BIGINT) END AS d
+         CASE WHEN json_type(TRY_CAST(p AS JSON), '$.k')
+                   IN ('BIGINT', 'UBIGINT')
+              THEN TRY_CAST(json_extract_string(TRY_CAST(p AS JSON), '$.k')
+                            AS BIGINT) END AS k,
+         CASE WHEN json_type(TRY_CAST(p AS JSON), '$.m.d')
+                   IN ('BIGINT', 'UBIGINT')
+              THEN TRY_CAST(json_extract_string(TRY_CAST(p AS JSON), '$.m.d')
+                            AS BIGINT) END AS d
   FROM planted
 )
 SELECT event_type, COUNT(*) AS n,

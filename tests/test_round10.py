@@ -375,9 +375,10 @@ def test_with_json_fields(spark):
 
     oc = duckdb.sql(
         """
-        SELECT CASE WHEN json_valid(p)
-                        AND json_type(p, '$.k') IN ('BIGINT', 'UBIGINT')
-                   THEN TRY_CAST(json_extract_string(p, '$.k') AS BIGINT)
+        SELECT CASE WHEN json_type(TRY_CAST(p AS JSON), '$.k')
+                        IN ('BIGINT', 'UBIGINT')
+                   THEN TRY_CAST(json_extract_string(TRY_CAST(p AS JSON),
+                                                     '$.k') AS BIGINT)
                END AS k
         FROM (VALUES ('{"k": 69}'), ('{"k": "35"}'), ('{"k": 3.5}'),
                      ('{"k": true}'), ('{"k": -7}')) t(p)
