@@ -4838,6 +4838,89 @@ def _oracle_audio_dups() -> str:
     )
 
 
+def q_mad_outliers(spark, sf_dir):
+    """Robust z-score outliers via MEDIAN ABSOLUTE DEVIATION
+    (ops/robust.py::mad_outlier_stats): 2|x - med| > 7*MAD (the
+    Iglewicz-Hoaglin 3.5 cutoff, doubled to stay integral) — 50%
+    breakdown point where IQR fences break at 25%. Two histogram
+    two-passes (median, then median of deviations), medians ride
+    broadcast joins; integer cents convention."""
+    from buildlog_consultant_spark.ops.robust import mad_outlier_stats
+
+    ev = _read_adaptive(spark, f"{sf_dir}/events.parquet")
+    d = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return mad_outlier_stats(d, "event_type", "cents")
+
+
+ORACLE_MAD_OUTLIERS = """
+WITH vals AS (
+  SELECT event_type AS k, CAST(round(value * 100) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL
+), r1 AS (
+  SELECT k, v, row_number() OVER (PARTITION BY k ORDER BY v) AS rn,
+         COUNT(*) OVER (PARTITION BY k) AS nn
+  FROM vals
+), med AS (
+  SELECT k, MAX(CASE WHEN rn = (50 * nn + 99) // 100 THEN v END) AS med
+  FROM r1 GROUP BY 1
+), dev AS (
+  SELECT vals.k AS k, v, med, abs(v - med) AS d
+  FROM vals JOIN med ON vals.k IS NOT DISTINCT FROM med.k
+), r2 AS (
+  SELECT k, d, row_number() OVER (PARTITION BY k ORDER BY d) AS rn,
+         COUNT(*) OVER (PARTITION BY k) AS nn
+  FROM dev
+), mad AS (
+  SELECT k, MAX(CASE WHEN rn = (50 * nn + 99) // 100 THEN d END) AS mad
+  FROM r2 GROUP BY 1
+)
+SELECT dev.k AS event_type, COUNT(*) AS n,
+       MAX(dev.med) AS med, MAX(mad.mad) AS mad,
+       CAST(SUM(CASE WHEN 2 * d > 7 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM dev JOIN mad ON dev.k IS NOT DISTINCT FROM mad.k
+GROUP BY 1
+"""
+
+
+def q_skew_report(spark, sf_dir):
+    """Shuffle-key skew diagnostic (ops/robust.py::key_skew_report)
+    over events.user_id: one corpus hash agg to per-key counts, exact
+    nearest-rank p50 over the bounded count table, skew_permille =
+    1000*max DIV p50 and the ceil(max/p50) salt suggestion — the
+    pre-flight that sizes salting (choose_salt_buckets' idea as a
+    first-class query)."""
+    from buildlog_consultant_spark.ops.robust import key_skew_report
+
+    ev = _read_adaptive(spark, f"{sf_dir}/events.parquet")
+    return key_skew_report(ev, "user_id")
+
+
+ORACLE_SKEW_REPORT = """
+WITH c AS (
+  SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1
+), r AS (
+  SELECT n, row_number() OVER (ORDER BY n) AS rn, COUNT(*) OVER () AS k
+  FROM c
+)
+SELECT CAST(MAX(k) AS BIGINT) AS n_keys,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(MAX(n) AS BIGINT) AS max_n,
+       CAST(MAX(CASE WHEN rn = (50 * k + 99) // 100 THEN n END) AS BIGINT)
+         AS p50_n,
+       CAST(1000 * MAX(n)
+            // MAX(CASE WHEN rn = (50 * k + 99) // 100 THEN n END)
+            AS BIGINT) AS skew_permille,
+       CAST((MAX(n) + MAX(CASE WHEN rn = (50 * k + 99) // 100 THEN n END) - 1)
+            // MAX(CASE WHEN rn = (50 * k + 99) // 100 THEN n END)
+            AS BIGINT) AS suggested_salt
+FROM r
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "classify_kind_counts": q_classify_kind_counts,
@@ -4947,6 +5030,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dhash": q_image_dhash,
         "image_near_dups": q_image_near_dups,
         "audio_dups": q_audio_dups,
+        "mad_outliers": q_mad_outliers,
+        "skew_report": q_skew_report,
     }
 
 
@@ -5061,4 +5146,6 @@ def oracle_sql(sf_dir: str = None) -> dict[str, str]:
         "image_dhash": _oracle_image_dhash(),
         "image_near_dups": _oracle_image_near_dups(),
         "audio_dups": _oracle_audio_dups(),
+        "mad_outliers": ORACLE_MAD_OUTLIERS,
+        "skew_report": ORACLE_SKEW_REPORT,
     }

@@ -199,3 +199,108 @@ def with_percentile_permille(
         & (F.col(value_col) == F.col("_pv")),
         "left",
     ).drop("_pk", "_pv")
+
+
+def mad_outlier_stats(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """(key, n, med, mad, n_outliers): per-key MEDIAN ABSOLUTE DEVIATION
+    outlier counts — the robust z-score rule (|x - med| > 3.5 * MAD,
+    Iglewicz-Hoaglin's recommended cutoff) kept exactly integral by
+    doubling: 2|x - med| > 7 * MAD. MAD tolerates up to 50% outliers
+    (breakdown point) where IQR fences break at 25% — the
+    complementary robust gate.
+
+    Scale shape: TWO histogram two-passes (the exact_quantiles_by_key
+    machinery) — one for the per-key median, one for the median of
+    deviations — each touching corpus rows with one hash agg; medians
+    ride broadcast joins. Three corpus scans total (median, deviation
+    histogram, outlier count) — the floor for an exact two-level order
+    statistic. NULL policy: exact_quantiles_by_key's (NULL values
+    excluded; NULL key is a group)."""
+    med = (
+        exact_quantiles_by_key(df, key_col, value_col, ps=(50,))
+        .select(F.col(key_col).alias("_mk"), F.col(value_col).alias("_med"))
+    )
+    dev = (
+        df.where(F.col(value_col).isNotNull())
+        .join(F.broadcast(med), F.col(key_col).eqNullSafe(F.col("_mk")))
+        .select(
+            F.col(key_col),
+            F.col(value_col),
+            F.col("_med"),
+            F.abs(F.col(value_col) - F.col("_med")).alias("_dev"),
+        )
+    )
+    mad = (
+        exact_quantiles_by_key(dev, key_col, "_dev", ps=(50,))
+        .select(F.col(key_col).alias("_gk"), F.col("_dev").alias("_mad"))
+    )
+    return (
+        dev.join(F.broadcast(mad), F.col(key_col).eqNullSafe(F.col("_gk")))
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first("_med").alias("med"),
+            F.first("_mad").alias("mad"),
+            F.sum(
+                (F.col("_dev") * 2 > F.col("_mad") * 7).cast("long")
+            ).alias("n_outliers"),
+        )
+    )
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_col: str,
+) -> DataFrame:
+    """One-row skew diagnostic over a prospective shuffle key — the
+    pre-flight check that decides salting (spark/pipeline.py's
+    choose_salt_buckets runs the same idea over sampled kind counts):
+    (n_keys, n_rows, max_n, p50_n, skew_permille = 1000*max DIV p50,
+    suggested_salt = ceil(max/p50)). A key whose hottest group is 40x
+    the median needs ~40 salt buckets for even tasks; <= 1 means don't
+    salt.
+
+    Scale shape: ONE corpus hash agg to per-key counts, then the exact
+    nearest-rank p50 over the COUNT table (bounded by distinct keys;
+    a single count histogram two-pass would also work at extreme key
+    cardinality — at that point reuse exact_quantiles_by_key on the
+    count table). Everything after the first agg is key-table-sized.
+    NULL keys count as a group (they hash-partition together too —
+    exactly why they matter for skew)."""
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("_n"))
+    w = Window.orderBy("_n")
+    ranked = counts.select(
+        "_n",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("_k"),
+    )
+    return (
+        ranked.groupBy()
+        .agg(
+            F.max("_k").cast("long").alias("n_keys"),
+            F.sum("_n").cast("long").alias("n_rows"),
+            F.max("_n").cast("long").alias("max_n"),
+            F.max(
+                F.when(
+                    F.col("_rn") == F.expr("CAST((50 * _k + 99) DIV 100 AS LONG)"),
+                    F.col("_n"),
+                )
+            ).cast("long").alias("p50_n"),
+        )
+        .select(
+            "n_keys",
+            "n_rows",
+            "max_n",
+            "p50_n",
+            F.expr("CAST(1000 * max_n DIV p50_n AS LONG)").alias(
+                "skew_permille"
+            ),
+            F.expr("CAST((max_n + p50_n - 1) DIV p50_n AS LONG)").alias(
+                "suggested_salt"
+            ),
+        )
+    )

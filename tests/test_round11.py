@@ -392,3 +392,68 @@ def test_audio_dups_spark_matches_replay(spark):
     r0, g0 = make_audio(0)
     r1, g1 = make_audio(1)
     assert g0 == g1
+
+
+# ---------------------------------------------------------------------------
+# MAD outliers + key skew report
+# ---------------------------------------------------------------------------
+
+
+def test_mad_outlier_stats(spark):
+    from buildlog_consultant_spark.ops.robust import mad_outlier_stats
+
+    # key a: 1..13 plus a gross outlier; n=14 → med rank 7
+    rows = [("a", v) for v in range(1, 14)] + [("a", 10_000)]
+    rows += [("b", 5), ("b", None)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    got = {r["k"]: r for r in mad_outlier_stats(df, "k", "v").collect()}
+    a = got["a"]
+    # sorted: 1..13,10000 → med = rank ceil(14*50/100)=7 → 7
+    # devs: |v-7| = 6,5,4,3,2,1,0,1,2,3,4,5,6,9993 sorted:
+    # 0,1,1,2,2,3,3,4,4,5,5,6,6,9993 → mad = rank 7 → 3
+    assert (a["n"], a["med"], a["mad"]) == (14, 7, 3)
+    # outliers: 2|v-7| > 21 → |v-7| > 10.5 → only 10000
+    assert a["n_outliers"] == 1
+    b = got["b"]
+    assert (b["n"], b["med"], b["mad"], b["n_outliers"]) == (1, 5, 0, 0)
+
+
+def test_mad_matches_python(spark):
+    import math
+
+    from buildlog_consultant_spark.ops.robust import mad_outlier_stats
+
+    vals = [((i * 29) % 5, ((i * i * 7) % 401) - 80) for i in range(250)]
+    df = spark.createDataFrame(
+        [(str(k), v) for k, v in vals], "k string, v long"
+    )
+    got = {r["k"]: r for r in mad_outlier_stats(df, "k", "v").collect()}
+    bykey: dict = {}
+    for k, v in vals:
+        bykey.setdefault(str(k), []).append(v)
+    for k, vs in bykey.items():
+        n = len(vs)
+        med = sorted(vs)[math.ceil(50 * n / 100) - 1]
+        devs = sorted(abs(v - med) for v in vs)
+        mad = devs[math.ceil(50 * n / 100) - 1]
+        out = sum(1 for v in vs if 2 * abs(v - med) > 7 * mad)
+        r = got[k]
+        assert (r["n"], r["med"], r["mad"], r["n_outliers"]) == (
+            n, med, mad, out,
+        ), k
+
+
+def test_key_skew_report(spark):
+    from buildlog_consultant_spark.ops.robust import key_skew_report
+
+    # 5 keys: counts 1,1,2,2,40 (plus a NULL key with 3 rows)
+    rows = (
+        [("a",)] + [("b",)] + [("c",)] * 2 + [("d",)] * 2 + [("e",)] * 40
+        + [(None,)] * 3
+    )
+    df = spark.createDataFrame(rows, "k string")
+    r = key_skew_report(df, "k").first()
+    # counts sorted: 1,1,2,2,3,40; n_keys=6 → p50 rank ceil(6*50/100)=3 → 2
+    assert (r["n_keys"], r["n_rows"], r["max_n"], r["p50_n"]) == (6, 49, 40, 2)
+    assert r["skew_permille"] == 20_000
+    assert r["suggested_salt"] == 20
