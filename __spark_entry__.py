@@ -4921,6 +4921,50 @@ FROM r
 """
 
 
+def q_incremental_sessions(spark, sf_dir):
+    """Incremental sessionization (ops/sessions.py::
+    incremental_sessionize) — incremental view maintenance: the corpus
+    splits at Jan 16 (the time-partitioned daily-ingest contract), the
+    'old' half collapses to session summaries, and the merge recomputes
+    ONLY users present in the new batch (untouched sessions pass via
+    left_anti; the batch window is the only event-grain work; the
+    boundary stitch joins last-old x first-new summaries). Bit-equal to
+    the full gaps-and-islands recompute, which is exactly what the
+    oracle runs."""
+    from buildlog_consultant_spark.ops.sessions import (
+        incremental_sessionize,
+        sessionize,
+    )
+
+    ev = _read_adaptive(spark, f"{sf_dir}/events.parquet")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    old = sessionize(ev.where(F.col("ts") <= cut))
+    return incremental_sessionize(old, ev.where(F.col("ts") > cut))
+
+
+ORACLE_INCREMENTAL_SESSIONS = """
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST)
+), sess AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id
+                        ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM gaps
+)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sess GROUP BY user_id, sid
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "classify_kind_counts": q_classify_kind_counts,
@@ -5032,6 +5076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_dups": q_audio_dups,
         "mad_outliers": q_mad_outliers,
         "skew_report": q_skew_report,
+        "incremental_sessions": q_incremental_sessions,
     }
 
 
@@ -5148,4 +5193,5 @@ def oracle_sql(sf_dir: str = None) -> dict[str, str]:
         "audio_dups": _oracle_audio_dups(),
         "mad_outliers": ORACLE_MAD_OUTLIERS,
         "skew_report": ORACLE_SKEW_REPORT,
+        "incremental_sessions": ORACLE_INCREMENTAL_SESSIONS,
     }

@@ -457,3 +457,87 @@ def test_key_skew_report(spark):
     assert (r["n_keys"], r["n_rows"], r["max_n"], r["p50_n"]) == (6, 49, 40, 2)
     assert r["skew_permille"] == 20_000
     assert r["suggested_salt"] == 20
+
+
+# ---------------------------------------------------------------------------
+# incremental sessionization
+# ---------------------------------------------------------------------------
+
+
+def _sess_events(spark):
+    rows = []
+    eid = 0
+    # user 1: two sessions (gap > 1800) straddling any cut
+    for m in [0, 10, 20, 120, 130]:
+        rows.append((eid, 1, m * 60)); eid += 1
+    # user 2: one long session crossing the cut
+    for m in [0, 25, 50, 75, 100]:
+        rows.append((eid, 2, m * 60)); eid += 1
+    # user 3: only early events (untouched by late batches)
+    for m in [0, 5]:
+        rows.append((eid, 3, m * 60)); eid += 1
+    # user 4: only late events (first-ever in the new batch)
+    for m in [200, 205]:
+        rows.append((eid, 4, m * 60)); eid += 1
+    # user 5: NULL ts and a NULL user sprinkled in
+    rows.append((eid, 5, None)); eid += 1
+    rows.append((eid, None, 50 * 60)); eid += 1
+    df = spark.createDataFrame(rows, "event_id long, user_id long, sec long")
+    return df.select(
+        "event_id", "user_id", F.timestamp_seconds("sec").alias("ts")
+    )
+
+
+@pytest.mark.parametrize("cut_min", [-1, 15, 60, 110, 150, 999])
+def test_incremental_sessionize_equals_full(spark, cut_min):
+    from buildlog_consultant_spark.ops.sessions import (
+        incremental_sessionize,
+        sessionize,
+    )
+
+    ev = _sess_events(spark)
+    cut = F.timestamp_seconds(F.lit(cut_min * 60))
+    old = ev.where(F.col("ts") <= cut)
+    new = ev.where(F.col("ts") > cut)
+    got = sorted(
+        map(
+            tuple,
+            incremental_sessionize(sessionize(old), new).collect(),
+        )
+    )
+    want = sorted(map(tuple, sessionize(ev).collect()))
+    assert got == want, f"cut={cut_min}"
+
+
+def test_incremental_sessionize_no_event_rescan_plan(spark):
+    """The untouched path must be a left_anti on prev_sessions — no
+    window over old events anywhere in the incremental plan."""
+    from buildlog_consultant_spark.ops.sessions import (
+        incremental_sessionize,
+        sessionize,
+    )
+
+    ev = _sess_events(spark)
+    old_sessions = sessionize(ev.where(F.col("user_id") <= 3))
+    # materialize prev sessions (what a real pipeline stores)
+    prev = spark.createDataFrame(
+        old_sessions.collect(), old_sessions.schema
+    )
+    new = ev.where(F.col("user_id") >= 2)
+    plan = (
+        incremental_sessionize(prev, new)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # the NEW batch's sessionize (lag + running-sum windows) runs ONCE —
+    # its session table is checkpointed before fanning into the three
+    # consumer branches; old events contribute no Window at all
+    assert plan.count("Window [") == 0  # only the checkpointed scan remains
+    lazy = (
+        incremental_sessionize(prev, new, checkpoint=False)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert lazy.count("Window [") >= 2  # the structure the checkpoint hides
