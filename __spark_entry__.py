@@ -408,10 +408,13 @@ def q_sessionization(spark, sf_dir):
     return spark.sql(
         """
         WITH gaps AS (
+          -- microsecond grain (unix_micros == DuckDB epoch_us exactly):
+          -- whole-second unix_timestamp would merge a 1800.05 s gap the
+          -- fractional-epoch oracle splits
           SELECT user_id, ts,
-                 CASE WHEN unix_timestamp(ts) - unix_timestamp(
-                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                     ) > 1800 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                 CASE WHEN unix_micros(CAST(ts AS TIMESTAMP)) - unix_micros(
+                       CAST(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS TIMESTAMP)
+                     ) > 1800000000 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                  THEN 1 ELSE 0 END AS new_session
           FROM events_v
         )
@@ -424,9 +427,9 @@ def q_sessionization(spark, sf_dir):
 ORACLE_SESSIONIZATION = """
 WITH gaps AS (
   SELECT user_id, ts,
-         CASE WHEN epoch(ts) - epoch(
+         CASE WHEN epoch_us(ts) - epoch_us(
                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-             ) > 1800 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             ) > 1800000000 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
          THEN 1 ELSE 0 END AS new_session
   FROM events
 )
@@ -4938,7 +4941,12 @@ def q_incremental_sessions(spark, sf_dir):
 
     ev = _read_adaptive(spark, f"{sf_dir}/events.parquet")
     cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
-    old = sessionize(ev.where(F.col("ts") <= cut))
+    # checkpoint the old-half summaries: prev_sessions feeds several
+    # merge branches, and without this the old-events window would
+    # re-execute per branch — the rescans the op exists to avoid
+    old = sessionize(ev.where(F.col("ts") <= cut)).localCheckpoint(
+        eager=True
+    )
     return incremental_sessionize(old, ev.where(F.col("ts") > cut))
 
 
@@ -4946,7 +4954,7 @@ ORACLE_INCREMENTAL_SESSIONS = """
 WITH gaps AS (
   SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
-                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
               THEN 1 ELSE 0 END AS brk
   FROM events
   WHERE user_id IS NOT NULL AND ts IS NOT NULL

@@ -5,7 +5,11 @@ events, from their session SUMMARIES + the new events, never
 rescanning historical event rows.
 
 Batch op (gaps-and-islands): a session is a maximal run of a user's
-events with consecutive gaps <= gap_s. One window over user partitions
+events with consecutive gaps <= gap_s (a gap of EXACTLY gap_s stays in
+one session — the q_sessionization convention; note Spark's streaming
+F.session_window uses the opposite boundary, splitting at gap >= gap_s
+— the divergence is deliberate and documented, each query matches its
+own oracle). One window over user partitions
 (bounded by per-user history) assigns session ids via the running sum
 of gap-breaks; one hash agg collapses to session grain.
 
@@ -62,8 +66,17 @@ def sessionize(
             (
                 F.col("_prev").isNull()
                 | (
-                    F.unix_timestamp(ts_col) - F.unix_timestamp("_prev")
-                    > F.lit(int(gap_s))
+                    # MICROSECOND grain on both engines: unix_timestamp
+                    # truncates to whole seconds while DuckDB's epoch()
+                    # is a fractional double, so a 1800.05 s gap would
+                    # split in the oracle but merge here (review
+                    # finding; unix_micros == epoch_us exactly)
+                    # cast: parquet timestamps arrive TIMESTAMP_NTZ and
+                    # unix_micros requires TIMESTAMP (session tz pinned
+                    # UTC, so the cast is a pure reinterpretation)
+                    F.unix_micros(F.col(ts_col).cast("timestamp"))
+                    - F.unix_micros(F.col("_prev").cast("timestamp"))
+                    > F.lit(int(gap_s) * 1_000_000)
                 )
             ).cast("long"),
         )
@@ -156,9 +169,9 @@ def incremental_sessionize(
     merged = last_old.join(
         first_new, F.col(user_col) == F.col("_fu"), "full_outer"
     )
-    fuse = F.unix_timestamp("_fs") - F.unix_timestamp("session_end") <= F.lit(
-        int(gap_s)
-    )
+    fuse = F.unix_micros(F.col("_fs").cast("timestamp")) - F.unix_micros(
+        F.col("session_end").cast("timestamp")
+    ) <= F.lit(int(gap_s) * 1_000_000)
     boundary = merged.select(
         F.coalesce(F.col(user_col), F.col("_fu")).alias(user_col),
         F.explode(
@@ -168,13 +181,11 @@ def incremental_sessionize(
                                  F.col("_fe").alias("session_end"),
                                  F.col("_fn").alias("n_events"))),
             )
-            .when(
-                F.col("_fu").isNull(),  # affected set is never empty here,
-                # but a prev-only row is structurally possible on reuse
-                F.array(F.struct(F.col("session_start"),
-                                 F.col("session_end"),
-                                 F.col("n_events"))),
-            )
+            # no "_fu IS NULL" branch: the full_outer's right side is
+            # always populated — last_old is semi-joined to `affected`,
+            # and every affected user has >= 1 valid batch event and
+            # therefore a first_new row (review finding: the branch was
+            # unreachable)
             .when(
                 fuse,
                 F.array(
