@@ -318,6 +318,32 @@ def main() -> None:
     afp = with_audio_fingerprint(audio_df(spark, 32))
     afp.collect()
 
+    from buildlog_consultant_spark.ops.robust import (
+        key_skew_report,
+        mad_outlier_stats,
+    )
+    from buildlog_consultant_spark.ops.sessions import (
+        incremental_sessionize,
+        sessionize,
+    )
+
+    madp = mad_outlier_stats(
+        ev2.select("event_type", F.col("event_id").alias("cents")),
+        "event_type", "cents",
+    )
+    madp.collect()
+    skew = key_skew_report(ev2, "user_id")
+    skew.collect()
+    cutoff = F.timestamp_seconds(F.lit(90000))
+    inc = incremental_sessionize(
+        sessionize(ev2.where(F.col("ts") <= cutoff)).localCheckpoint(
+            eager=True
+        ),
+        ev2.where(F.col("ts") > cutoff),
+        checkpoint=False,  # show the batch-window structure
+    )
+    inc.collect()
+
     out = [
         "# PLANS — executed plans of the flagship pipeline (local[4], 200-doc fixture corpus)",
         "",
@@ -650,6 +676,27 @@ def main() -> None:
         "## Arrow-batched; no shuffle at all",
         "```",
         formatted(spark, afp),
+        "```",
+        "",
+        "## mad_outlier_stats (round 6) — two histogram two-passes (median,",
+        "## median of deviations); medians ride broadcast joins; windows run",
+        "## over histograms, never corpus rows",
+        "```",
+        formatted(spark, madp),
+        "```",
+        "",
+        "## key_skew_report (round 6) — one corpus hash agg to per-key",
+        "## counts; everything after is count-table-sized",
+        "```",
+        formatted(spark, skew),
+        "```",
+        "",
+        "## incremental_sessionize (round 6) — prev sessions checkpointed",
+        "## (scan leaves, no old-events window); dumped with",
+        "## checkpoint=False so the NEW batch's single lag+running-sum",
+        "## window pair is visible; untouched users pass via left_anti",
+        "```",
+        formatted(spark, inc),
         "```",
     ]
     Path(__file__).resolve().parent.parent.joinpath("PLANS.md").write_text(
