@@ -22,18 +22,41 @@ Scale shape, stage by stage (all hash-partitioned, no windows over
 corpus rows, no nested loop):
   1. gram index: word_ngrams (map-side explode of per-row distinct
      shingles) — one corpus scan;
-  2. document frequency: one (gram) hash agg; join back to the index
-     on gram (the tf-idf shuffle shape);
-  3. per-doc prefix: one (doc) hash agg collecting the doc's OWN grams
-     (doc-grain array, bounded by doc length), sort_array by (df,
-     gram), slice the prefix — per-task work bounded per doc;
-  4. candidates: self-equi-join of the PREFIX index on gram (a < b),
-     distinct — the joined postings are document-frequency-ordered
-     shortest postings by construction;
-  5. verify: candidate-restricted overlap count — two equi-joins that
-     touch only candidate pairs' token rows, then the exact integer
-     permille threshold by cross-multiplication (1000*c >= tau*(na +
-     nb - c); never a float ratio).
+  2. gram table: one (gram) hash agg for document frequency, plus a
+     session-unique int64 surrogate id per gram
+     (monotonically_increasing_id); the table is eagerly
+     localCheckpoint-ed so the ids are assigned EXACTLY ONCE — every
+     downstream branch reads the frozen ids, and a lost block fails
+     the job loudly instead of silently re-assigning. All candidate
+     keys and verify arrays are 8-byte longs, never gram text, with
+     zero collision risk (the id is a join-assigned bijection, not a
+     hash);
+  3. per-doc ordered gram array: one (doc) hash agg collecting the
+     doc's OWN grams (doc-grain array, bounded by doc length),
+     sort_array by (df, gram) — per-task work bounded per doc;
+  4. candidates: self-equi-join of the POSITIONAL prefix index on the
+     gram id (a < b), pruned by three lossless PPJoin filters before
+     any pair is materialized —
+       * length: 1000*min(|A|,|B|) >= tau*max(|A|,|B|)  (else J < tau);
+       * positional (per occurrence): a shared prefix gram at 1-based
+         positions (pa, pb) bounds the overlap by
+         ub = 1 + min(|A|-pa, |B|-pb); drop the occurrence when
+         ub < alpha where alpha = ceil(tau*(|A|+|B|)/(1000+tau)) is
+         the minimal overlap for J >= tau (cross-multiplied form of
+         c >= tau*(|A|+|B|-c));
+       * positional (per pair): aggregating surviving occurrences,
+         c <= n_shared_prefix + min(|A|-max_pa, |B|-max_pb). Lossless
+         because the global order is consistent across docs: any
+         common gram not counted lies strictly after (max_pa, max_pb)
+         in both docs (an occurrence before the surviving max in both
+         docs would itself have survived the per-occurrence filter).
+  5. verify: join each surviving pair to the two per-doc gram-id
+     arrays and count the EXACT overlap map-side
+     (size(array_intersect)) — pair-grain rows only, never a
+     pair x token explode; the arrays cross exactly one shuffle
+     (the move-heavy-bytes-once shape). The exact integer permille
+     threshold by cross-multiplication (1000*c >= tau*(na + nb - c);
+     never a float ratio).
 
 The permille threshold keeps every comparison in integers; emitted
 jaccard_permille is the truncating 1000*c DIV union (Spark DIV ≡
@@ -63,7 +86,8 @@ def jaccard_allpairs(
 ) -> DataFrame:
     """(id_a, id_b, jaccard_permille): every unordered doc pair whose
     n-gram-shingle Jaccard >= tau_permille/1000, found via prefix
-    filtering and verified exactly."""
+    filtering with PPJoin length/positional pruning and verified
+    exactly at pair grain."""
     if not (0 < tau_permille <= 1000):
         raise ValueError(
             f"tau_permille must be in (0, 1000], got {tau_permille}"
@@ -73,62 +97,157 @@ def jaccard_allpairs(
         df.where(F.col(id_col).isNotNull()), n=n,
         text_col=text_col, id_col=id_col,
     )
-    # The gram index feeds FIVE plan branches (df-count, prefix build,
-    # both verify sides, sizes) — persist it so the corpus
-    # scan+tokenize+explode runs once, not per branch (triangle_counts'
-    # pattern: persist the reused table, materialize the bounded
-    # output, release).
-    tok.persist()
+    if checkpoint:
+        # tok feeds the gram-table job (eager, below) and the ordered
+        # build — persist so the corpus scan+tokenize+explode runs
+        # once. checkpoint=False keeps the full plan lazy (plan dumps,
+        # composition) at the cost of re-tokenizing per evaluation.
+        tok.persist()
     try:
-        dfreq = tok.groupBy("gram").agg(F.count(F.lit(1)).alias("_gdf"))
+        # Gram table: df + session-unique int64 surrogate id. Eagerly
+        # localCheckpoint-ed: monotonically_increasing_id depends on
+        # partitioning, so the assignment must happen exactly once —
+        # after this line every branch (prefix index, verify arrays)
+        # reads the same frozen ids; a recompute can't silently
+        # re-assign them (a lost block fails loudly instead). The
+        # table is VOCABULARY-sized (one row per distinct gram), not
+        # corpus-sized.
+        gramtab = (
+            tok.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("_gdf"))
+            .withColumn("_gid", F.monotonically_increasing_id())
+            .localCheckpoint(eager=True)
+        )
         ordered = (
-            tok.join(dfreq, "gram")
+            tok.join(gramtab, "gram")
             .groupBy(id_col)
             .agg(
                 F.sort_array(
-                    F.collect_list(F.struct(F.col("_gdf"), F.col("gram")))
+                    F.collect_list(
+                        F.struct(F.col("_gdf"), F.col("gram"), F.col("_gid"))
+                    )
                 ).alias("_arr"),
                 F.count(F.lit(1)).alias("_nt"),
             )
         )
+        if checkpoint:
+            # ordered feeds three branches (prefix index + both verify
+            # sides) — cache it for the single eager evaluation below.
+            ordered.persist()
+
         # prefix length p = t - ceil(tau*t/1000) + 1  (>= 1 when t >= 1)
         p = F.expr(f"_nt - (({tau} * _nt + 999) DIV 1000) + 1").cast("int")
         prefix = ordered.select(
             F.col(id_col),
-            F.explode(
-                F.transform(F.slice("_arr", F.lit(1), p), lambda x: x["gram"])
-            ).alias("gram"),
-        )
+            F.col("_nt"),
+            F.posexplode(
+                F.slice(F.transform("_arr", lambda x: x["_gid"]), F.lit(1), p)
+            ).alias("_p0", "_gid"),
+        ).select(id_col, "_nt", (F.col("_p0") + 1).alias("_pos"), "_gid")
 
-        a = prefix.select(F.col(id_col).alias("id_a"), "gram")
-        b = prefix.select(F.col(id_col).alias("id_b"), "gram")
-        cand = (
-            a.join(b, "gram")
+        a = prefix.select(
+            F.col(id_col).alias("id_a"),
+            F.col("_nt").alias("_na"),
+            F.col("_pos").alias("_pa"),
+            "_gid",
+        )
+        b = prefix.select(
+            F.col(id_col).alias("id_b"),
+            F.col("_nt").alias("_nb"),
+            F.col("_pos").alias("_pb"),
+            "_gid",
+        )
+        # alpha = ceil(tau*(na+nb)/(1000+tau)): the minimal exact
+        # overlap c for J >= tau (from c*(1000+tau) >= tau*(na+nb)).
+        alpha = F.expr(
+            f"({tau} * (_na + _nb) + {1000 + tau} - 1) DIV {1000 + tau}"
+        )
+        occ = (
+            a.join(b, "_gid")
             .where(F.col("id_a") < F.col("id_b"))
+            .where(F.expr(f"1000 * least(_na, _nb) >= {tau} * greatest(_na, _nb)"))
+            .where(
+                (
+                    1
+                    + F.least(
+                        F.col("_na") - F.col("_pa"), F.col("_nb") - F.col("_pb")
+                    )
+                )
+                >= alpha
+            )
+        )
+        pairs = (
+            occ.groupBy("id_a", "id_b")
+            .agg(
+                F.count(F.lit(1)).alias("_cp"),
+                F.max("_pa").alias("_mpa"),
+                F.max("_pb").alias("_mpb"),
+                F.first("_na").alias("_na"),
+                F.first("_nb").alias("_nb"),
+            )
+            .where(
+                (
+                    F.col("_cp")
+                    + F.least(
+                        F.col("_na") - F.col("_mpa"),
+                        F.col("_nb") - F.col("_mpb"),
+                    )
+                )
+                >= F.expr(
+                    f"({tau} * (_na + _nb) + {1000 + tau} - 1) DIV {1000 + tau}"
+                )
+            )
             .select("id_a", "id_b")
-            .distinct()
         )
 
-        ta = tok.select(F.col(id_col).alias("id_a"), "gram")
-        tb = tok.select(F.col(id_col).alias("id_b"), "gram")
-        overlap = (
-            cand.join(ta, "id_a")
-            .join(tb, ["id_b", "gram"])
-            .groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).alias("_c"))
+        docarr = ordered.select(
+            F.col(id_col),
+            F.transform("_arr", lambda x: x["_gid"]).alias("_g"),
+            F.col("_nt"),
         )
-        sz = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
-        out = _verify_and_emit(overlap, sz, tau, id_col)
+        # Pair-grain exact verification: two equi-joins attach each
+        # side's gram-id array, then one map-side array_intersect.
+        # shuffle_hash: the doc-array side per post-shuffle partition
+        # is doc-grain and array-bounded — hash-build it instead of
+        # sorting the (much larger) pair side.
+        out = _emit_threshold(
+            pairs.join(
+                docarr.select(
+                    F.col(id_col).alias("id_a"),
+                    F.col("_g").alias("_ga"),
+                    F.col("_nt").alias("_na"),
+                ).hint("shuffle_hash"),
+                "id_a",
+            )
+            .join(
+                docarr.select(
+                    F.col(id_col).alias("id_b"),
+                    F.col("_g").alias("_gb"),
+                    F.col("_nt").alias("_nb"),
+                ).hint("shuffle_hash"),
+                "id_b",
+            )
+            .select(
+                "id_a",
+                "id_b",
+                F.size(F.array_intersect("_ga", "_gb")).alias("_c"),
+                "_na",
+                "_nb",
+            ),
+            tau,
+        )
         if checkpoint:
             # Pair-grain output (bounded by qualifying pairs) —
-            # materialize so the persisted gram index can be released
-            # now. checkpoint=False keeps the lazy plan (plan dumps,
-            # composition) at the cost of pinning the cache until the
-            # caller evaluates.
+            # materialize so the persisted intermediates can be
+            # released now.
             out = out.localCheckpoint(eager=True)
     finally:
         if checkpoint:
             tok.unpersist()
+            try:
+                ordered.unpersist()
+            except NameError:
+                pass
     return out
 
 
@@ -155,26 +274,26 @@ def jaccard_allpairs_bruteforce(
         .agg(F.count(F.lit(1)).alias("_c"))
     )
     sz = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
-    return _verify_and_emit(overlap, sz, int(tau_permille), id_col)
-
-
-def _verify_and_emit(
-    overlap: DataFrame, sz: DataFrame, tau: int, id_col: str
-) -> DataFrame:
-    """Shared tail of both formulations: join sizes onto the pair
-    overlap counts, apply the exact cross-multiplied threshold, emit
-    the truncating permille. Single-sourced so a threshold/rounding
-    change can't drift between the op and its equivalence reference."""
-    return (
+    return _emit_threshold(
         overlap.join(
             sz.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na")),
             "id_a",
-        )
-        .join(
+        ).join(
             sz.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb")),
             "id_b",
-        )
-        .where(F.expr(f"1000 * _c >= {tau} * (_na + _nb - _c)"))
+        ),
+        int(tau_permille),
+    )
+
+
+def _emit_threshold(pairs_with_counts: DataFrame, tau: int) -> DataFrame:
+    """Shared tail of both formulations: given pair rows carrying the
+    exact overlap `_c` and set sizes `_na`/`_nb`, apply the exact
+    cross-multiplied threshold and emit the truncating permille.
+    Single-sourced so a threshold/rounding change can't drift between
+    the op and its equivalence reference."""
+    return (
+        pairs_with_counts.where(F.expr(f"1000 * _c >= {tau} * (_na + _nb - _c)"))
         .select(
             "id_a",
             "id_b",
