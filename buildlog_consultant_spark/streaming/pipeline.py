@@ -231,11 +231,23 @@ def streaming_kmv(
     from ..ops.sketch import _SIGN, kmv_estimate_py
 
     key_t = stream.schema[key_col].dataType.simpleString()
-    hashed = stream.select(
-        F.col(key_col).alias("_k"),
-        F.explode(_shingles(text_col, shingle_k)).alias("_g"),
-    ).select(
-        "_k", F.xxhash64(F.col("_g")).bitwiseXOR(F.lit(_SIGN)).alias("_h")
+    # A file-stream micro-batch is typically ONE scan split (one file per
+    # trigger), and the shingle transform below is an interpreted HOF —
+    # ~2 ms/doc of single-core work. Spread the raw rows (tiny: key +
+    # text) across the cores BEFORE the explode so the expensive
+    # shingle+hash stage parallelizes; the result is set-merged per key,
+    # so row placement cannot affect it (KMV merge is commutative/
+    # associative/idempotent).
+    par = stream.sparkSession.sparkContext.defaultParallelism
+    hashed = (
+        stream.repartition(par)
+        .select(
+            F.col(key_col).alias("_k"),
+            F.explode(_shingles(text_col, shingle_k)).alias("_g"),
+        )
+        .select(
+            "_k", F.xxhash64(F.col("_g")).bitwiseXOR(F.lit(_SIGN)).alias("_h")
+        )
     )
 
     def update(key, pdfs, state: GroupState):
