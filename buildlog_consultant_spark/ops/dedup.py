@@ -268,19 +268,28 @@ def _pairs_from_sigs(
         if log_dropped:
             keep = _observe_dropped(keep, max_bucket, "minhash")
         keep = keep.where(F.size("ids") <= max_bucket)
-    ids = F.array_sort(F.col("ids"))
-    pair_array = F.flatten(
-        F.transform(
-            ids,
-            lambda a: F.transform(
-                F.filter(ids, lambda b: b > a),
-                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
-            ),
-        )
-    )
+    # Pair expansion: posexplode the sorted bucket, then pair each
+    # element with the SLICE after its position — on sorted distinct
+    # ids, slice(ids, i+2, ..) == filter(ids, b > a), but a single
+    # built-in slice per row replaces the interpreted per-element
+    # filter lambda the old nested-transform expansion paid (HOF
+    # lambdas never enter codegen; the old shape was O(m²) interpreted
+    # evals per bucket). Still no self-join; per-bucket pair count is
+    # bounded by max_bucket² as before.
     return (
-        keep.select(F.explode(pair_array).alias("p"))
-        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        keep.select(F.array_sort(F.col("ids")).alias("ids"))
+        .select(F.posexplode("ids").alias("_i", "id_a"), F.col("ids"))
+        .select(
+            "id_a",
+            F.explode(
+                F.slice(
+                    "ids",
+                    F.col("_i") + 2,
+                    F.greatest(F.size("ids") - F.col("_i") - 1, F.lit(0)),
+                )
+            ).alias("id_b"),
+        )
+        .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("shared_bands"))
         .where(F.col("shared_bands") >= min_shared_bands)
     )
@@ -364,18 +373,31 @@ def minhash_verified_pairs_xx(
     distinct-shingle sets is never empty (every doc has ≥ 1 shingle —
     NULL text coalesces to the single '' shingle), so the double
     division cannot hit ANSI divide-by-zero."""
-    src = dedup_exact(df, id_col, text_col) if dedup_exact_first else df
+    if dedup_exact_first:
+        # src feeds two branches (signatures + verification shingles),
+        # each of which would re-run the exact-dedup md5 agg + semi-join
+        # and re-scan the corpus; materialize it once. localCheckpoint
+        # also truncates the lineage, so a lost block fails loudly
+        # rather than recomputing into a divergent branch.
+        src = dedup_exact(df, id_col, text_col).localCheckpoint(eager=True)
+    else:
+        src = df
     sigs = minhash_signatures_xx(src, id_col, text_col, bands, k)
     pairs = _pairs_from_sigs(sigs, min_shared_bands, max_bucket, log_dropped)
-    sh = src.select(
-        F.col(id_col).alias("id"), F.array_distinct(_shingles(text_col, k)).alias("sh")
-    )
     cand = (
         pairs.select(F.col("id_a").alias("id"))
         .unionByName(pairs.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    sh_c = sh.join(cand, "id", "left_semi")
+    # Semi-join restriction BEFORE shingling: only candidate docs pay
+    # the (interpreted-HOF) shingle projection, not the whole corpus.
+    sh_c = (
+        src.withColumnRenamed(id_col, "id")
+        .join(cand, "id", "left_semi")
+        .select(
+            F.col("id"), F.array_distinct(_shingles(text_col, k)).alias("sh")
+        )
+    )
     a = sh_c.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh_c.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     # intersection size goes through LONG before the ×1e6 — a doc with
