@@ -135,6 +135,15 @@ def duplicated_spans(
     produced the grams — see gram_positions)."""
     gp = gram_positions(df, min_len, text_col, id_col, with_doc_tokens)
     gp = gp.withColumn("_gk", _gram_key_col(gram_key)).drop("gram")
+    # The keyed gram-position index feeds TWO branches (the corpus-wide
+    # duplicate count and the join-back of hit positions); without
+    # materialization each branch re-runs the gram build — an
+    # interpreted HOF costing ~1.5 ms/doc, the most expensive part of
+    # the whole plan. localCheckpoint trades one corpus-token-scale
+    # materialization (the same rows the shuffle carries anyway: id,
+    # pos, 16-byte key) for the second build; lineage truncation makes
+    # a lost block loud instead of silently recomputing.
+    gp = gp.localCheckpoint(eager=True)
     dup_grams = (
         gp.groupBy("_gk").agg(F.count("*").alias("_n")).where(F.col("_n") > 1)
         .select("_gk")
