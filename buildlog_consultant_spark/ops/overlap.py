@@ -59,6 +59,12 @@ def source_gram_overlap(
         .select(F.col(key_col).alias("src"), g)
         .select("src", (F.xxhash64("g") if gram_key == "hash64" else F.col("g")).alias("gk"))
         .distinct()
+        # feeds TWO branches (per-source sizes + per-gram source sets);
+        # materialize so the corpus scan + interpreted shingle HOF +
+        # distinct shuffle run once, not per branch. The table is
+        # sources × distinct-grams — already the reduced form, far
+        # smaller than the corpus.
+        .localCheckpoint(eager=True)
     )
     per_src = grams.groupBy("src").agg(F.count("*").alias("n_grams"))
     buckets = (

@@ -43,13 +43,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _tokens(text_col: str):
-    # the ONE shared tokenizer — see text.py::tokens_expr's pinning note
-    from .text import tokens_expr
-
-    return tokens_expr(text_col)
-
-
 def gram_positions(
     df: DataFrame,
     min_len: int = 8,
@@ -63,24 +56,49 @@ def gram_positions(
     count — computed on THIS scan, so downstream consumers (the span-dedup
     endpoint's coverage gate) never re-tokenize the corpus on a second
     scan."""
-    words = _tokens(text_col)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(words) - (min_len - 1), F.lit(0))),
-        lambda i: F.struct(
-            (i - 1).alias("pos"),
-            F.concat_ws(" ", F.slice(words, i, min_len)).alias("gram"),
-        ),
+    # Arrow-batched kernel instead of the JVM transform/slice/concat_ws
+    # HOF + explode: HOF lambdas run interpreted (never codegen) and the
+    # gram build was the most expensive expression of the span plan
+    # (~4.5 s per pass at 50k docs vs ~1 s in CPython split/join — the
+    # _shingles/word_ngrams kernel precedent, bit-identical geometry).
+    # mapInArrow (not pandas) so the id column is carried by pyarrow
+    # `take` — its exact type survives, including nullable int64 ids
+    # that a pandas round-trip would widen to float64.
+    import re
+
+    import pyarrow as pa
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    id_t = df.schema[id_col].dataType.simpleString()
+    names = [id_col, "pos", "gram"] + (["doc_tokens"] if with_doc_tokens else [])
+    schema = f"{id_col} {id_t}, pos int, gram string" + (
+        ", doc_tokens int" if with_doc_tokens else ""
     )
-    grams = F.when(
-        F.size(words) < min_len, F.array().cast("array<struct<pos:int,gram:string>>")
-    ).otherwise(grams)
-    extra = [F.size(words).alias("doc_tokens")] if with_doc_tokens else []
-    out = [id_col, F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram")] + (
-        ["doc_tokens"] if with_doc_tokens else []
-    )
-    return df.select(
-        F.col(id_col), F.explode(grams).alias("g"), *extra
-    ).select(*out)
+
+    def gp(batches):
+        for b in batches:
+            texts = b.column(1).to_pylist()
+            idxs, poss, grams, dts = [], [], [], []
+            for ri, txt in enumerate(texts):
+                tr = (txt or "").strip(" ")
+                toks = ws.sub(" ", tr).lower().split(" ") if tr else []
+                nt = len(toks)
+                if nt < min_len:
+                    continue
+                for i in range(nt - min_len + 1):
+                    idxs.append(ri)
+                    poss.append(i)
+                    grams.append(" ".join(toks[i : i + min_len]))
+                    if with_doc_tokens:
+                        dts.append(nt)
+            arrays = [
+                b.column(0).take(pa.array(idxs, type=pa.int32())),
+                pa.array(poss, type=pa.int32()),
+                pa.array(grams, type=pa.string()),
+            ] + ([pa.array(dts, type=pa.int32())] if with_doc_tokens else [])
+            yield pa.RecordBatch.from_arrays(arrays, names)
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInArrow(gp, schema)
 
 
 def _gram_key_col(gram_key: str):

@@ -298,17 +298,45 @@ def word_ngrams(
     coalesced to '' (the dedup.py _shingles policy): a NULL-text doc emits
     NO grams — without the coalesce, size(NULL) dodges the n_words<n guard
     and a spurious '' gram leaks out."""
-    words = tokens_expr(text_col)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
-    )
-    grams = F.when(F.size(words) < n, F.array().cast("array<string>")).otherwise(
-        grams
-    )
-    return df.select(
-        F.col(id_col), F.explode(F.array_distinct(grams)).alias("gram")
-    )
+    # Arrow-batched pandas UDF instead of the equivalent JVM
+    # transform/slice/concat_ws HOF chain: HOF lambdas run interpreted
+    # (never codegen) and CPython split/join measures ~4× faster on the
+    # same corpus, bit-identically (the _shingles kernel precedent —
+    # see ops/dedup.py). Geometry replicates tokens_expr + the n-gram
+    # window + array_distinct's keep-first-occurrence order exactly:
+    # trim(' ') → ASCII-\s collapse → lower → split(' '); empty/NULL
+    # text → no tokens; < n tokens → no grams.
+    import re
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def ng(s):
+        out = []
+        for txt in s:
+            tr = (txt or "").strip(" ")
+            if not tr:
+                out.append([])
+                continue
+            toks = ws.sub(" ", tr).lower().split(" ")
+            if len(toks) < n:
+                out.append([])
+                continue
+            out.append(
+                list(
+                    dict.fromkeys(
+                        " ".join(toks[i : i + n])
+                        for i in range(len(toks) - n + 1)
+                    )
+                )
+            )
+        return pd.Series(out)
+
+    ng.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    grams = pandas_udf(ng, "array<string>")(F.col(text_col))
+    return df.select(F.col(id_col), F.explode(grams).alias("gram"))
 
 
 def contamination_hits(
@@ -733,11 +761,20 @@ def with_unigram_logloss(
     total_cost = F.aggregate(
         F.transform(toks, cost_of), F.lit(0).cast("long"), lambda a, x: a + x
     )
-    score = F.when(
-        F.size(toks) > 0, total_cost.cast("long") / F.size(toks)
-    )
-    return df.withColumn(
-        "unigram_milli_bits", F.floor(score).cast("long")
+    # integral DIV, not floor(double /): the double quotient can round
+    # across the floor boundary once total_cost approaches 2^53 — the
+    # same fix robust.py applies (repo DIV convention); the Python
+    # replay uses exact //.
+    return (
+        df.withColumn("_ug_tc", total_cost.cast("long"))
+        .withColumn("_ug_n", F.size(toks).cast("long"))
+        .withColumn(
+            "unigram_milli_bits",
+            F.when(F.col("_ug_n") > 0, F.expr("_ug_tc DIV _ug_n")).cast(
+                "long"
+            ),
+        )
+        .drop("_ug_tc", "_ug_n")
     )
 
 
