@@ -834,14 +834,17 @@ def embedding_near_dups(
     # so emitting only pid < candidate, map-side from the bucket's id array,
     # yields each unordered pair at least once; distinct dedups multi-band
     # hits
+    # explode first, filter after: the per-element F.filter lambda runs
+    # interpreted (never codegen) over every probed bucket array; the
+    # generator + codegen'd WHERE computes the same pair set with the
+    # comparison compiled.
     cand = (
         probes.join(grouped, F.col("probe") == F.col("bucket"))
         .select(
             F.col("pid").alias("id_a"),
-            F.explode(
-                F.filter(F.col("ids"), lambda b: b > F.col("pid"))
-            ).alias("id_b"),
+            F.explode(F.col("ids")).alias("id_b"),
         )
+        .where(F.col("id_b") > F.col("id_a"))
         .distinct()
     )
     v = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))

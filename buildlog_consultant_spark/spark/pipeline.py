@@ -260,7 +260,13 @@ def run_pipeline(
         spark.createDataFrame(
             [(r.shard, r.input_count, r.matched_count, r.wall_ms) for r in wave_rows],
             schema="shard int, input_count long, matched_count long, wall_ms long",
-        ).coalesce(1).write.mode("append").parquet(lineage_dir)
+        ).repartition(1).write.mode("append").parquet(lineage_dir)
+        # repartition(1), NOT coalesce(1): the lineage frame is a
+        # python-parallelized collection spread over defaultParallelism
+        # partitions, and coalesce makes ONE task pull every parent
+        # partition through the Python worker SEQUENTIALLY (~0.13 s per
+        # partition = ~4 s per commit at local[32]); repartition's tiny
+        # shuffle runs the pulls in parallel (measured 4.3 s → 0.45 s).
     return results
 
 
