@@ -285,17 +285,22 @@ def _read_adaptive(spark: SparkSession, path: str) -> DataFrame:
     except OSError:
         est_parts = len(files)
     if est_parts < par:
-        # Hash-repartition on a deterministic full-row hash instead of
-        # round-robin: RoundRobinPartitioning pays a local sort of every
-        # input partition first (spark.sql.execution.sortBeforeRepartition,
-        # needed so retried tasks reproduce the same row placement), which
-        # at the 1M-row events table costs ~1 s per query. A deterministic
-        # hash key needs no such sort AND is retry-safe by construction
-        # (guide rule: derive synthetic keys deterministically, never from
-        # rand()/row order). xxhash64 over the full row spreads evenly for
-        # these tables (measured min/max partition skew < 1.13×); identical
-        # duplicate rows co-locating is harmless at their observed counts.
-        df = df.repartition(par, F.xxhash64(F.struct(*df.columns)))
+        # Hash-repartition on the table's FIRST column (the pk-like id of
+        # every sf table) instead of round-robin:
+        #   * RoundRobinPartitioning pays a local sort of every input
+        #     partition first (spark.sql.execution.sortBeforeRepartition,
+        #     needed so retried tasks reproduce placement — SPARK-23207);
+        #     a deterministic hash key needs no sort AND is retry-safe by
+        #     construction (guide rule: derive synthetic keys
+        #     deterministically, never from rand()/row order);
+        #   * partitioning by the id column lets Catalyst ELIDE the next
+        #     exchange for id-keyed aggregations/windows downstream
+        #     (hashpartitioning(id) already satisfies them), which a
+        #     full-row-hash or round-robin spread cannot.
+        # All sf tables lead with a high-cardinality key (doc_id,
+        # event_id, vec_id, *_orderkey…), so the spread is even; at real
+        # scale the scan has ≥ cores splits and this branch never runs.
+        df = df.repartition(par, F.col(df.columns[0]))
     return df
 
 
